@@ -1,0 +1,220 @@
+"""Bug-for-bug LOF window scorer replicating the reference engine.
+
+Replicates /root/reference/internal/predictor/lof/lof.go +
+internal/predictor/knn/brute/brute.go + the dispatcher's verdict-gated
+append semantics (internal/dispatcher/manager.go:356-425) as a pure
+Python/numpy module (no Ray). The Ray Data windowed-scorer stage
+(sod_ray.stages.window) replays this per partition inside
+``groupby().map_groups``.
+
+Reference semantics replicated exactly:
+
+- kNN = linear scan into an ascending-by-distance priority queue capped
+  at k (pkg/pqueue/queue.go:81-94); errors when fewer than k stored
+  points (brute.go:115-117).
+- ``k_distance(p)`` = distance to the **nearest** of KNN(p, 3) — the
+  reference uses ``vectors[0]`` with hardcoded 3 (lof.go:175-181), not
+  the k-th neighbour of the textbook definition.
+- ``lrd(p) = 1 / (sum(reach_dist(p, y) for y in KNN(p, k)) / k)`` with
+  ``reach_dist(p, y) = max(k_distance(p), d(p, y))`` (lof.go:183-210).
+  Stored points match themselves at distance 0, so degenerate windows
+  produce lrd = 1/0 = +Inf; we follow IEEE float semantics like Go
+  (Inf/Inf = NaN, and NaN > 1 is False → not an outlier).
+- ``LOF(p) = (sum(lrd(y) for y in KNN(p, k)) / k) / lrd(p)``
+  (lof.go:124-143); verdict outlier iff LOF > 1 (lof.go:14,161-164).
+- ``predict`` guards: empty window → error "test vec size 0"
+  (lof.go:107-108); window < skip_items → error (lof.go:110-112);
+  k < 3 (MinKNum) → error (lof.go:168-173).
+- Stream processing (manager.go:374-423): while window len <
+  max(skip_items, 3) rows are appended unscored ("warmup"); scored
+  outliers are appended to the window only when ``allow_append_outlier``;
+  when ``allow_append_data`` is False nothing is ever appended after
+  warmup (pure scoring).
+- Retention (brute.go:153-179 translated to data-time): keep the newest
+  ``max_items`` points (oldest-first eviction) and, when
+  ``max_storage_time`` > 0, drop points older than the newest timestamp
+  minus the window (deterministic: data time, never wall clock).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .distance import EUCLIDEAN, pairwise
+
+MIN_K_NUM = 3  # lof/config.go:13
+LOF_THRESHOLD = 1.0  # lof.go:14
+
+
+class LofError(ValueError):
+    """Prediction precondition failure (maps the reference's errors)."""
+
+
+@dataclass
+class Verdict:
+    lof: float
+    outlier: bool
+    error: str | None = None
+
+
+@dataclass
+class LofWindow:
+    """A per-entity sliding window + LOF scorer (one sod predictor)."""
+
+    k: int = MIN_K_NUM  # lof/config.go:34 default KNum=3
+    metric: str = EUCLIDEAN
+    skip_items: int = 0
+    max_items: int = 0  # 0 = unbounded (dispatcher/config.go:13 default 1e6)
+    max_storage_time_us: int = 0  # 0 = unbounded (dispatcher/config.go:15)
+    allow_append_data: bool = True  # dispatcher/config.go:21
+    allow_append_outlier: bool = True  # dispatcher/config.go:23
+    _vecs: list[np.ndarray] = field(default_factory=list)
+    _ts: list[int] = field(default_factory=list)
+
+    def __len__(self) -> int:
+        return len(self._vecs)
+
+    # -- window maintenance (brute.go Build/Append + eviction) ----------
+
+    def append(self, vec, ts_us: int = 0) -> None:
+        self._vecs.append(np.asarray(vec, dtype=np.float64))
+        self._ts.append(int(ts_us))
+        self._evict()
+
+    def build(self, vecs, ts_us=None) -> None:
+        ts_us = ts_us if ts_us is not None else [0] * len(vecs)
+        order = np.argsort(np.asarray(ts_us, dtype=np.int64), kind="stable")
+        for i in order:
+            self._vecs.append(np.asarray(vecs[i], dtype=np.float64))
+            self._ts.append(int(ts_us[i]))
+        self._evict()
+
+    def reset(self) -> None:
+        self._vecs.clear()
+        self._ts.clear()
+
+    def _evict(self) -> None:
+        # size eviction: drop oldest beyond max_items (brute.go:168-179)
+        if self.max_items > 0 and len(self._vecs) > self.max_items:
+            drop = len(self._vecs) - self.max_items
+            del self._vecs[:drop]
+            del self._ts[:drop]
+        # time eviction relative to data time, not wall clock
+        # (brute.go:153-166 uses time.Since; deterministic translation)
+        if self.max_storage_time_us > 0 and self._ts:
+            cutoff = max(self._ts) - self.max_storage_time_us
+            keep = [i for i, t in enumerate(self._ts) if t >= cutoff]
+            if len(keep) != len(self._ts):
+                self._vecs = [self._vecs[i] for i in keep]
+                self._ts = [self._ts[i] for i in keep]
+
+    # -- scoring --------------------------------------------------------
+
+    def _stored(self) -> np.ndarray:
+        return np.stack(self._vecs) if self._vecs else np.empty((0, 0))
+
+    def lof(self, vec) -> float:
+        """LOF score of `vec` against the stored window (lof.go:124-143)."""
+        q = np.asarray(vec, dtype=np.float64)
+        S = self._stored()
+        if S.shape[0] < self.k:
+            raise LofError("knn less minimal value")
+        # distances: query→stored and stored→stored, computed once
+        dq = pairwise(q[None, :], S, self.metric)[0]
+        DS = pairwise(S, S, self.metric)
+
+        def knn_sorted(d: np.ndarray, k: int) -> np.ndarray:
+            if d.shape[0] < k:
+                raise LofError("knn less minimal value")
+            idx = np.argpartition(d, k - 1)[:k]
+            return idx[np.argsort(d[idx], kind="stable")]
+
+        def k_distance(d: np.ndarray) -> float:
+            # reference quirk: nearest of KNN(p, 3), hardcoded 3
+            # (lof.go:175-181 uses vectors[0])
+            nn3 = knn_sorted(d, 3)
+            return float(d[nn3[0]])
+
+        def lrd(d: np.ndarray) -> float:
+            # lrd over KNN(p, k) with reach_dist = max(kDist(p), d(p,y))
+            # (lof.go:195-210); kDist of the QUERY point per lof.go:183-193
+            kd = k_distance(d)
+            nn = knn_sorted(d, self.k)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r_sum = np.float64(np.sum(np.maximum(kd, d[nn])))
+                # Go: 1/(rSum/k) — IEEE: 1/0 = +Inf (lof.go:208)
+                return float(np.float64(1.0) / (r_sum / np.float64(self.k)))
+
+        nn_q = knn_sorted(dq, self.k)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lrd_sum = 0.0
+            for y in nn_q:
+                lrd_sum += lrd(DS[y])
+            # IEEE: Inf/Inf = NaN, x/Inf = 0 — matches Go (lof.go:142)
+            avg_lrd = np.float64(lrd_sum) / np.float64(self.k)
+            lrd_q = np.float64(lrd(dq))
+            return float(avg_lrd / lrd_q)
+
+    def predict(self, vec) -> Verdict:
+        """Score without mutating the window (lof.go:106-118,153-166)."""
+        if len(self) == 0:
+            return Verdict(np.nan, False, "unable to predict, test vec size 0")
+        if len(self) < self.skip_items:
+            return Verdict(
+                np.nan, False, "unable to predict, test vec less skip items param"
+            )
+        if self.k < MIN_K_NUM:
+            return Verdict(np.nan, False, "the k selected in the config is too small")
+        try:
+            score = self.lof(vec)
+        except LofError as e:
+            return Verdict(np.nan, False, str(e))
+        return Verdict(score, bool(score > LOF_THRESHOLD))
+
+    # -- streaming collect semantics (manager.go:356-425) ---------------
+
+    def process(self, vec, ts_us: int = 0) -> Verdict:
+        """One COLLECT-path step: warmup-append or score, then
+        verdict-gated append. Returns the verdict for this row
+        (warmup rows get lof=nan, outlier=False, error='warmup')."""
+        if len(self) < max(self.skip_items, MIN_K_NUM):  # manager.go:374
+            self.append(vec, ts_us)
+            return Verdict(np.nan, False, "warmup")
+        v = self.predict(vec)
+        if v.error is not None:
+            return v  # predict error: row deleted, no append (manager.go:386-391)
+        if not self.allow_append_data:  # manager.go:409-414
+            return v
+        if (v.outlier and self.allow_append_outlier) or not v.outlier:
+            self.append(vec, ts_us)  # manager.go:416-418
+        return v
+
+
+def score_stream(
+    vecs,
+    ts_us=None,
+    *,
+    k: int = MIN_K_NUM,
+    metric: str = EUCLIDEAN,
+    skip_items: int = 0,
+    max_items: int = 0,
+    max_storage_time_us: int = 0,
+    allow_append_outlier: bool = True,
+    allow_append_data: bool = True,
+) -> list[Verdict]:
+    """Replay a time-ordered stream through a fresh LofWindow; the batch
+    kernel used by the Ray windowed-scorer stage (one call per
+    partition/group, rows pre-sorted by timestamp)."""
+    w = LofWindow(
+        k=k,
+        metric=metric,
+        skip_items=skip_items,
+        max_items=max_items,
+        max_storage_time_us=max_storage_time_us,
+        allow_append_outlier=allow_append_outlier,
+        allow_append_data=allow_append_data,
+    )
+    ts_us = ts_us if ts_us is not None else range(len(vecs))
+    return [w.process(v, t) for v, t in zip(vecs, ts_us)]

@@ -1,0 +1,216 @@
+"""Pure text kernels: HTML→text extraction, tokenization, language ID,
+quality scoring, fingerprinting (SURVEY.md §7.3 step 6 + the
+training-data-pipeline text-analysis surface).
+
+All functions are deterministic and wall-clock-free. The batch/Ray
+wrappers live in sod_ray.stages.textstage; these are the exact
+semantics pinned by tests.
+
+The HTML extractor is the per-row invariant of BASELINE.json
+``input_hint``: for pages produced by sod_ray.sources.webpages (the
+deterministic Common-Crawl-style synthesizer) ``extract_text(html)``
+must reproduce the ``text`` column byte-identically per ``url``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import unicodedata
+
+# ---------------------------------------------------------------------------
+# HTML → text extraction
+# ---------------------------------------------------------------------------
+
+_SCRIPT_STYLE = re.compile(
+    rb"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL
+)
+_TAG = re.compile(rb"<[^>]*>")
+_ENTITIES = {
+    b"&amp;": b"&",
+    b"&lt;": b"<",
+    b"&gt;": b">",
+    b"&quot;": b'"',
+    b"&#39;": b"'",
+    b"&nbsp;": b" ",
+}
+_WS_RUN = re.compile(rb"[ \t\r\n\f\v]+")
+
+
+def extract_text(html: bytes | None) -> str | None:
+    """Deterministic HTML→text: drop script/style blocks, strip tags,
+    decode the five standard entities, collapse whitespace runs to a
+    single space, strip. Returns None for NULL html (schema violation
+    recorded separately). UTF-8 with errors replaced."""
+    if html is None:
+        return None
+    if isinstance(html, str):
+        html = html.encode("utf-8", errors="replace")
+    s = _SCRIPT_STYLE.sub(b" ", html)
+    s = _TAG.sub(b" ", s)
+    for ent, ch in _ENTITIES.items():
+        s = s.replace(ent, ch)
+    s = _WS_RUN.sub(b" ", s).strip()
+    return s.decode("utf-8", errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / counting
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(r"\S+")
+# BPE-ish word/number/punct splitter (public GPT-2-style pattern, simplified,
+# no lookahead so it stays fast and SQL-replicable where needed)
+_SUBTOKEN = re.compile(r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]")
+
+
+def token_count(text: str | None) -> int:
+    """Whitespace token count: len(re.findall(r'\\S+', text)).
+    DuckDB oracle: len(regexp_extract_all(text, '\\S+'))."""
+    if text is None:
+        return 0
+    return len(_TOKEN.findall(text))
+
+
+def subtoken_count(text: str | None) -> int:
+    """BPE-ish token count (letter runs, digit runs, single punct).
+    DuckDB oracle: len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]'))."""
+    if text is None:
+        return 0
+    return len(_SUBTOKEN.findall(text))
+
+
+# ---------------------------------------------------------------------------
+# Language ID (n-gram / stopword heuristic — no external models)
+# ---------------------------------------------------------------------------
+
+# Small public stopword lists; the heuristic scores by stopword hits and
+# script class. Deterministic; intended for the synthetic corpus, not SOTA.
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "los", "se", "del", "las", "por"},
+    "de": {"der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf", "ein", "nicht"},
+    "fr": {"le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "que", "pour"},
+    "ru": {"и", "в", "не", "на", "что", "с", "это", "как", "по", "но", "из", "за"},
+}
+_WORD = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def lang_id(text: str | None) -> str:
+    """Heuristic language ID: CJK/kana script detection first, then
+    best stopword-hit ratio, else 'other'. Deterministic tie-break by
+    language code."""
+    if not text:
+        return "other"
+    sample = text[:2000]
+    han = kana = cyr = 0
+    for ch in sample:
+        o = ord(ch)
+        if 0x4E00 <= o <= 0x9FFF:
+            han += 1
+        elif 0x3040 <= o <= 0x30FF:
+            kana += 1
+        elif 0x0400 <= o <= 0x04FF:
+            cyr += 1
+    n = len(sample)
+    if kana > 0.05 * n:
+        return "ja"
+    if han > 0.25 * n:
+        return "zh"
+    words = [w.lower() for w in _WORD.findall(sample)]
+    if not words:
+        return "other"
+    if cyr > 0.25 * n:
+        hits = sum(1 for w in words if w in _STOPWORDS["ru"])
+        return "ru" if hits else "other"
+    best, best_ratio = "other", 0.0
+    for code in sorted(_STOPWORDS):
+        hits = sum(1 for w in words if w in _STOPWORDS[code])
+        ratio = hits / len(words)
+        if ratio > best_ratio:
+            best, best_ratio = code, ratio
+    return best if best_ratio >= 0.03 else "other"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring
+# ---------------------------------------------------------------------------
+
+_PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def quality_features(text: str | None) -> dict[str, float]:
+    """Length / punctuation / stopword / digit ratios + mean word length.
+    Used by the quality-gate stage; each feature SQL-replicable."""
+    if not text:
+        return {
+            "n_chars": 0.0,
+            "n_tokens": 0.0,
+            "punct_ratio": 0.0,
+            "digit_ratio": 0.0,
+            "stopword_ratio": 0.0,
+            "mean_token_len": 0.0,
+        }
+    toks = _TOKEN.findall(text)
+    n = len(text)
+    n_punct = len(_PUNCT.findall(text))
+    n_digit = sum(ch.isdigit() for ch in text)
+    words = [w.lower() for w in _WORD.findall(text)]
+    en_stop = _STOPWORDS["en"]
+    stop_hits = sum(1 for w in words if w in en_stop)
+    return {
+        "n_chars": float(n),
+        "n_tokens": float(len(toks)),
+        "punct_ratio": n_punct / n,
+        "digit_ratio": n_digit / n,
+        "stopword_ratio": stop_hits / len(words) if words else 0.0,
+        "mean_token_len": sum(map(len, toks)) / len(toks) if toks else 0.0,
+    }
+
+
+def quality_score(text: str | None) -> float:
+    """Scalar quality in [0,1]: penalize too-short docs, extreme
+    punctuation/digit density, and zero stopwords (English-ish prior).
+    Deterministic; thresholds documented in tests."""
+    f = quality_features(text)
+    if f["n_tokens"] < 5:
+        return 0.0
+    score = 1.0
+    if f["punct_ratio"] > 0.2:
+        score -= 0.3
+    if f["digit_ratio"] > 0.3:
+        score -= 0.3
+    if f["stopword_ratio"] == 0.0:
+        score -= 0.2
+    if not (2.0 <= f["mean_token_len"] <= 12.0):
+        score -= 0.2
+    return max(0.0, score)
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting / hashing
+# ---------------------------------------------------------------------------
+
+_MOD = (1 << 61) - 1
+_BASE = 257
+
+
+def rolling_fingerprint(text: str | None) -> int:
+    """Polynomial rolling hash over the NFC-normalized text bytes
+    (mod 2^61-1, base 257). Stable across runs/processes — document
+    fingerprint for incremental dedup."""
+    if text is None:
+        return 0
+    data = unicodedata.normalize("NFC", text).encode("utf-8")
+    h = 0
+    for b in data:
+        h = (h * _BASE + b) % _MOD
+    return h
+
+
+def md5_hex(text: str | None) -> str:
+    """md5 hex digest of UTF-8 text; '' for None. Matches DuckDB's
+    md5() for exact-dedup oracle parity."""
+    if text is None:
+        return ""
+    return hashlib.md5(text.encode("utf-8")).hexdigest()

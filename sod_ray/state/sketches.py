@@ -1,0 +1,422 @@
+"""Mergeable streaming sketches — the distributed generalization of the
+reference's per-vector aggregate library (SURVEY.md §2.3/§2.5 G7).
+
+Every sketch supports the Ray Data partial+final aggregation contract:
+
+    sk = Sketch(...); sk.update_array(batch_column)   # accumulate (per batch)
+    sk.merge(other)                                    # merge (groupby shuffle)
+    sk.finalize()/.result()                            # finalize
+
+Merges are associative and commutative (property-tested), so salted
+two-level merges for skewed partitions are safe. All sketches serialize
+via ``to_bytes``/``from_bytes`` (pickle of plain numpy/dict state) so a
+``groupby().aggregate`` or map_groups stage can carry them in Arrow
+binary columns and the manifest can persist them for drift baselines.
+
+- Welford: mean/M2 variance, plus min/max/count/null/NaN — the exact
+  merge formula of Chan et al. (parallel variance).
+- HyperLogLog: dense 2^p registers, 64-bit hashing (blake2b, stable
+  across processes — never Python hash()).
+- TDigest: simplified merging t-digest (Dunning & Ertl) for quantiles.
+- Histogram: fixed bins over a reference range — the PSI drift input.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+
+class _Serializable:
+    def to_bytes(self) -> bytes:
+        return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @classmethod
+    def from_bytes(cls, b: bytes):
+        obj = pickle.loads(b)
+        if not isinstance(obj, cls):
+            raise TypeError(f"expected {cls.__name__}, got {type(obj).__name__}")
+        return obj
+
+
+# ---------------------------------------------------------------------------
+# Welford column stats
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Welford(_Serializable):
+    """Streaming count/mean/variance/min/max/null/NaN for one column.
+
+    Distributed form of the reference's Point Sum/Mean/Min/Max library
+    (/root/reference/internal/geom/point.go:82-128) with the correct
+    all-negative max semantics (reference bug documented in
+    sod_ray.functions.point.vmax)."""
+
+    n: int = 0  # non-null, non-NaN values
+    mean: float = 0.0
+    m2: float = 0.0
+    vmin: float = math.inf
+    vmax: float = -math.inf
+    n_null: int = 0
+    n_nan: int = 0
+    total: int = 0  # all rows seen incl. null/NaN
+
+    def update_array(self, arr) -> "Welford":
+        """Accumulate a pyarrow Array/ChunkedArray or numpy array —
+        vectorized (one pass of numpy reductions per batch)."""
+        if isinstance(arr, pa.ChunkedArray):
+            for chunk in arr.chunks:
+                self.update_array(chunk)
+            return self
+        if isinstance(arr, pa.Array):
+            self.total += len(arr)
+            self.n_null += arr.null_count
+            x = arr.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            x = np.asarray(arr, dtype=np.float64)
+            self.total += x.shape[0]
+        nan_mask = np.isnan(x)
+        n_nan = int(nan_mask.sum())
+        if n_nan:
+            self.n_nan += n_nan
+            x = x[~nan_mask]
+        k = x.shape[0]
+        if k == 0:
+            return self
+        b_mean = float(x.mean())
+        b_m2 = float(((x - b_mean) ** 2).sum())
+        self._combine(k, b_mean, b_m2, float(x.min()), float(x.max()))
+        return self
+
+    def _combine(self, n2: int, mean2: float, m2_2: float, mn: float, mx: float):
+        n1 = self.n
+        n = n1 + n2
+        delta = mean2 - self.mean
+        self.mean = self.mean + delta * n2 / n if n else 0.0
+        self.m2 = self.m2 + m2_2 + delta * delta * n1 * n2 / n if n else 0.0
+        self.n = n
+        self.vmin = min(self.vmin, mn)
+        self.vmax = max(self.vmax, mx)
+
+    def merge(self, other: "Welford") -> "Welford":
+        if other.n:
+            self._combine(other.n, other.mean, other.m2, other.vmin, other.vmax)
+        self.n_null += other.n_null
+        self.n_nan += other.n_nan
+        self.total += other.total
+        return self
+
+    @property
+    def variance(self) -> float:
+        """Sample variance (ddof=1)."""
+        return self.m2 / (self.n - 1) if self.n > 1 else float("nan")
+
+    @property
+    def std(self) -> float:
+        v = self.variance
+        return math.sqrt(v) if v == v else float("nan")
+
+    def result(self) -> dict:
+        return {
+            "count": self.n,
+            "mean": self.mean if self.n else float("nan"),
+            "std": self.std,
+            "min": self.vmin if self.n else float("nan"),
+            "max": self.vmax if self.n else float("nan"),
+            "null_count": self.n_null,
+            "nan_count": self.n_nan,
+            "total": self.total,
+        }
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def hash64(values) -> np.ndarray:
+    """Stable 64-bit hashes of a string/binary/numeric array.
+
+    Uses pyarrow cast→binary + per-value blake2b(8 bytes). Stable across
+    processes and runs (unlike Python's salted hash()). Vector loop is
+    over a Python list of bytes — acceptable because hashing dominates;
+    used for HLL, dedup keys and salting."""
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        if pa.types.is_large_string(values.type) or pa.types.is_string(values.type):
+            vals = values.to_pylist()
+            it = (
+                v.encode("utf-8") if v is not None else b"\x00NULL" for v in vals
+            )
+        elif pa.types.is_binary(values.type) or pa.types.is_large_binary(values.type):
+            vals = values.to_pylist()
+            it = (v if v is not None else b"\x00NULL" for v in vals)
+        else:
+            # numeric: use the canonical 8-byte little-endian representation
+            np_vals = values.cast(pa.float64()).to_numpy(zero_copy_only=False)
+            it = (float(v).hex().encode() for v in np_vals)
+    else:
+        it = (str(v).encode("utf-8") for v in values)
+    from hashlib import blake2b
+
+    out = np.fromiter(
+        (
+            int.from_bytes(blake2b(v, digest_size=8).digest(), "little")
+            for v in it
+        ),
+        dtype=np.uint64,
+    )
+    return out
+
+
+@dataclass
+class HyperLogLog(_Serializable):
+    """Dense HLL with 2^p registers (p=14 default → ~0.8% error)."""
+
+    p: int = 14
+    registers: np.ndarray = field(default=None)  # uint8[2^p]
+
+    def __post_init__(self):
+        if self.registers is None:
+            self.registers = np.zeros(1 << self.p, dtype=np.uint8)
+
+    def update_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        """Vectorized register update from 64-bit hashes."""
+        if h.size == 0:
+            return self
+        h = h.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        w = (h << np.uint64(self.p)) | (np.uint64(1) << np.uint64(self.p - 1))
+        # rank = leading zeros of w + 1, over the top (64-p) bits
+        lz = np.zeros(h.shape, dtype=np.uint8)
+        mask = np.uint64(1) << np.uint64(63)
+        w_work = w.copy()
+        alive = np.ones(h.shape, dtype=bool)
+        for _ in range(64 - self.p + 1):
+            top_zero = alive & ((w_work & mask) == 0)
+            lz[top_zero] += 1
+            alive &= top_zero
+            if not alive.any():
+                break
+            w_work = w_work << np.uint64(1)
+        rank = lz + 1
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def update_array(self, arr) -> "HyperLogLog":
+        return self.update_hashes(hash64(arr))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("HLL precision mismatch")
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def cardinality(self) -> float:
+        m = float(1 << self.p)
+        regs = self.registers.astype(np.float64)
+        est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(np.exp2(-regs))
+        zeros = int(np.count_nonzero(self.registers == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * math.log(m / zeros)  # linear counting
+        return float(est)
+
+    def result(self) -> dict:
+        return {"estimate": self.cardinality()}
+
+
+# ---------------------------------------------------------------------------
+# t-digest (merging digest, simplified)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TDigest(_Serializable):
+    """Merging t-digest (Dunning & Ertl, k1 scale) for quantiles.
+
+    Accumulates values into a buffer; compresses into weighted
+    centroids when the buffer fills or on merge/quantile. Merge =
+    concatenate centroids + recompress (associative up to the usual
+    t-digest approximation; property-tested against exact quantiles)."""
+
+    delta: float = 200.0
+    means: np.ndarray = field(default_factory=lambda: np.empty(0))
+    weights: np.ndarray = field(default_factory=lambda: np.empty(0))
+    _buf: list = field(default_factory=list)
+    n: int = 0
+    _vmin: float = math.inf
+    _vmax: float = -math.inf
+
+    def update_array(self, arr) -> "TDigest":
+        if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            arr = arr.drop_null().to_numpy(zero_copy_only=False)
+        x = np.asarray(arr, dtype=np.float64)
+        x = x[~np.isnan(x)]
+        if x.size == 0:
+            return self
+        self._buf.append(x)
+        self.n += x.size
+        self._vmin = min(self._vmin, float(x.min()))
+        self._vmax = max(self._vmax, float(x.max()))
+        if sum(b.size for b in self._buf) > 10 * self.delta:
+            self._compress()
+        return self
+
+    def _compress(self):
+        if self._buf:
+            bm = np.concatenate(self._buf)
+            bw = np.ones(bm.size)
+            self._buf = []
+            means = np.concatenate([self.means, bm])
+            weights = np.concatenate([self.weights, bw])
+        else:
+            means, weights = self.means, self.weights
+        if means.size == 0:
+            return
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        # k1 scale function: k(q) = delta/(2*pi) * asin(2q-1)
+        out_m, out_w = [], []
+        cum = 0.0
+        cur_m, cur_w = means[0], weights[0]
+
+        def k_fn(q):
+            return self.delta / (2 * math.pi) * math.asin(max(-1.0, min(1.0, 2 * q - 1)))
+
+        k_lo = k_fn(0.0)
+        for m_i, w_i in zip(means[1:], weights[1:]):
+            q_hi = (cum + cur_w + w_i) / total
+            if k_fn(q_hi) - k_lo <= 1.0:
+                cur_m = (cur_m * cur_w + m_i * w_i) / (cur_w + w_i)
+                cur_w += w_i
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                cum += cur_w
+                k_lo = k_fn(cum / total)
+                cur_m, cur_w = m_i, w_i
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        other_copy_means = other.means
+        other_copy_weights = other.weights
+        if other._buf:
+            self._buf.extend(other._buf)
+        self.means = np.concatenate([self.means, other_copy_means])
+        self.weights = np.concatenate([self.weights, other_copy_weights])
+        self.n += other.n
+        self._vmin = min(self._vmin, other._vmin)
+        self._vmax = max(self._vmax, other._vmax)
+        self._compress()
+        return self
+
+    def quantile(self, q: float) -> float:
+        self._compress()
+        if self.means.size == 0:
+            return float("nan")
+        if q <= 0:
+            return self._vmin
+        if q >= 1:
+            return self._vmax
+        w = self.weights
+        cum = np.cumsum(w) - w / 2.0
+        target = q * w.sum()
+        return float(np.interp(target, cum, self.means))
+
+    def quantiles(self, qs) -> np.ndarray:
+        return np.asarray([self.quantile(q) for q in qs])
+
+    def result(self) -> dict:
+        return {
+            "p50": self.quantile(0.5),
+            "p90": self.quantile(0.9),
+            "p99": self.quantile(0.99),
+            "n": self.n,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram (PSI input)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Histogram(_Serializable):
+    """Fixed-range histogram with under/overflow bins; mergeable by
+    element-wise add. The PSI drift check compares two of these."""
+
+    lo: float
+    hi: float
+    bins: int = 20
+    counts: np.ndarray = field(default=None)  # int64[bins+2]
+
+    def __post_init__(self):
+        if self.counts is None:
+            self.counts = np.zeros(self.bins + 2, dtype=np.int64)
+
+    def update_array(self, arr) -> "Histogram":
+        if isinstance(arr, (pa.Array, pa.ChunkedArray)):
+            arr = arr.drop_null().to_numpy(zero_copy_only=False)
+        x = np.asarray(arr, dtype=np.float64)
+        x = x[~np.isnan(x)]
+        if x.size == 0:
+            return self
+        idx = np.floor((x - self.lo) / (self.hi - self.lo) * self.bins).astype(np.int64)
+        idx = np.clip(idx + 1, 0, self.bins + 1)
+        idx[x < self.lo] = 0
+        idx[x >= self.hi] = self.bins + 1
+        np.add.at(self.counts, idx, 1)
+        return self
+
+    def merge(self, other: "Histogram") -> "Histogram":
+        if (other.lo, other.hi, other.bins) != (self.lo, self.hi, self.bins):
+            raise ValueError("histogram shape mismatch")
+        self.counts += other.counts
+        return self
+
+    def proportions(self, eps: float = 1e-6) -> np.ndarray:
+        total = self.counts.sum()
+        if total == 0:
+            return np.full(self.counts.shape, eps)
+        p = self.counts / total
+        return np.maximum(p, eps)
+
+    def result(self) -> dict:
+        return {"counts": self.counts.tolist(), "lo": self.lo, "hi": self.hi}
+
+
+def psi(baseline: Histogram, current: Histogram) -> float:
+    """Population Stability Index over aligned bins:
+    sum((p_cur - p_base) * ln(p_cur / p_base))."""
+    pb = baseline.proportions()
+    pc = current.proportions()
+    return float(np.sum((pc - pb) * np.log(pc / pb)))
+
+
+def ks_statistic(a: TDigest, b: TDigest, n_points: int = 256) -> float:
+    """Approximate two-sample KS statistic from two t-digests: max CDF
+    gap evaluated on a merged quantile grid."""
+    if a.n == 0 or b.n == 0:
+        return float("nan")
+    qs = np.linspace(0.0, 1.0, n_points)
+    grid = np.unique(np.concatenate([a.quantiles(qs), b.quantiles(qs)]))
+
+    def cdf(d: TDigest, xs: np.ndarray) -> np.ndarray:
+        d._compress()
+        if d.means.size == 0:
+            return np.zeros_like(xs)
+        w = d.weights
+        cum = np.cumsum(w) - w / 2.0
+        return np.interp(xs, d.means, cum / w.sum(), left=0.0, right=1.0)
+
+    return float(np.max(np.abs(cdf(a, grid) - cdf(b, grid))))

@@ -1,0 +1,170 @@
+"""LOF window scorer parity with the reference (FIXTURES.md G2).
+
+Scenarios replay /root/reference/internal/predictor/lof/lof.go semantics
+including the kDistance-nearest quirk (lof.go:175-181), IEEE Inf/NaN
+verdict edges, warmup (manager.go:374-379), and verdict-gated append
+(manager.go:416-418).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+from sod_ray.functions.lof import LOF_THRESHOLD, LofWindow, score_stream
+
+
+def window_of(vals):
+    w = LofWindow()
+    w.build([[v] for v in vals], list(range(len(vals))))
+    return w
+
+
+def test_readme_example_outlier():
+    # README.md:62-86 — window [10],[10],[10]; query [100] → outlier
+    w = window_of([10.0, 10.0, 10.0])
+    v = w.predict([100.0])
+    assert v.error is None
+    assert math.isinf(v.lof) and v.lof > 0
+    assert v.outlier is True
+
+
+def test_degenerate_inlier_nan():
+    # query [10] vs window of identical [10]s: LOF = Inf/Inf = NaN; NaN > 1
+    # is False → not an outlier (Go float semantics)
+    w = window_of([10.0, 10.0, 10.0])
+    v = w.predict([10.0])
+    assert v.error is None
+    assert math.isnan(v.lof)
+    assert v.outlier is False
+
+
+def test_empty_window_error():
+    w = LofWindow()
+    v = w.predict([1.0])
+    assert v.error == "unable to predict, test vec size 0"  # lof.go:107-108
+
+
+def test_skip_items_guard():
+    w = LofWindow(skip_items=5)
+    w.build([[1.0], [2.0], [3.0]], [0, 1, 2])
+    v = w.predict([1.0])
+    assert "skip items" in v.error  # lof.go:110-112
+
+
+def test_knn_less_than_k_error():
+    w = LofWindow()
+    w.build([[1.0], [2.0]], [0, 1])
+    v = w.predict([1.0])
+    assert v.error == "knn less minimal value"  # brute.go:115-117
+
+
+def test_k_too_small():
+    w = window_of([1.0, 2.0, 3.0])
+    w.k = 2
+    v = w.predict([1.0])
+    assert "too small" in v.error  # lof.go:168-173
+
+
+def _reference_lof_oracle(window_vals, query):
+    """Literal transcription of lof.go for 1-D points — an independent
+    oracle for the vectorized implementation."""
+    pts = [np.array([v]) for v in window_vals]
+    q = np.array([query])
+    k = 3
+
+    def dist(a, b):
+        return abs(float(a[0]) - float(b[0]))
+
+    def knn(p, kk):
+        ds = sorted((dist(p, s), i) for i, s in enumerate(pts))
+        assert len(ds) >= kk
+        return [pts[i] for _, i in ds[:kk]]
+
+    def k_distance(p):
+        return dist(p, knn(p, 3)[0])  # quirk: nearest, hardcoded 3
+
+    def lrd(p):
+        r = sum(max(k_distance(p), dist(p, y)) for y in knn(p, k))
+        with np.errstate(divide="ignore"):
+            return float(np.float64(1.0) / np.float64(r / k))
+
+    nn = knn(q, k)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        avg = float(np.sum([np.float64(lrd(y)) for y in nn]) / k)
+        return float(np.float64(avg) / np.float64(lrd(q)))
+
+
+@pytest.mark.parametrize("query", [0.0, 1.0, 2.0, 3.0, 10.0, 5.5, -4.0])
+def test_non_degenerate_matches_oracle(query):
+    vals = [0.0, 1.0, 2.0, 3.0, 10.0]
+    w = window_of(vals)
+    got = w.predict([query])
+    expected = _reference_lof_oracle(vals, query)
+    if math.isnan(expected):
+        assert math.isnan(got.lof)
+    else:
+        assert got.lof == pytest.approx(expected, rel=1e-12)
+    assert got.outlier == (expected > LOF_THRESHOLD)
+
+
+def test_warmup_then_scoring():
+    # manager.go:374-379: first max(skip,3) rows appended unscored
+    verdicts = score_stream([[0.0], [1.0], [2.0], [3.0]])
+    assert [v.error for v in verdicts[:3]] == ["warmup"] * 3
+    assert verdicts[3].error is None
+
+
+def test_verdict_gated_append():
+    # FIXTURES.md G2 stream [0],[1],[2],[3],[50],[4] with
+    # allow_append_outlier=False. Hand-replayed reference semantics:
+    # warmup appends [0],[1],[2]; then [3] scores LOF=7/3 > 1 → OUTLIER
+    # (the reference's quirky kDistance flags early post-warmup rows) and
+    # is excluded; [50] and [4] both score against the frozen [0,1,2]
+    # window (LOF 17.33 and 3.5) → outliers, excluded.
+    stream = [[0.0], [1.0], [2.0], [3.0], [50.0], [4.0]]
+    gated = score_stream(stream, allow_append_outlier=False)
+    assert [v.error for v in gated[:3]] == ["warmup"] * 3
+    assert gated[3].outlier is True
+    assert gated[3].lof == pytest.approx(7.0 / 3.0)
+    assert gated[4].outlier is True
+    assert gated[5].outlier is True
+    assert gated[5].lof == pytest.approx(3.5)
+    # gated: nothing after warmup was appended; open: everything appended
+    w_gated = LofWindow(allow_append_outlier=False)
+    w_open = LofWindow(allow_append_outlier=True)
+    for i, v in enumerate(stream):
+        w_gated.process(v, i)
+        w_open.process(v, i)
+    assert len(w_gated) == 3
+    assert len(w_open) == 6
+    # with append allowed, [4] sees [0,1,2,3,50]: lrd(4)=1/2 vs mean
+    # neighbour lrd 4/3 → LOF = 8/3, still an outlier:
+    open_verdicts = score_stream(stream, allow_append_outlier=True)
+    assert open_verdicts[5].outlier is True
+    assert open_verdicts[5].lof == pytest.approx(8.0 / 3.0)
+
+
+def test_allow_append_data_false_pure_scoring():
+    # manager.go:409-414: after warmup the window never grows
+    w = LofWindow(allow_append_data=False)
+    for i, v in enumerate([[0.0], [1.0], [2.0], [3.0], [4.0]]):
+        w.process(v, i)
+    assert len(w) == 3  # only the warmup rows
+
+
+def test_size_eviction():
+    # brute.go:168-179: keep newest max_items, drop oldest first
+    w = LofWindow(max_items=3)
+    for i in range(5):
+        w.append([float(i)], i)
+    assert len(w) == 3
+    assert [int(t) for t in w._ts] == [2, 3, 4]
+
+
+def test_time_eviction_data_time():
+    # data-time translation of brute.go:153-166 (no wall clock)
+    w = LofWindow(max_storage_time_us=10)
+    for t in [0, 5, 20, 25]:
+        w.append([1.0], t)
+    assert [int(t) for t in w._ts] == [20, 25]

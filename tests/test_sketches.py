@@ -1,0 +1,158 @@
+"""Sketch correctness + merge associativity (SURVEY.md §7.3 step 3)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sod_ray.state.sketches import (
+    Histogram,
+    HyperLogLog,
+    TDigest,
+    Welford,
+    hash64,
+    ks_statistic,
+    psi,
+)
+
+
+def test_welford_exact():
+    rng = np.random.default_rng(42)
+    x = rng.normal(10, 3, size=10_000)
+    w = Welford()
+    for chunk in np.array_split(x, 7):
+        w.update_array(chunk)
+    assert w.n == x.size
+    assert w.mean == pytest.approx(x.mean(), rel=1e-12)
+    assert w.std == pytest.approx(x.std(ddof=1), rel=1e-10)
+    assert w.vmin == x.min() and w.vmax == x.max()
+
+
+def test_welford_nulls_nans_arrow():
+    arr = pa.chunked_array([pa.array([1.0, None, float("nan"), 4.0])])
+    w = Welford().update_array(arr)
+    assert (w.n, w.n_null, w.n_nan, w.total) == (2, 1, 1, 4)
+    assert w.mean == 2.5
+
+
+def test_welford_merge_matches_single_pass():
+    rng = np.random.default_rng(7)
+    x = rng.exponential(2.0, size=5000)
+    parts = np.array_split(x, 11)
+    merged = Welford()
+    for p in parts:
+        merged.merge(Welford().update_array(p))
+    single = Welford().update_array(x)
+    assert merged.n == single.n
+    assert merged.mean == pytest.approx(single.mean, rel=1e-12)
+    assert merged.std == pytest.approx(single.std, rel=1e-9)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(-1e6, 1e6), min_size=0, max_size=50),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_welford_merge_associative(chunks):
+    flat = np.concatenate([np.asarray(c) for c in chunks]) if any(chunks) else np.empty(0)
+    left = Welford()
+    for c in chunks:
+        left.merge(Welford().update_array(np.asarray(c)))
+    # right-fold
+    right = Welford().update_array(np.asarray(chunks[-1]))
+    for c in reversed(chunks[:-1]):
+        w = Welford().update_array(np.asarray(c))
+        right = w.merge(right)
+    assert left.n == right.n == flat.size
+    if flat.size:
+        assert left.mean == pytest.approx(right.mean, rel=1e-9, abs=1e-9)
+        assert left.mean == pytest.approx(flat.mean(), rel=1e-9, abs=1e-9)
+
+
+def test_hll_accuracy_and_merge():
+    n = 20_000
+    vals = pa.array([f"url-{i}" for i in range(n)])
+    h = HyperLogLog()
+    h.update_array(vals)
+    assert h.cardinality() == pytest.approx(n, rel=0.03)
+    # merge of disjoint halves == union
+    h1 = HyperLogLog().update_array(pa.array([f"a-{i}" for i in range(5000)]))
+    h2 = HyperLogLog().update_array(pa.array([f"b-{i}" for i in range(5000)]))
+    h1.merge(h2)
+    assert h1.cardinality() == pytest.approx(10_000, rel=0.05)
+    # duplicates don't inflate
+    hd = HyperLogLog().update_array(pa.array(["x"] * 1000 + ["y"] * 1000))
+    assert hd.cardinality() == pytest.approx(2, abs=1.0)
+
+
+def test_hash64_stability():
+    a = hash64(pa.array(["foo", "bar", None]))
+    b = hash64(pa.array(["foo", "bar", None]))
+    np.testing.assert_array_equal(a, b)
+    assert a[0] != a[1]
+    c = hash64(pa.array([1.0, 2.0]))
+    assert c[0] != c[1]
+
+
+def test_tdigest_quantiles():
+    rng = np.random.default_rng(42)
+    x = rng.normal(0, 1, size=50_000)
+    td = TDigest()
+    for chunk in np.array_split(x, 17):
+        td.update_array(chunk)
+    for q in (0.1, 0.5, 0.9, 0.99):
+        assert td.quantile(q) == pytest.approx(np.quantile(x, q), abs=0.05)
+    assert td.quantile(0.0) == x.min() and td.quantile(1.0) == x.max()
+
+
+def test_tdigest_merge_close_to_exact():
+    rng = np.random.default_rng(3)
+    x = rng.lognormal(0, 1, size=30_000)
+    parts = np.array_split(x, 9)
+    merged = TDigest()
+    for p in parts:
+        merged.merge(TDigest().update_array(p))
+    for q in (0.25, 0.5, 0.75, 0.95):
+        assert merged.quantile(q) == pytest.approx(np.quantile(x, q), rel=0.05)
+
+
+def test_histogram_merge_and_psi():
+    rng = np.random.default_rng(0)
+    base = Histogram(lo=0.0, hi=10.0, bins=10)
+    base.update_array(rng.uniform(0, 10, 10_000))
+    same = Histogram(lo=0.0, hi=10.0, bins=10)
+    same.update_array(rng.uniform(0, 10, 10_000))
+    shifted = Histogram(lo=0.0, hi=10.0, bins=10)
+    shifted.update_array(rng.uniform(5, 15, 10_000))
+    assert psi(base, same) < 0.02
+    assert psi(base, shifted) > 0.5
+    # merge = elementwise add
+    m = Histogram(lo=0.0, hi=10.0, bins=10).merge(base).merge(same)
+    assert m.counts.sum() == 20_000
+
+
+def test_ks_statistic():
+    rng = np.random.default_rng(1)
+    a = TDigest().update_array(rng.normal(0, 1, 20_000))
+    b = TDigest().update_array(rng.normal(0, 1, 20_000))
+    c = TDigest().update_array(rng.normal(2, 1, 20_000))
+    assert ks_statistic(a, b) < 0.05
+    assert ks_statistic(a, c) > 0.6
+
+
+def test_serialization_roundtrip():
+    w = Welford().update_array(np.arange(100.0))
+    w2 = Welford.from_bytes(w.to_bytes())
+    assert w2.result() == w.result()
+    h = HyperLogLog().update_array(pa.array(["a", "b", "c"]))
+    h2 = HyperLogLog.from_bytes(h.to_bytes())
+    assert h2.cardinality() == h.cardinality()
+    t = TDigest().update_array(np.arange(1000.0))
+    t2 = TDigest.from_bytes(t.to_bytes())
+    assert t2.quantile(0.5) == pytest.approx(t.quantile(0.5))

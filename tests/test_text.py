@@ -1,0 +1,75 @@
+"""Text kernels: extraction, tokenization, lang-id, quality, fingerprint."""
+
+import pytest
+
+from sod_ray.functions.text import (
+    extract_text,
+    lang_id,
+    md5_hex,
+    quality_features,
+    quality_score,
+    rolling_fingerprint,
+    subtoken_count,
+    token_count,
+)
+
+
+def test_extract_text_basic():
+    html = b"<html><head><title>T</title><style>p{}</style></head>" \
+           b"<body><p>Hello   <b>world</b> &amp; friends</p>" \
+           b"<script>var x=1;</script></body></html>"
+    assert extract_text(html) == "T Hello world & friends"
+
+
+def test_extract_text_null_and_entities():
+    assert extract_text(None) is None
+    assert extract_text(b"a &lt;b&gt; &quot;c&quot; &#39;d&#39;&nbsp;e") == 'a <b> "c" \'d\' e'
+
+
+def test_token_counts():
+    assert token_count("  hello   world \n foo ") == 3
+    assert token_count("") == 0
+    assert token_count(None) == 0
+    assert subtoken_count("don't stop2000") == 5  # don ' t stop 2000
+    assert subtoken_count(None) == 0
+
+
+def test_lang_id():
+    assert lang_id("the cat sat on the mat and it was a good day for the dog") == "en"
+    assert lang_id("el perro y el gato en la casa de los vecinos que se fueron") == "es"
+    assert lang_id("der Hund und die Katze sind nicht mit der Maus auf der Straße") == "de"
+    assert lang_id("это не просто что и как в не на с") == "ru"
+    assert lang_id("猫は外で遊んでいます。犬も一緒です。こんにちは") == "ja"
+    assert lang_id("這是一個中文句子測試中文偵測器的能力與精確度") == "zh"
+    assert lang_id("") == "other"
+    assert lang_id(None) == "other"
+    assert lang_id("zzz qqq xxx") == "other"
+
+
+def test_quality():
+    good = "the quick brown fox jumps over the lazy dog and it was good"
+    assert quality_score(good) == 1.0
+    assert quality_score("a b") == 0.0  # too short
+    assert quality_score(None) == 0.0
+    junk = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    assert quality_score(junk) < 0.6
+    f = quality_features(good)
+    assert f["n_tokens"] == 13.0
+    assert f["stopword_ratio"] > 0.2
+
+
+def test_fingerprint_stability():
+    a = rolling_fingerprint("hello world")
+    assert a == rolling_fingerprint("hello world")
+    assert a != rolling_fingerprint("hello worlds")
+    assert rolling_fingerprint(None) == 0
+    assert 0 <= a < (1 << 61) - 1
+
+
+def test_md5_matches_duckdb():
+    import duckdb
+
+    s = "hello wörld"
+    expected = duckdb.sql("SELECT md5(?) AS h", params=[s]).fetchone()[0]
+    assert md5_hex(s) == expected
+    assert md5_hex(None) == ""
