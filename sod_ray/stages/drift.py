@@ -1,0 +1,128 @@
+"""Distribution-drift checks (PSI + KS) against baseline sketches held
+by a stateful actor pool.
+
+The actor-pool-with-baseline design is the Ray translation of the
+reference's per-entity predictor registry
+(/root/reference/internal/dispatcher/manager.go:270-295): state (the
+baseline sketches) is loaded ONCE per actor in ``__init__`` from a
+``ray.put`` broadcast, then every batch of current-run sketch rows is
+scored against it. Baselines swap atomically between runs (the
+green/blue kd-tree analog, gbkd.go:41-62 — SURVEY.md §2.4 K3: batch
+re-runs replace the double-buffering).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+from ..state.sketches import Histogram, TDigest, ks_statistic, psi
+
+PSI_THRESHOLD = 0.2  # conventional "significant shift" cut
+KS_THRESHOLD = 0.1
+
+
+def build_baseline(stats_ds) -> dict:
+    """Collect a merged stats Dataset (small: one row per key × column)
+    into the baseline dict {(part_key, column): {"tdigest": bytes,
+    "histogram": Histogram-bytes-or-None}}."""
+    baseline = {}
+    for row in stats_ds.take_all():
+        baseline[(row["part_key"], row["column"])] = {
+            "tdigest": row["tdigest"],
+            "welford": row["welford"],
+        }
+    return baseline
+
+
+class DriftScorer:
+    """Actor: __init__ fetches the broadcast baseline once; __call__
+    scores batches of current-run merged-stats rows (tiny tables)."""
+
+    def __init__(
+        self,
+        baseline_ref,
+        psi_threshold: float = PSI_THRESHOLD,
+        ks_threshold: float = KS_THRESHOLD,
+        bins: int = 20,
+    ):
+        self.baseline = ray.get(baseline_ref) if not isinstance(baseline_ref, dict) else baseline_ref
+        self.psi_threshold = psi_threshold
+        self.ks_threshold = ks_threshold
+        self.bins = bins
+
+    def _hist_from_digest(self, td: TDigest, lo: float, hi: float) -> Histogram:
+        """Deterministic histogram reconstruction from a t-digest so PSI
+        bins align between baseline and current."""
+        h = Histogram(lo=lo, hi=hi, bins=self.bins)
+        # approximate counts by CDF differences over the bin edges
+        import numpy as np
+
+        edges = np.linspace(lo, hi, self.bins + 1)
+        qs = np.linspace(0, 1, 512)
+        xs = td.quantiles(qs)
+        cdf = np.interp(edges, xs, qs, left=0.0, right=1.0)
+        counts = np.diff(cdf) * max(td.n, 1)
+        h.counts[1:-1] = np.maximum(0, np.round(counts)).astype("int64")
+        return h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        out = {
+            "part_key": [],
+            "column": [],
+            "psi": [],
+            "ks": [],
+            "drifted": [],
+            "has_baseline": [],
+        }
+        for row in rows:
+            key = (row["part_key"], row["column"])
+            base = self.baseline.get(key)
+            out["part_key"].append(row["part_key"])
+            out["column"].append(row["column"])
+            if base is None:
+                out["psi"].append(float("nan"))
+                out["ks"].append(float("nan"))
+                out["drifted"].append(False)
+                out["has_baseline"].append(False)
+                continue
+            td_base = TDigest.from_bytes(base["tdigest"])
+            td_cur = TDigest.from_bytes(row["tdigest"])
+            ks = ks_statistic(td_base, td_cur)
+            lo = min(td_base.quantile(0.0), td_cur.quantile(0.0))
+            hi = max(td_base.quantile(1.0), td_cur.quantile(1.0))
+            if hi <= lo:
+                hi = lo + 1.0
+            p = psi(
+                self._hist_from_digest(td_base, lo, hi),
+                self._hist_from_digest(td_cur, lo, hi),
+            )
+            out["psi"].append(p)
+            out["ks"].append(ks)
+            out["drifted"].append(
+                bool(p > self.psi_threshold or ks > self.ks_threshold)
+            )
+            out["has_baseline"].append(True)
+        return pa.table(
+            {
+                "part_key": pa.array(out["part_key"], pa.string()),
+                "column": pa.array(out["column"], pa.string()),
+                "psi": pa.array(out["psi"], pa.float64()),
+                "ks": pa.array(out["ks"], pa.float64()),
+                "drifted": pa.array(out["drifted"], pa.bool_()),
+                "has_baseline": pa.array(out["has_baseline"], pa.bool_()),
+            }
+        )
+
+
+def drift_check(current_stats_ds, baseline: dict, concurrency=(1, 4)):
+    """Score current merged stats against a baseline dict. The baseline
+    is broadcast once (ray.put) and read per actor, never per batch."""
+    ref = ray.put(baseline)
+    return current_stats_ds.map_batches(
+        DriftScorer,
+        fn_constructor_kwargs={"baseline_ref": ref},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -1,0 +1,163 @@
+"""Column-statistics stage: per-batch sketch partials + groupby merge.
+
+The distributed form of the reference's per-vector aggregate library
+(/root/reference/internal/geom/point.go — SURVEY.md §2.3) using the
+partial+final pattern (SURVEY.md §2.5 G7): each Arrow batch folds its
+rows into tiny serialized sketches (Welford + t-digest + HLL) per
+(partition key, column); the shuffle then moves only sketch rows —
+a few KB per (key, column, batch) — never the data.
+
+At 10^12-row scale this is the load-bearing design choice: a naive
+``groupby(key).aggregate(...)`` would shuffle every row; here the
+all-to-all exchange is ~(batches × keys × columns) sketch rows.
+Skewed keys are handled upstream by salting (sod_ray.stages.skew);
+sketch merges are associative+commutative so two-level merges are safe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.sketches import HyperLogLog, TDigest, Welford, hash64
+
+GLOBAL_KEY = "__all__"
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("part_key", pa.string()),
+        ("column", pa.string()),
+        ("welford", pa.binary()),
+        ("tdigest", pa.binary()),
+        ("hll", pa.binary()),
+    ]
+)
+
+
+def _group_indices(batch: pa.Table, key: str | None):
+    """Yield (key_value, row_indices) for each distinct key in the batch."""
+    if key is None:
+        yield GLOBAL_KEY, None
+        return
+    codes = batch[key].combine_chunks().dictionary_encode()
+    if isinstance(codes, pa.ChunkedArray):
+        codes = codes.combine_chunks()
+    idx = codes.indices.to_numpy(zero_copy_only=False)
+    dictionary = codes.dictionary.to_pylist()
+    order = np.argsort(idx, kind="stable")
+    bounds = np.searchsorted(idx[order], np.arange(len(dictionary)))
+    bounds = np.append(bounds, idx.shape[0])
+    for d in range(len(dictionary)):
+        rows = order[bounds[d] : bounds[d + 1]]
+        if rows.size:
+            yield str(dictionary[d]), rows
+
+
+def make_sketch_partials(columns: list[str], key: str | None = None):
+    """Batch fn: Arrow table in → partial-sketch rows out (zero-copy
+    numeric path; one pass of numpy reductions per column per key)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys_out, cols_out, wf_out, td_out, hll_out = [], [], [], [], []
+        for key_val, rows in _group_indices(batch, key):
+            sub = batch if rows is None else batch.take(pa.array(rows))
+            for col in columns:
+                arr = sub[col]
+                wf = Welford().update_array(arr)
+                td = TDigest().update_array(arr)
+                hll = HyperLogLog().update_array(arr)
+                keys_out.append(key_val)
+                cols_out.append(col)
+                wf_out.append(wf.to_bytes())
+                td_out.append(td.to_bytes())
+                hll_out.append(hll.to_bytes())
+        return pa.table(
+            {
+                "part_key": pa.array(keys_out, pa.string()),
+                "column": pa.array(cols_out, pa.string()),
+                "welford": pa.array(wf_out, pa.binary()),
+                "tdigest": pa.array(td_out, pa.binary()),
+                "hll": pa.array(hll_out, pa.binary()),
+            }
+        )
+
+    return fn
+
+
+def merge_sketch_group(group: pa.Table) -> pa.Table:
+    """map_groups fn: merge all partial sketches of one (key, column)
+    into one finalized stats row."""
+    wf = Welford()
+    td = TDigest()
+    hll = HyperLogLog()
+    for b in group["welford"].to_pylist():
+        wf.merge(Welford.from_bytes(b))
+    for b in group["tdigest"].to_pylist():
+        td.merge(TDigest.from_bytes(b))
+    for b in group["hll"].to_pylist():
+        hll.merge(HyperLogLog.from_bytes(b))
+    r = wf.result()
+    sketch_bytes = sum(
+        len(x)
+        for col in ("welford", "tdigest", "hll")
+        for x in group[col].to_pylist()
+    )
+    return pa.table(
+        {
+            "part_key": [group["part_key"][0].as_py()],
+            "column": [group["column"][0].as_py()],
+            "count": pa.array([r["count"]], pa.int64()),
+            "total": pa.array([r["total"]], pa.int64()),
+            "null_count": pa.array([r["null_count"]], pa.int64()),
+            "nan_count": pa.array([r["nan_count"]], pa.int64()),
+            "mean": pa.array([r["mean"]], pa.float64()),
+            "std": pa.array([r["std"]], pa.float64()),
+            "min": pa.array([r["min"]], pa.float64()),
+            "max": pa.array([r["max"]], pa.float64()),
+            "p50": pa.array([td.quantile(0.5)], pa.float64()),
+            "p90": pa.array([td.quantile(0.9)], pa.float64()),
+            "p99": pa.array([td.quantile(0.99)], pa.float64()),
+            "distinct_est": pa.array([hll.cardinality()], pa.float64()),
+            "welford": pa.array([wf.to_bytes()], pa.binary()),
+            "tdigest": pa.array([td.to_bytes()], pa.binary()),
+            "hll": pa.array([hll.to_bytes()], pa.binary()),
+            "sketch_bytes": pa.array([sketch_bytes], pa.int64()),
+        }
+    )
+
+
+def column_stats(ds, columns: list[str], key: str | None = None, batch_size: int = 8192):
+    """Dataset → per-(key, column) stats Dataset.
+
+    Pipeline: map_batches(partials) → groupby(part_key, column) →
+    map_groups(merge). Only sketch rows cross the shuffle."""
+    partials = ds.map_batches(
+        make_sketch_partials(columns, key),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    return partials.groupby(["part_key", "column"]).map_groups(
+        merge_sketch_group, batch_format="pyarrow"
+    )
+
+
+def add_salt(batch: pa.Table, key: str, n_salt: int, row_col: str) -> pa.Table:
+    """Salt a skewed key: salted_key = key + '#' + (hash(row_col) % n_salt).
+
+    ``row_col`` must be a per-row-unique column (e.g. ``url``) so rows of
+    ONE hot key spread across n_salt sub-keys. Two-level merge: groupby
+    the salted key first, then strip the salt and merge again. Sketch
+    merges being associative makes this safe (SURVEY.md §7.5.4)."""
+    h = hash64(batch[row_col])
+    salt = (h % np.uint64(n_salt)).astype(np.int64)
+    keys = batch[key].to_pylist()
+    salted = pa.array([f"{k}#{s}" for k, s in zip(keys, salt)], pa.string())
+    return batch.append_column("salted_key", salted)
+
+
+def strip_salt(table: pa.Table, col: str = "part_key") -> pa.Table:
+    """Remove the '#<salt>' suffix so a second-level merge can run."""
+    import pyarrow.compute as pc
+
+    stripped = pc.replace_substring_regex(table[col], "#[0-9]+$", "")
+    return table.set_column(table.schema.get_field_index(col), col, stripped)

@@ -1,0 +1,119 @@
+"""Windowed outlier scoring per partition — the reference's COLLECT
+pipeline (SURVEY.md §3.1) re-expressed as ``groupby(key).map_groups``.
+
+Each group = one entity stream (sod's EntityID →  ``lang`` / ``user_id``).
+Inside the group: sort by timestamp (the reference sorts every ingest
+batch by CreatedAt — collect/handler.go:75-77), then replay either
+
+- the rolling z-score peak detector (the generalized scorer, G4), or
+- the bug-for-bug LOF window scorer (sod_ray.functions.lof, G2)
+  with warmup / verdict-gated append / retention semantics.
+
+Partitioning assumption (documented per the brief): one key's full
+history must fit in one worker's memory. Keys here are coarse
+(lang ≈ 8 values, user_id ≈ thousands); for billion-row single keys
+the window is bounded (max_items) so the scorer could stream
+chunk-by-chunk in ts order — the map_groups contract still holds
+because Ray feeds the whole sorted group to one task.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..functions.lof import score_stream
+from ..functions.zscore import rolling_zscore
+
+
+def windowed_zscore(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_cols: list[str] | None = None,
+    window: int = 64,
+    min_periods: int = 8,
+    threshold: float = 3.0,
+    flagged_only: bool = True,
+):
+    """Per-key trailing-window z-score; returns rows with ``z`` and
+    ``is_peak`` columns (flagged rows only by default — the violation
+    sidecar shape)."""
+    keep = [key, ts_col, value_col] + [
+        c for c in (id_cols or []) if c not in (key, ts_col, value_col)
+    ]
+    slim = ds.select_columns(keep)  # project BEFORE the shuffle
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [ts_col] + ([c for c in (id_cols or []) if c in g.columns])
+        g = g.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+        z = rolling_zscore(g[value_col].to_numpy(), window, min_periods)
+        g["z"] = z
+        with np.errstate(invalid="ignore"):
+            g["is_peak"] = np.abs(z) > threshold
+        if flagged_only:
+            g = g[g["is_peak"]]
+        return g
+
+    return slim.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def windowed_lof(
+    ds,
+    key: str,
+    ts_col: str,
+    feature_cols: list[str],
+    id_cols: list[str] | None = None,
+    k: int = 3,
+    metric: str = "euclidean",
+    skip_items: int = 0,
+    max_items: int = 0,
+    max_storage_time_us: int = 0,
+    allow_append_outlier: bool = True,
+    allow_append_data: bool = True,
+    flagged_only: bool = True,
+):
+    """Per-key streaming LOF replay (sod COLLECT semantics) over derived
+    feature vectors. Emits lof score / outlier flag / error per row."""
+    keep = [key, ts_col] + feature_cols + [
+        c for c in (id_cols or []) if c not in (key, ts_col) and c not in feature_cols
+    ]
+    slim = ds.select_columns(keep)
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = [ts_col] + [c for c in (id_cols or []) if c in g.columns]
+        g = g.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+        vecs = g[feature_cols].to_numpy(dtype=np.float64)
+        ts = g[ts_col].astype("int64").to_numpy()  # us since epoch
+        verdicts = score_stream(
+            list(vecs),
+            ts,
+            k=k,
+            metric=metric,
+            skip_items=skip_items,
+            max_items=max_items,
+            max_storage_time_us=max_storage_time_us,
+            allow_append_outlier=allow_append_outlier,
+            allow_append_data=allow_append_data,
+        )
+        g["lof"] = [v.lof for v in verdicts]
+        g["outlier"] = [v.outlier for v in verdicts]
+        g["verdict_error"] = [v.error or "" for v in verdicts]
+        if flagged_only:
+            g = g[g["outlier"]]
+        return g
+
+    return slim.groupby(key).map_groups(per_group, batch_format="pandas")
+
+
+def retention_topk_by_recency(ds, key: str, ts_col: str, max_items: int):
+    """Grouped keep-newest-N (reference db_scheduler retention,
+    /root/reference/internal/dispatcher/db_scheduler.go:53-71): sort by
+    ts asc within the key, keep the newest max_items rows."""
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        return g.tail(max_items)
+
+    return ds.groupby(key).map_groups(per_group, batch_format="pandas")

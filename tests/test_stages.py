@@ -1,0 +1,235 @@
+"""Ray Data stage tests (session-scoped Ray, sf0.001 + synthetic web table)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sod_ray.sources.webpages import synth_refs, synth_shard
+
+
+@pytest.fixture(scope="module")
+def webpages(ray_session):
+    table, truth = synth_shard(2000, shard=0, seed=42)
+    return table, truth
+
+
+def test_synth_invariant_extraction(webpages):
+    from sod_ray.functions.text import extract_text
+
+    table, truth = webpages
+    htmls = table["html"].to_pylist()
+    texts = table["text"].to_pylist()
+    bad = set(truth["null_html_rows"]) | set(truth["trunc_html_rows"])
+    for i in (0, 1, 5, 100, 500, 1999):
+        if i not in bad:
+            assert extract_text(htmls[i]) == texts[i]
+    # planted nulls / truncations break the invariant
+    assert htmls[truth["null_html_rows"][0]] is None
+    r = truth["trunc_html_rows"][0]
+    assert extract_text(htmls[r]) != texts[r]
+
+
+def test_column_stats(ray_session, webpages):
+    import ray.data as rd
+
+    from sod_ray.stages.stats import column_stats
+    from sod_ray.stages.textstage import TextFeatures
+
+    table, _ = webpages
+    ds = rd.from_arrow(table).map_batches(
+        TextFeatures, batch_format="pandas", concurrency=2
+    )
+    stats = column_stats(ds, ["n_chars", "n_tokens"], key="lang").to_pandas()
+    assert set(stats["column"]) == {"n_chars", "n_tokens"}
+    en = stats[(stats["part_key"] == "en") & (stats["column"] == "n_chars")].iloc[0]
+    df = table.to_pandas()
+    df["n_chars"] = df["text"].str.len()
+    expected = df[df["lang"] == "en"]["n_chars"]
+    assert en["count"] == len(expected)
+    assert en["mean"] == pytest.approx(expected.mean(), rel=1e-9)
+    assert en["std"] == pytest.approx(expected.std(ddof=1), rel=1e-6)
+    assert en["min"] == expected.min() and en["max"] == expected.max()
+    assert en["p50"] == pytest.approx(expected.median(), rel=0.05)
+
+
+def test_null_rates(ray_session, webpages):
+    import ray.data as rd
+
+    from sod_ray.stages.constraints import null_rates
+
+    table, truth = webpages
+    nr = null_rates(rd.from_arrow(table), ["html", "url"], key=None).to_pandas()
+    html_row = nr[nr["column"] == "html"].iloc[0]
+    assert html_row["null_count"] == len(truth["null_html_rows"])
+    assert nr[nr["column"] == "url"].iloc[0]["null_count"] == 0
+
+
+def test_uniqueness(ray_session, webpages):
+    import ray.data as rd
+
+    from sod_ray.stages.constraints import exact_duplicates, uniqueness_estimate
+
+    table, truth = webpages
+    ds = rd.from_arrow(table)
+    est = uniqueness_estimate(ds, "url").to_pandas().iloc[0]
+    assert est["rows"] == 2000
+    # exact fallback finds the planted duplicates
+    dups = exact_duplicates(ds, "url").to_pandas()
+    assert set(dups["url"]) == set(truth["dup_urls"])
+    assert (dups["dup_count"] >= 2).all()
+
+
+def test_referential(ray_session, webpages):
+    import ray.data as rd
+
+    from sod_ray.stages.constraints import (
+        broadcast_anti_join,
+        bucketed_anti_join,
+        referential_check,
+    )
+
+    table, _ = webpages
+    refs, rt = synth_refs(table, 500, seed=7)
+    child = rd.from_arrow(refs)
+    parent = rd.from_arrow(table)
+    violations, verdict = referential_check(child, parent, "dst_url", "url")
+    got = sorted(set(violations.to_pandas()["dst_url"]))
+    assert got == rt["dangling"]
+    assert verdict["exact_path"] == "broadcast"
+    # bucketed path must agree with the broadcast path
+    bucketed = bucketed_anti_join(child, parent, "dst_url", "url", num_buckets=8)
+    got2 = sorted(set(bucketed.to_pandas()["dst_url"]))
+    assert got2 == rt["dangling"]
+
+
+def test_windowed_zscore_finds_peaks(ray_session, webpages):
+    import ray.data as rd
+
+    from sod_ray.stages.textstage import TextFeatures
+    from sod_ray.stages.window import windowed_zscore
+
+    table, truth = webpages
+    ds = rd.from_arrow(table).map_batches(TextFeatures, batch_format="pandas", concurrency=2)
+    flagged = windowed_zscore(
+        ds, key="lang", ts_col="warc_ts", value_col="n_chars", id_cols=["url"]
+    ).to_pandas()
+    # every planted 10x burst row that isn't in the first min_periods rows
+    # of its partition should be flagged
+    df = table.to_pandas()
+    peak_urls = set(df.iloc[truth["peak_rows"]]["url"])
+    assert len(set(flagged["url"]) & peak_urls) >= len(truth["peak_rows"]) // 2
+    # flags are rare overall
+    assert len(flagged) < 0.05 * len(df)
+
+
+def test_windowed_lof_runs(ray_session, webpages):
+    import ray.data as rd
+
+    from sod_ray.stages.textstage import TextFeatures
+    from sod_ray.stages.window import windowed_lof
+
+    table, truth = webpages
+    ds = rd.from_arrow(table).map_batches(TextFeatures, batch_format="pandas", concurrency=2)
+    out = windowed_lof(
+        ds,
+        key="lang",
+        ts_col="warc_ts",
+        feature_cols=["n_chars", "n_tokens"],
+        id_cols=["url"],
+        max_items=256,
+        flagged_only=True,
+    ).to_pandas()
+    df = table.to_pandas()
+    peak_urls = set(df.iloc[truth["peak_rows"]]["url"])
+    # LOF flags the bursts too (first row of each burst at minimum)
+    assert len(set(out["url"]) & peak_urls) > 0
+
+
+def test_retention(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.window import retention_topk_by_recency
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 2,
+            "ts": [1, 2, 3, 4, 5, 10, 11],
+            "v": list(range(7)),
+        }
+    )
+    out = (
+        retention_topk_by_recency(rd.from_pandas(df), "k", "ts", 3)
+        .to_pandas()
+        .sort_values(["k", "ts"])
+    )
+    assert out[out["k"] == "a"]["ts"].tolist() == [3, 4, 5]
+    assert out[out["k"] == "b"]["ts"].tolist() == [10, 11]
+
+
+def test_drift(ray_session, webpages):
+    import ray.data as rd
+
+    from sod_ray.stages.drift import build_baseline, drift_check
+    from sod_ray.stages.stats import column_stats
+    from sod_ray.stages.textstage import TextFeatures
+
+    table, _ = webpages
+    ds = rd.from_arrow(table).map_batches(TextFeatures, batch_format="pandas", concurrency=2)
+    stats = column_stats(ds, ["n_chars"], key="lang")
+    baseline = build_baseline(stats)
+    # same distribution → no drift
+    same = drift_check(column_stats(ds, ["n_chars"], key="lang"), baseline).to_pandas()
+    assert not same[same["has_baseline"]]["drifted"].any()
+    # shifted distribution → drift
+    shifted = ds.map_batches(
+        lambda df: df.assign(n_chars=df["n_chars"] * 5 + 1000),
+        batch_format="pandas",
+    )
+    drifted = drift_check(column_stats(shifted, ["n_chars"], key="lang"), baseline).to_pandas()
+    assert drifted[drifted["has_baseline"]]["drifted"].all()
+
+
+def test_extract_stage_and_fingerprint(ray_session, webpages):
+    import ray.data as rd
+
+    from sod_ray.stages.textstage import extract_text_batch, fingerprint_batch
+
+    table, truth = webpages
+    ds = rd.from_arrow(table).map_batches(extract_text_batch, batch_format="pyarrow")
+    out = ds.to_pandas()
+    n_bad = (~out["extract_match"]).sum()
+    assert n_bad == len(truth["null_html_rows"]) + len(truth["trunc_html_rows"])
+    fp = rd.from_arrow(table).map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
+    assert fp["text_md5"].str.len().eq(32).all()
+
+
+def test_salting(ray_session, webpages):
+    import ray.data as rd
+
+    from sod_ray.stages.stats import add_salt, column_stats, strip_salt
+    from sod_ray.stages.textstage import TextFeatures
+
+    table, _ = webpages
+    ds = (
+        rd.from_arrow(table)
+        .map_batches(TextFeatures, batch_format="pandas", concurrency=2)
+        .map_batches(lambda t: add_salt(t, "lang", 4, "url"), batch_format="pyarrow")
+    )
+    level1 = column_stats(ds, ["n_chars"], key="salted_key")
+    level1_stripped = level1.map_batches(strip_salt, batch_format="pyarrow")
+    # second-level merge over the stripped key
+    from sod_ray.stages.stats import merge_sketch_group
+
+    final = (
+        level1_stripped.select_columns(["part_key", "column", "welford", "tdigest", "hll"])
+        .groupby(["part_key", "column"])
+        .map_groups(merge_sketch_group, batch_format="pyarrow")
+        .to_pandas()
+    )
+    df = table.to_pandas()
+    df["n_chars"] = df["text"].str.len()
+    en = final[final["part_key"] == "en"].iloc[0]
+    expected = df[df["lang"] == "en"]["n_chars"]
+    assert en["count"] == len(expected)
+    assert en["mean"] == pytest.approx(expected.mean(), rel=1e-9)
