@@ -1,0 +1,120 @@
+"""Dedup stages: exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def doc_table(ray_session):
+    """Docs with planted exact dups (1,2), near dups (3,4), and noise."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill and the birds sing in the garden trees"
+    )
+    near = base.replace("warm windowsill", "cold doorstep")
+    rng = np.random.default_rng(0)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    noise = [
+        " ".join(rng.choice(words, size=30).tolist()) + f" uniq{i}" for i in range(30)
+    ]
+    docs = [base, base, near, base + " extra tail words here today"] + noise
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+
+
+def test_exact_dedup(ray_session, doc_table):
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(rd.from_arrow(doc_table), "text", "doc_id").to_pandas()
+    assert len(out) == len(doc_table) - 1  # one exact dup removed
+    assert 0 in set(out["doc_id"]) and 1 not in set(out["doc_id"])  # min id kept
+
+
+def test_minhash_signatures_jaccard():
+    from sod_ray.stages.dedup import minhash_signatures
+
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = "the quick brown fox jumps over the lazy cat again and again ok"
+    c = "completely different words entirely unrelated to anything else now"
+    sig = minhash_signatures([a, b, c, a], n_perm=128)
+    est_ab = (sig[0] == sig[1]).mean()
+    est_ac = (sig[0] == sig[2]).mean()
+    assert (sig[0] == sig[3]).all()  # identical text → identical signature
+    assert est_ab > 0.4  # high-overlap shingles
+    assert est_ac < 0.1
+
+
+def test_minhash_lsh_dedup(ray_session, doc_table):
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import connected_components, minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(
+        rd.from_arrow(doc_table), "text", "doc_id", jaccard_threshold=0.5
+    ).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found  # exact dup pair
+    assert (0, 2) in found or (1, 2) in found  # near dup pair
+    # noise docs don't pair with the base cluster
+    assert all(a < 4 and b < 4 for a, b in found)
+    comp = connected_components(pairs)
+    assert comp.get(1) == 0
+
+
+def test_simhash_dedup(ray_session, doc_table):
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import simhash_dedup, simhash_signatures
+
+    sh = simhash_signatures(["hello world foo", "hello world foo", "zzz qqq"])
+    assert sh[0] == sh[1] and sh[0] != sh[2]
+    pairs = simhash_dedup(rd.from_arrow(doc_table), "text", "doc_id").to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found
+    assert all(p["hamming"] <= 3 for _, p in pairs.iterrows())
+
+
+def test_ngram_jaccard(ray_session, doc_table):
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        rd.from_arrow(doc_table), "text", "doc_id", n=3, threshold=0.5
+    ).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found
+    ex = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 1)].iloc[0]
+    assert ex["jaccard"] == 1.0
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import embedding_neardup
+
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=16)
+    vecs = [base, base + rng.normal(scale=0.01, size=16)] + [
+        rng.normal(size=16) for _ in range(40)
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    pairs = embedding_neardup(
+        rd.from_arrow(t), "embedding", "vec_id", threshold=0.98
+    ).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found
+    assert len(found) <= 3  # random vectors shouldn't pair
