@@ -1,0 +1,114 @@
+"""End-to-end flagship validation pipeline + manifest resume."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from sod_ray.sources.webpages import write_webpages
+from sod_ray.state.manifest import Manifest, PartitionRecord
+
+
+@pytest.fixture(scope="module")
+def web_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("web"))
+    truth = write_webpages(d, n_rows=4000, n_shards=2, seed=42)
+    return d, truth
+
+
+def test_manifest_roundtrip(tmp_path):
+    m = Manifest(str(tmp_path / "mani"))
+    rec = PartitionRecord(
+        partition="en",
+        rows_scanned=100,
+        rows_violating=3,
+        constraint_outcomes={"nulls": "pass", "uniq": "fail"},
+        outputs=["/tmp/x"],
+    )
+    m.commit(rec)
+    assert m.committed_partitions() == {"en"}
+    got = m.load("en")
+    assert got.rows_scanned == 100
+    assert not got.passed()
+    assert m.remaining(["en", "de"]) == ["de"]
+    s = m.summary()
+    assert s["rows_scanned"] == 100 and not s["all_passed"]
+
+
+def test_full_run_and_resume(ray_session, web_dir, tmp_path):
+    from sod_ray.pipelines.validate import ValidateConfig, run_validation
+
+    src, truth = web_dir
+    out = str(tmp_path / "out1")
+    cfg = ValidateConfig()
+    res = run_validation(f"{src}/webpages", out, cfg)
+    v = res.verdicts.to_pandas().set_index("partition")
+    # all langs present as partitions
+    assert "en" in v.index
+    total = v["rows"].sum()
+    assert total == truth["n_rows"]
+    # planted null-html rate 0.5% < 1% threshold → the big partitions
+    # pass (tiny partitions can exceed it by sampling variance)
+    assert v.loc["en", "c_null_rate"] == "pass"
+    # violations sidecar exists per partition
+    for p in v.index:
+        pdir = os.path.join(out, "violations", f"lang={p}")
+        assert os.path.isdir(pdir)
+    # manifest committed every partition
+    m = Manifest(os.path.join(out, "manifest"))
+    assert m.committed_partitions() == set(v.index)
+
+    # --- resume: second run skips everything
+    res2 = run_validation(f"{src}/webpages", out, cfg)
+    assert res2.partitions_run == []
+    assert set(res2.partitions_skipped) == set(v.index)
+
+    # --- partial resume: drop two partitions' commits → only they rerun
+    for p in ["en", "de"]:
+        os.unlink(os.path.join(out, "manifest", f"part-{p}.json"))
+    res3 = run_validation(f"{src}/webpages", out, cfg)
+    assert sorted(res3.partitions_run) == ["de", "en"]
+    assert m.committed_partitions() == set(v.index)
+    # rerun rows match the original for the resumed partitions
+    v3 = res3.verdicts.to_pandas().set_index("partition")
+    assert v3.loc["en", "rows"] == v.loc["en", "rows"]
+
+
+def test_verdicts_detect_planted_anomalies(ray_session, web_dir, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from sod_ray.pipelines.validate import ValidateConfig, run_validation
+
+    src, truth = web_dir
+    out = str(tmp_path / "out2")
+    # tighten thresholds so planted anomalies flip verdicts
+    cfg = ValidateConfig(max_null_rate=0.0001, max_extract_mismatch_rate=0.0001)
+    res = run_validation(f"{src}/webpages", out, cfg)
+    v = res.verdicts.to_pandas()
+    # with ~0.5% planted null html, the null check must now fail somewhere
+    assert (v["c_null_rate"] == "fail").any()
+    assert (v["c_extraction"] == "fail").any()
+    # violation files contain peak rows
+    viols = []
+    for p in v["partition"]:
+        f = os.path.join(out, "violations", f"lang={p}", "part-0.parquet")
+        viols.append(pq.read_table(f).to_pandas())
+    allv = pd.concat(viols)
+    assert (allv["violation"] == "peak").sum() > 0
+    assert (allv["violation"] == "extract_mismatch").sum() > 0
+
+
+def test_schema_check_catches_missing(ray_session, web_dir):
+    import ray.data as rd
+
+    from sod_ray.pipelines.validate import WEBPAGE_SCHEMA
+    from sod_ray.stages.constraints import schema_check
+
+    src, _ = web_dir
+    ds = rd.read_parquet(f"{src}/webpages")
+    ok = schema_check(ds, WEBPAGE_SCHEMA)
+    assert ok["passed"]
+    bad = schema_check(ds.drop_columns(["lang"]), WEBPAGE_SCHEMA)
+    assert not bad["passed"] and bad["missing"] == ["lang"]
