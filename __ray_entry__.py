@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship per-partition validation pass over the
+sf0.001 tables; ``queries()`` exposes every implemented operator from
+SURVEY.md §2 (and the training-data-pipeline extensions); each SQL-
+expressible query has a DuckDB oracle in ``oracle_sql()`` with
+IDENTICAL column names and rounding.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() anywhere in the library.
 """
 
 from __future__ import annotations
@@ -18,27 +15,60 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: per-lang validation verdicts over the sf0.001
+    documents table — sketch stats + uniqueness + null checks + quality,
+    the documents-table analog of sod_ray.pipelines.validate."""
+    import pandas as pd
+
+    from sod_ray.pipelines.queries import (
+        doc_quality_scores,
+        sketch_stats_documents,
+    )
+    from sod_ray.stages.constraints import null_rates, uniqueness_estimate
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{SF_SMOKE}/documents.parquet")
+    stats = sketch_stats_documents(SF_SMOKE).to_pandas()
+    uniq = uniqueness_estimate(docs, "doc_id", key="lang").to_pandas()
+    nulls = null_rates(docs, ["text", "lang"], key="lang").to_pandas()
+    quality = doc_quality_scores(SF_SMOKE).to_pandas()
+
+    verdicts = []
+    for lang in sorted(stats["part_key"].unique()):
+        s = stats[stats["part_key"] == lang].iloc[0]
+        u = uniq[uniq["part_key"] == lang].iloc[0]
+        n = nulls[(nulls["part_key"] == lang) & (nulls["column"] == "text")].iloc[0]
+        verdicts.append(
+            {
+                "partition": lang,
+                "rows": int(u["rows"]),
+                "mean_n_chars": float(s["mean"]),
+                "p50_n_chars": float(s["p50"]),
+                "distinct_doc_est": float(u["distinct_est"]),
+                "null_rate_text": float(n["null_rate"]),
+                "low_quality_rate": float(
+                    (quality["quality"] < 0.5).mean()
+                ),
+                "passed": bool(
+                    n["null_rate"] == 0.0 and u["dup_est"] <= 0.01 * u["rows"]
+                ),
+            }
+        )
+    return pd.DataFrame(verdicts)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from sod_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sod_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

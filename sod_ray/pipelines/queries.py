@@ -1,0 +1,756 @@
+"""The driver-contract query suite: every operator from SURVEY.md §2
+exposed as a callable(sf_dir) → Dataset/DataFrame/Table, plus the
+matching DuckDB oracle SQL where the op is SQL-expressible.
+
+Float outputs are ROUNDED IDENTICALLY on both sides (the driver
+compares order-insensitive value hashes, so the Ray column names,
+dtypes and rounding must match the SQL exactly)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(table: pa.Table, cols: dict[str, int]) -> pa.Table:
+    for c, nd in cols.items():
+        i = table.schema.get_field_index(c)
+        table = table.set_column(
+            i, c, pc.round(pc.cast(table[c], pa.float64()), ndigits=nd)
+        )
+    return table
+
+
+# ---------------------------------------------------------------------------
+# Column statistics (reference point.go library as distributed aggs)
+# ---------------------------------------------------------------------------
+
+
+def doc_stats_by_lang(sf_dir: str):
+    """Per-lang count/mean/min/max of n_chars — Ray builtin groupby
+    aggregates (internally partial+final per block)."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n"),
+        Mean("n_chars", alias_name="mean_n_chars"),
+        Min("n_chars", alias_name="min_n_chars"),
+        Max("n_chars", alias_name="max_n_chars"),
+    )
+    return out.map_batches(
+        lambda t: _round_cols(t, {"mean_n_chars": 6}), batch_format="pyarrow"
+    )
+
+
+DOC_STATS_SQL = """
+SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 6) AS mean_n_chars,
+       MIN(n_chars) AS min_n_chars, MAX(n_chars) AS max_n_chars
+FROM documents GROUP BY lang
+"""
+
+
+def doc_median_by_lang(sf_dir: str):
+    """Exact per-group median via map_groups (sod point.go:153-167)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "median_n_chars": [round(float(np.median(g["n_chars"])), 6)],
+            }
+        )
+
+    return ds.groupby("lang").map_groups(med, batch_format="pandas")
+
+
+DOC_MEDIAN_SQL = """
+SELECT lang, ROUND(MEDIAN(n_chars), 6) AS median_n_chars
+FROM documents GROUP BY lang
+"""
+
+
+def doc_gmean_hmean_by_lang(sf_dir: str):
+    """Geometric + harmonic mean per lang (sod point.go:130-151) via
+    log-sum / reciprocal-sum partials inside map_batches, merged by a
+    tiny groupby sum — the partial+final pattern."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+    def partials(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("lang")["n_chars"]
+        out = pd.DataFrame(
+            {
+                "lang": g.sum().index,
+                "log_sum": g.apply(lambda x: float(np.sum(np.log(x)))).values,
+                "recip_sum": g.apply(lambda x: float(np.sum(1.0 / x))).values,
+                "cnt": g.count().values,
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Sum("log_sum", alias_name="log_sum"),
+            Sum("recip_sum", alias_name="recip_sum"),
+            Sum("cnt", alias_name="cnt"),
+        )
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "lang": df["lang"],
+                    "gmean_n_chars": np.round(np.exp(df["log_sum"] / df["cnt"]), 6),
+                    "hmean_n_chars": np.round(df["cnt"] / df["recip_sum"], 6),
+                }
+            ),
+            preserve_index=False,
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+DOC_GMEAN_SQL = """
+SELECT lang,
+       ROUND(EXP(SUM(LN(n_chars)) / COUNT(*)), 6) AS gmean_n_chars,
+       ROUND(COUNT(*) / SUM(1.0 / n_chars), 6) AS hmean_n_chars
+FROM documents GROUP BY lang
+"""
+
+
+def events_agg_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+    return out.map_batches(
+        lambda t: _round_cols(t, {"sum_value": 4, "avg_value": 6}),
+        batch_format="pyarrow",
+    )
+
+
+EVENTS_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+       ROUND(AVG(value), 6) AS avg_value, MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q1_lineitem(sf_dir: str):
+    """TPC-H Q1 shape: vectorized derived columns (pyarrow.compute) →
+    groupby aggregate. Exercises filter pushdown + multi-key groupby."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    cutoff = pa.scalar(pd.Timestamp("1999-01-01"), pa.timestamp("us"))
+
+    def derive(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        t = t.append_column("disc_price", disc_price)
+        return t.append_column("charge", charge)
+
+    agg = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("charge", alias_name="sum_charge"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return agg.map_batches(
+        lambda t: _round_cols(
+            t,
+            {
+                "sum_qty": 2,
+                "sum_base_price": 2,
+                "sum_disc_price": 2,
+                "sum_charge": 2,
+                "avg_qty": 6,
+                "avg_disc": 6,
+            },
+        ),
+        batch_format="pyarrow",
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-01-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct / dedup / hashing
+# ---------------------------------------------------------------------------
+
+
+def distinct_langs(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang"])
+    vals = sorted(ds.unique("lang"))
+    return pa.table({"lang": pa.array(vals, pa.string())})
+
+
+DISTINCT_LANGS_SQL = "SELECT DISTINCT lang FROM documents"
+
+
+def distinct_user_count(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    n = len(ds.unique("user_id"))
+    return pa.table({"n_users": pa.array([n], pa.int64())})
+
+
+DISTINCT_USERS_SQL = "SELECT COUNT(DISTINCT user_id) AS n_users FROM events"
+
+
+def doc_md5(sf_dir: str):
+    """Per-doc md5 fingerprint (sod_ray.stages.textstage.fingerprint_batch)."""
+    from ..stages.textstage import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "text_md5"]
+    )
+
+
+DOC_MD5_SQL = "SELECT doc_id, md5(text) AS text_md5 FROM documents"
+
+
+def dedup_first_doc(sf_dir: str):
+    """Exact dedup keep-lowest-id (hash-partitioned groupby)."""
+    from ..stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
+
+
+DEDUP_FIRST_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+def dup_text_groups(sf_dir: str):
+    """Duplicate-text groups (uniqueness exact fallback); empty when the
+    table has no dup texts — still a valid constraint result."""
+    from ..stages.dedup import exact_dedup  # noqa: F401  (same shuffle shape)
+
+    import hashlib
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(t.encode()).hexdigest() if t else ""
+            for t in batch["text"].to_pylist()
+        ]
+        return batch.append_column("text_md5", pa.array(h, pa.string()))
+
+    def dup_only(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > 1:
+            return pd.DataFrame(
+                {
+                    "text_md5": [g["text_md5"].iloc[0]],
+                    "dup_count": [np.int64(len(g))],
+                    "first_doc_id": [np.int64(g["doc_id"].min())],
+                }
+            )
+        # typed empty so the schema survives when no dups exist anywhere
+        return pd.DataFrame(
+            {
+                "text_md5": pd.Series(dtype="object"),
+                "dup_count": pd.Series(dtype="int64"),
+                "first_doc_id": pd.Series(dtype="int64"),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_md5")
+        .map_groups(dup_only, batch_format="pandas")
+    ).to_pandas()
+    schema = pa.schema(
+        [
+            ("text_md5", pa.string()),
+            ("dup_count", pa.int64()),
+            ("first_doc_id", pa.int64()),
+        ]
+    )
+    if len(out) == 0:
+        # Ray drops all-empty groups; pin the schema explicitly
+        return schema.empty_table()
+    return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
+
+
+DUP_TEXT_SQL = """
+SELECT md5(text) AS text_md5, COUNT(*) AS dup_count,
+       MIN(doc_id) AS first_doc_id
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Referential
+# ---------------------------------------------------------------------------
+
+_REF_RELATIONSHIPS = [
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def ref_orphan_counts(sf_dir: str):
+    """FK containment over the star schema via broadcast anti-join
+    (sod_ray.stages.constraints.broadcast_anti_join — zero shuffle)."""
+    from ..stages.constraints import broadcast_anti_join
+
+    rows = []
+    for name, child, fk, parent, pk in _REF_RELATIONSHIPS:
+        child_ds = _read(sf_dir, child, [fk])
+        parent_tbl = _read(sf_dir, parent, [pk]).to_pandas()
+        keys = pa.array(parent_tbl[pk])
+        n = broadcast_anti_join(child_ds, keys, fk).count()
+        rows.append({"relationship": name, "n_orphans": n})
+    return pa.table(
+        {
+            "relationship": pa.array([r["relationship"] for r in rows], pa.string()),
+            "n_orphans": pa.array([r["n_orphans"] for r in rows], pa.int64()),
+        }
+    )
+
+
+REF_ORPHANS_SQL = """
+SELECT 'orders_customer' AS relationship,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+UNION ALL SELECT 'lineitem_orders',
+       (SELECT COUNT(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+UNION ALL SELECT 'lineitem_part',
+       (SELECT COUNT(*) FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+UNION ALL SELECT 'customer_nation',
+       (SELECT COUNT(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+UNION ALL SELECT 'nation_region',
+       (SELECT COUNT(*) FROM nation WHERE n_regionkey NOT IN (SELECT r_regionkey FROM region))
+"""
+
+
+# ---------------------------------------------------------------------------
+# Windows / streaming semantics
+# ---------------------------------------------------------------------------
+
+
+def events_zscore_flags(sf_dir: str):
+    """Per-user trailing-window z-score peaks (FIXTURES.md G4 —
+    sod windowed scoring generalization)."""
+    from ..stages.window import windowed_zscore
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    flagged = windowed_zscore(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
+        id_cols=["event_id"],
+        window=64,
+        min_periods=8,
+        threshold=3.0,
+    )
+    return flagged.select_columns(["event_id", "user_id"])
+
+
+EVENTS_ZSCORE_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, value,
+         AVG(value) OVER win AS m,
+         STDDEV_SAMP(value) OVER win AS s,
+         COUNT(*) OVER win AS c
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id FROM w
+WHERE c >= 8 AND s > 0 AND ABS((value - m) / s) > 3
+"""
+
+
+def events_retention_top3(sf_dir: str):
+    """Grouped keep-newest-N (reference db_scheduler retention,
+    db_scheduler.go:53-71): newest 3 events per user."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def newest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        return g.tail(3)[["event_id", "user_id"]]
+
+    return ds.groupby("user_id").map_groups(newest, batch_format="pandas")
+
+
+EVENTS_RETENTION_SQL = """
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def events_top10_value(sf_dir: str):
+    """Global top-k without a full sort: per-batch partial top-k →
+    driver merge (the distributed pqueue, pkg/pqueue/queue.go:81-94)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["value", "event_id"], ascending=[False, True]).head(10),
+            preserve_index=False,
+        )
+
+    partials = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
+    top = partials.sort_values(["value", "event_id"], ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+EVENTS_TOP10_SQL = """
+SELECT event_id, user_id, value FROM events
+ORDER BY value DESC, event_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def doc_token_counts(sf_dir: str):
+    from ..stages.textstage import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_tokens_ws", "n_tokens_bpe"]
+    )
+
+
+DOC_TOKENS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_tokens_bpe
+FROM documents
+"""
+
+
+def token_totals_by_lang(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..stages.textstage import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return (
+        ds.map_batches(token_count_batch, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_tokens_ws", alias_name="total_tokens"))
+    )
+
+
+TOKEN_TOTALS_SQL = r"""
+SELECT lang, SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def doc_quality_scores(sf_dir: str):
+    """Quality gate (rows-only check: heuristic not SQL-expressible)."""
+    from ..stages.textstage import TextFeatures
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        TextFeatures, batch_format="pandas", concurrency=2
+    )
+    return out.select_columns(["doc_id", "n_chars", "n_tokens", "quality"])
+
+
+def lang_id_predictions(sf_dir: str):
+    """Heuristic language-ID stage (rows-only)."""
+    from ..stages.textstage import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+# ---------------------------------------------------------------------------
+# Vectors: norms, kNN, LOF
+# ---------------------------------------------------------------------------
+
+
+def embedding_norms(sf_dir: str):
+    """L2 norm per embedding (sod point.go Magnitude:46-52) —
+    vectorized numpy over the batch matrix."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def norms(t: pa.Table) -> pa.Table:
+        V = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+        )
+        n = np.round(np.sqrt(np.einsum("ij,ij->i", V, V)), 4)
+        return pa.table(
+            {"vec_id": t["vec_id"], "l2_norm": pa.array(n, pa.float64())}
+        )
+
+    return ds.map_batches(norms, batch_format="pyarrow")
+
+
+EMBED_NORMS_SQL = """
+SELECT vec_id,
+       ROUND(SQRT(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+FROM embeddings
+"""
+
+
+def knn_cosine_top5(sf_dir: str):
+    """Brute-force cosine top-5 for query vectors vec_id 0..4 (float64
+    for oracle-grade determinism)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import brute_force_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = np.argsort(t["vec_id"].to_numpy())
+    qrows = [int(order[i]) for i in range(5)]
+    Q = np.stack(
+        [np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in qrows]
+    )
+    qids = [int(t["vec_id"][i].as_py()) for i in qrows]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    got = brute_force_topk(
+        ds, Q, "embedding", "vec_id", k=5, query_ids=qids, dtype=np.float64
+    )
+    return pa.Table.from_pandas(
+        got[["query_id", "cand_id"]].astype({"query_id": "int64", "cand_id": "int64"}),
+        preserve_index=False,
+    )
+
+
+KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5)
+SELECT query_id, cand_id FROM (
+  SELECT q.query_id, e.vec_id AS cand_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(q.qe, e.embedding) DESC, e.vec_id
+         ) AS rn
+  FROM q CROSS JOIN embeddings e
+) WHERE rn <= 5
+"""
+
+
+def lof_events_outliers(sf_dir: str):
+    """Per-user windowed LOF replay of sod's COLLECT pipeline over the
+    events stream (rows-only: stateful streaming, not SQL)."""
+    from ..stages.window import windowed_lof
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = windowed_lof(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        feature_cols=["value"],
+        id_cols=["event_id"],
+        max_items=128,
+        flagged_only=True,
+    )
+    return out.select_columns(["event_id", "user_id"])
+
+
+def ivf_knn_top5(sf_dir: str):
+    """IVF approximate kNN (rows-only: approximation has no SQL oracle)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    Q = np.stack(
+        [np.asarray(v, dtype=np.float32) for v in t["embedding"].to_pylist()[:5]]
+    )
+    qids = t["vec_id"].to_pylist()[:5]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    got = ivf_topk(ds, Q, "embedding", "vec_id", k=5, nprobe=8, query_ids=qids)
+    return pa.Table.from_pandas(
+        got[["query_id", "cand_id"]].astype({"query_id": "int64", "cand_id": "int64"}),
+        preserve_index=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-based ops (approximate — validated in pytest, rows-only here)
+# ---------------------------------------------------------------------------
+
+
+def sketch_stats_documents(sf_dir: str):
+    """Full sketch pipeline (Welford+t-digest+HLL partial/merge)."""
+    from ..stages.stats import column_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = column_stats(ds, ["n_chars"], key="lang")
+    return out.drop_columns(["welford", "tdigest", "hll"])
+
+
+def hll_distinct_urls(sf_dir: str):
+    """HLL distinct estimate of events.user_id (rows-only; exact twin is
+    distinct_user_count)."""
+    from ..stages.constraints import uniqueness_estimate
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    return uniqueness_estimate(ds, "user_id")
+
+
+def psi_events_halves(sf_dir: str):
+    """Distribution drift: PSI + KS of `value` between the first and
+    second half of the events stream per event_type (rows-only)."""
+    from ..stages.drift import build_baseline, drift_check
+    from ..stages.stats import column_stats
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    mid = ds.select_columns(["ts"]).to_pandas()["ts"].quantile(0.5)
+    cut = pa.scalar(mid, pa.timestamp("us"))
+    first = ds.map_batches(
+        lambda t: t.filter(pc.less(t["ts"], cut)), batch_format="pyarrow"
+    )
+    second = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cut)), batch_format="pyarrow"
+    )
+    baseline = build_baseline(column_stats(first, ["value"], key="event_type"))
+    return drift_check(column_stats(second, ["value"], key="event_type"), baseline)
+
+
+def minhash_pairs_documents(sf_dir: str):
+    """MinHash-LSH near-dup pairs over documents (rows-only)."""
+    from ..stages.dedup import minhash_lsh_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.8)
+
+
+def simhash_pairs_documents(sf_dir: str):
+    from ..stages.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup(ds, "text", "doc_id")
+
+
+def embedding_neardup_pairs(sf_dir: str):
+    from ..stages.dedup import embedding_neardup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup(ds, "embedding", "vec_id", threshold=0.99)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "doc_stats_by_lang": doc_stats_by_lang,
+    "doc_median_by_lang": doc_median_by_lang,
+    "doc_gmean_hmean_by_lang": doc_gmean_hmean_by_lang,
+    "events_agg_by_type": events_agg_by_type,
+    "q1_lineitem": q1_lineitem,
+    "distinct_langs": distinct_langs,
+    "distinct_user_count": distinct_user_count,
+    "doc_md5": doc_md5,
+    "dedup_first_doc": dedup_first_doc,
+    "dup_text_groups": dup_text_groups,
+    "ref_orphan_counts": ref_orphan_counts,
+    "events_zscore_flags": events_zscore_flags,
+    "events_retention_top3": events_retention_top3,
+    "events_top10_value": events_top10_value,
+    "doc_token_counts": doc_token_counts,
+    "token_totals_by_lang": token_totals_by_lang,
+    "embedding_norms": embedding_norms,
+    "knn_cosine_top5": knn_cosine_top5,
+    # rows-only (non-SQL-expressible / approximate / stateful):
+    "doc_quality_scores": doc_quality_scores,
+    "lang_id_predictions": lang_id_predictions,
+    "lof_events_outliers": lof_events_outliers,
+    "ivf_knn_top5": ivf_knn_top5,
+    "sketch_stats_documents": sketch_stats_documents,
+    "hll_distinct_urls": hll_distinct_urls,
+    "psi_events_halves": psi_events_halves,
+    "minhash_pairs_documents": minhash_pairs_documents,
+    "simhash_pairs_documents": simhash_pairs_documents,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+}
+
+ORACLES = {
+    "doc_stats_by_lang": DOC_STATS_SQL,
+    "doc_median_by_lang": DOC_MEDIAN_SQL,
+    "doc_gmean_hmean_by_lang": DOC_GMEAN_SQL,
+    "events_agg_by_type": EVENTS_AGG_SQL,
+    "q1_lineitem": Q1_SQL,
+    "distinct_langs": DISTINCT_LANGS_SQL,
+    "distinct_user_count": DISTINCT_USERS_SQL,
+    "doc_md5": DOC_MD5_SQL,
+    "dedup_first_doc": DEDUP_FIRST_SQL,
+    "dup_text_groups": DUP_TEXT_SQL,
+    "ref_orphan_counts": REF_ORPHANS_SQL,
+    "events_zscore_flags": EVENTS_ZSCORE_SQL,
+    "events_retention_top3": EVENTS_RETENTION_SQL,
+    "events_top10_value": EVENTS_TOP10_SQL,
+    "doc_token_counts": DOC_TOKENS_SQL,
+    "token_totals_by_lang": TOKEN_TOTALS_SQL,
+    "embedding_norms": EMBED_NORMS_SQL,
+    "knn_cosine_top5": KNN_SQL,
+}

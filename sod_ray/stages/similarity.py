@@ -27,9 +27,9 @@ import pyarrow as pa
 import ray
 
 
-def _to_matrix(col) -> np.ndarray:
+def _to_matrix(col, dtype=np.float32) -> np.ndarray:
     vals = col.to_pylist() if isinstance(col, (pa.Array, pa.ChunkedArray)) else list(col)
-    return np.stack([np.asarray(v, dtype=np.float32) for v in vals])
+    return np.stack([np.asarray(v, dtype=dtype) for v in vals])
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:
@@ -45,12 +45,13 @@ def brute_force_topk(
     id_col: str,
     k: int = 10,
     query_ids: list | None = None,
+    dtype=np.float32,
 ) -> pd.DataFrame:
     """Exact cosine top-k of each query against the whole dataset.
 
     Returns a DataFrame (query_id, id, cosine, rank) with deterministic
-    tie-break by id."""
-    Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+    tie-break by id. ``dtype=np.float64`` for oracle-grade precision."""
+    Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=dtype)))
     q_ref = ray.put(Q)
     qids = query_ids if query_ids is not None else list(range(Q.shape[0]))
 
@@ -59,7 +60,7 @@ def brute_force_topk(
             self.Q = ray.get(q_ref)  # fetched once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            V = _normalize(_to_matrix(batch[vec_col]))
+            V = _normalize(_to_matrix(batch[vec_col], dtype))
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             S = self.Q @ V.T  # (n_q, n_batch)
             kk = min(k, S.shape[1])
