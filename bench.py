@@ -1,0 +1,159 @@
+"""Benchmark entry point (driver contract).
+
+Headline: the flagship per-partition validation pipeline (full
+constraint suite) over the deterministic synthetic Common-Crawl-style
+web table sized to the scale factor; plus wall-times for representative
+queries over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "rows_per_sec": ...}
+
+--scaling: runs the headline pipeline in two FRESH processes
+(num_cpus=8 then num_cpus=32) on the same cached input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for N vs 4N
+cluster nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_ROOT = "/tmp/sod_bench"
+
+BENCH_QUERIES = [
+    "doc_stats_by_lang",
+    "events_agg_by_type",
+    "q1_lineitem",
+    "dedup_first_doc",
+    "ref_orphan_counts",
+    "events_zscore_flags",
+    "lof_events_outliers",
+    "doc_token_counts",
+    "minhash_pairs_documents",
+    "knn_cosine_top5",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def webpage_rows(sf: float) -> int:
+    return max(5_000, int(5_000_000 * sf))
+
+
+def ensure_web_table(sf: float) -> str:
+    """Deterministic synthetic web table, cached under /tmp (generated
+    once; --scaling's two processes share it)."""
+    from sod_ray.sources.webpages import write_webpages
+
+    n = webpage_rows(sf)
+    d = os.path.join(CACHE_ROOT, f"web-{n}")
+    marker = os.path.join(d, "truth.json")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        write_webpages(d, n_rows=n, n_shards=64, seed=42, with_refs=False)
+    return os.path.join(d, "webpages")
+
+
+def run_bench(ncpu: int) -> dict:
+    import ray
+
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sf = sf_of(SF_DIR)
+    web_dir = ensure_web_table(sf)
+
+    # warm the OS page cache (untimed) so we measure compute + shuffle
+    rd.read_parquet(web_dir).count()
+
+    from sod_ray.pipelines.validate import ValidateConfig, run_validation
+
+    out_dir = os.path.join(CACHE_ROOT, f"out-{ncpu}-{os.getpid()}")
+    cfg = ValidateConfig(feature_concurrency=(1, max(4, ncpu)))
+    t0 = time.perf_counter()
+    res = run_validation(web_dir, out_dir, cfg, resume=False)
+    headline = time.perf_counter() - t0
+    rows = res.rows_scanned
+
+    qtimes = {}
+    from sod_ray.pipelines.queries import QUERIES
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        r = QUERIES[name](SF_DIR)
+        if hasattr(r, "to_pandas"):
+            r.to_pandas()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "flagship validation wall time (full constraint suite, synthetic web table)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "web_rows": rows,
+        "rows_per_sec": round(rows / headline, 1),
+    }
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, 8→32 CPUs (stand-in for N→4N nodes)",
+        "sec_8": t8,
+        "sec_32": t32,
+        "rows_per_sec_8": results[8]["rows_per_sec"],
+        "rows_per_sec_32": results[32]["rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": results[32]["sf"],
+        "web_rows": results[32]["web_rows"],
+    }
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench(NCPU)))

@@ -1,28 +1,29 @@
 """The flagship pipeline: a per-partition data-quality pass over a
 Common-Crawl-style web table (BASELINE.json north_star, SURVEY.md §3.1
-translated to one streaming Ray Data DAG).
+translated to Ray Data).
 
-    read_parquet (resume-filtered, columns pruned)
-      → schema check (metadata only)
-      → extraction-invariant check (html→text byte-identity) ─ violations
-      → project html AWAY (wide payloads never reach a shuffle)
-      → text features (actor pool)
-      → per-batch sketch partials → groupby(part_key) merge  (stats)
-      → null rates / uniqueness HLL (+ exact fallback)        (constraints)
+    read_parquet (resume-filtered, row-group pruned)
+      → ONE fused actor-pool stage: html→text extraction + byte-identity
+        check + null flags + text features; html DROPPED on output
+        (wide payloads never reach a shuffle or the object store twice)
+      → materialize the slim feature table ONCE (numeric + keys only;
+        ~1-2% of input bytes) — every downstream constraint consumes it
+        without recomputing the scan
+      → per-batch sketch partials → groupby(part_key) merge   (stats)
+      → flag-sum aggregates (null rates), HLL uniqueness      (constraints)
       → windowed z-score peak scorer per partition            (outliers)
       → optional drift check vs baseline sketches (actor pool)
-      → write violations sidecar parquet (one dir per partition)
+      → violations sidecar parquet (one dir per partition)
       → per-partition verdicts + manifest commit (atomic rename)
 
-The manifest (sod_ray.state.manifest) makes a killed run resume from
-the last committed partition without rescanning: committed partitions
-are filtered OUT of the parquet read via a pushed-down filter
-expression, so their row groups never leave storage.
+At 100 TB the materialize step becomes a write of the slim feature
+table to intermediate parquet (same shape, spillable); everything else
+is unchanged — the shuffles only ever carry sketch rows, flag counts
+and violation rows.
 
-The reference analog of each step is cited in the stage modules; the
-verdict/violation shapes map sod's Conclusion/Alert
-(/root/reference/internal/predictor/predictor.go:36-38,
-/root/reference/internal/alert/model/alert_model.go:19-24).
+Resume: committed partitions are filtered OUT of the parquet read via a
+pushed-down filter expression (their row groups never leave storage);
+see sod_ray.state.manifest.
 """
 
 from __future__ import annotations
@@ -31,14 +32,15 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from ..state.manifest import Manifest, PartitionRecord
-from ..stages.constraints import null_rates, schema_check, uniqueness_estimate
+from ..stages.constraints import schema_check, uniqueness_estimate
 from ..stages.stats import column_stats
-from ..stages.textstage import TextFeatures, extract_text_batch
 from ..stages.window import windowed_zscore
 
 WEBPAGE_SCHEMA = {
@@ -48,6 +50,59 @@ WEBPAGE_SCHEMA = {
     "text": pa.string(),
     "lang": pa.string(),
 }
+
+
+class FusedFeatures:
+    """One actor-pool pass per batch: extraction invariant + null flags
+    + text features. Regexes compiled once per actor. Output is the slim
+    feature table — html and text are dropped here."""
+
+    def __init__(self):
+        import re
+
+        from ..functions import text as T
+
+        self._T = T
+        self.token = re.compile(r"\S+")
+        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.punct = re.compile(r"[^\w\s]", re.UNICODE)
+        self.stop_en = frozenset(T._STOPWORDS["en"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        texts = batch["text"].to_pylist()
+        extract = self._T.extract_text
+        match = np.fromiter(
+            (
+                (h is not None and t is not None and extract(h) == t)
+                for h, t in zip(htmls, texts)
+            ),
+            dtype=bool,
+            count=len(htmls),
+        )
+        html_null = np.fromiter((h is None for h in htmls), dtype=bool, count=len(htmls))
+        text_null = np.fromiter((t is None for t in texts), dtype=bool, count=len(texts))
+        n_chars = np.fromiter(
+            (len(t) if t else 0 for t in texts), dtype=np.int64, count=len(texts)
+        )
+        tok = self.token
+        n_tokens = np.fromiter(
+            (len(tok.findall(t)) if t else 0 for t in texts),
+            dtype=np.int64,
+            count=len(texts),
+        )
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "lang": batch["lang"],
+                "n_chars": pa.array(n_chars),
+                "n_tokens": pa.array(n_tokens),
+                "extract_match": pa.array(match),
+                "html_null": pa.array(html_null),
+                "text_null": pa.array(text_null),
+            }
+        )
 
 
 @dataclass
@@ -63,7 +118,7 @@ class ValidateConfig:
     max_extract_mismatch_rate: float = 0.01
     max_peak_rate: float = 0.02
     batch_size: int = 4096
-    feature_concurrency: tuple = (2, 8)
+    feature_concurrency: tuple = (1, 16)
     baseline: dict | None = None  # (key, col) -> sketch bytes for drift
 
 
@@ -82,7 +137,7 @@ class ValidationResult:
 
 def list_partitions(input_path: str, part_key: str) -> list[str]:
     """Distinct partition keys via a column-pruned pyarrow scan (reads
-    only the key column's row groups — cheap relative to the run)."""
+    only the key column — cheap relative to the run)."""
     dataset = pads.dataset(input_path, format="parquet")
     vals = set()
     for batch in dataset.to_batches(columns=[part_key]):
@@ -119,55 +174,57 @@ def run_validation(
         result.stats = pa.table({})
         return result
 
-    # wipe any partial output of uncommitted partitions (atomic resume)
-    for p in remaining:
+    for p in remaining:  # wipe partial output of uncommitted partitions
         shutil.rmtree(
             os.path.join(out_dir, "violations", f"{cfg.part_key}={p}"),
             ignore_errors=True,
         )
 
-    # --- read: prune to the remaining partitions at the row-group level
     ds = rd.read_parquet(
         input_path,
         filter=pc.field(cfg.part_key).isin(remaining),
     )
-
     schema_verdict = schema_check(ds, WEBPAGE_SCHEMA)
 
-    # --- extraction invariant; then html is DROPPED before anything wide
-    extracted = ds.map_batches(extract_text_batch, batch_format="pyarrow")
-    slim = extracted.drop_columns(["html", "extracted_text"])
-    featured = slim.map_batches(
-        TextFeatures,
-        batch_format="pandas",
+    # ONE scan: fused extraction + features; html dropped inside the stage.
+    featured = ds.map_batches(
+        FusedFeatures,
+        batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=cfg.feature_concurrency,
+    ).materialize()  # slim table; at 100TB: write to intermediate parquet
+
+    # --- consumers of the materialized feature table (no recompute) ---
+    from ray.data.aggregate import Count, Sum
+
+    stats_tbl = column_stats(
+        featured, list(cfg.stat_columns), key=cfg.part_key
+    ).to_pandas()
+
+    flags = (
+        featured.groupby(cfg.part_key)
+        .aggregate(
+            Count(alias_name="rows"),
+            Sum("html_null", alias_name="html_nulls"),
+            Sum("text_null", alias_name="text_nulls"),
+            Sum("extract_match", alias_name="extract_matches"),
+        )
+        .to_pandas()
+        .set_index(cfg.part_key)
     )
 
-    # --- stats + constraints (each consumes the shared featured stream;
-    # Ray Data will recompute lineage per consumer — acceptable because
-    # the scan is columnar and the stages are cheap; at true scale you'd
-    # write `featured` to an intermediate parquet once instead)
-    stats_tbl = (
-        column_stats(featured, list(cfg.stat_columns), key=cfg.part_key)
+    uniq_tbl = uniqueness_estimate(featured, "url", key=cfg.part_key).to_pandas()
+
+    mismatch_pdf = (
+        featured.map_batches(
+            lambda t: t.filter(pc.invert(t["extract_match"])).select(
+                [cfg.part_key, "url"]
+            ),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
-    # html nulls need the pre-drop dataset:
-    nulls_tbl = null_rates(
-        extracted.drop_columns(["extracted_text"]),
-        ["url", "warc_ts", "html", "text"],
-        key=cfg.part_key,
-    ).to_pandas()
-    uniq_tbl = uniqueness_estimate(slim, "url", key=cfg.part_key).to_pandas()
-
-    # extraction mismatches per partition (violation rows)
-    mismatches = featured.map_batches(
-        lambda t: t.filter(pc.invert(t["extract_match"])),
-        batch_format="pyarrow",
-    )
-
-    # windowed peaks per partition (violation rows)
-    peaks = windowed_zscore(
+    peaks_pdf = windowed_zscore(
         featured,
         key=cfg.part_key,
         ts_col="warc_ts",
@@ -176,16 +233,7 @@ def run_validation(
         window=cfg.zscore_window,
         min_periods=cfg.zscore_min_periods,
         threshold=cfg.zscore_threshold,
-    )
-
-    # --- violations sidecar: one directory per partition (resumable)
-    viol_dir = os.path.join(out_dir, "violations")
-    mismatch_pdf = mismatches.select_columns(
-        [cfg.part_key, "url", "warc_ts", "extract_match"]
     ).to_pandas()
-    peaks_pdf = peaks.to_pandas()
-
-    import pandas as pd
 
     mismatch_pdf["violation"] = "extract_mismatch"
     peaks_pdf["violation"] = "peak"
@@ -194,31 +242,33 @@ def run_validation(
         [mismatch_pdf[viol_cols], peaks_pdf[viol_cols]], ignore_index=True
     )
 
-    # --- drift (optional)
     drift_tbl = None
     if cfg.baseline:
         from ..stages.drift import drift_check
+        from ..stages.stats import merge_sketch_group  # noqa: F401
 
-        drift_tbl = drift_check(
-            column_stats(featured, list(cfg.stat_columns), key=cfg.part_key),
-            cfg.baseline,
-        ).to_pandas()
+        import ray.data as rd2  # noqa: F401
 
-    # --- per-partition verdicts + manifest commit
+        cur = column_stats(featured, list(cfg.stat_columns), key=cfg.part_key)
+        drift_tbl = drift_check(cur, cfg.baseline).to_pandas()
+
+    # --- per-partition verdicts + manifest commit ---
+    import pyarrow.parquet as pq
+
+    viol_dir = os.path.join(out_dir, "violations")
     verdict_rows = []
     total_rows = 0
     for p in remaining:
         p_stats = stats_tbl[stats_tbl["part_key"] == p]
-        p_nulls = nulls_tbl[nulls_tbl["part_key"] == p]
         p_uniq = uniq_tbl[uniq_tbl["part_key"] == p]
         p_viol = violations[violations[cfg.part_key] == p]
-        rows = int(p_uniq["rows"].iloc[0]) if len(p_uniq) else 0
+        rows = int(flags.loc[p, "rows"]) if p in flags.index else 0
         total_rows += rows
 
         outcomes = {"schema": "pass" if schema_verdict["passed"] else "fail"}
-        html_null_rate = float(
-            p_nulls[p_nulls["column"] == "html"]["null_rate"].iloc[0]
-        ) if len(p_nulls) else 0.0
+        html_null_rate = (
+            float(flags.loc[p, "html_nulls"]) / rows if rows else 0.0
+        )
         outcomes["null_rate"] = (
             "pass" if html_null_rate <= cfg.max_null_rate else "fail"
         )
@@ -244,28 +294,26 @@ def run_validation(
                 "fail" if len(p_drift) and p_drift["drifted"].any() else "pass"
             )
 
-        # write this partition's violations (its own directory)
         pdir = os.path.join(viol_dir, f"{cfg.part_key}={p}")
         os.makedirs(pdir, exist_ok=True)
-        import pyarrow.parquet as pq
-
         pq.write_table(
             pa.Table.from_pandas(p_viol, preserve_index=False),
             os.path.join(pdir, "part-0.parquet"),
         )
 
-        sketch_bytes = int(
-            p_stats["sketch_bytes"].sum()
-        ) if "sketch_bytes" in p_stats else 0
-        rec = PartitionRecord(
-            partition=p,
-            rows_scanned=rows,
-            rows_violating=len(p_viol),
-            constraint_outcomes=outcomes,
-            outputs=[pdir],
-            sketch_bytes=sketch_bytes,
+        sketch_bytes = (
+            int(p_stats["sketch_bytes"].sum()) if "sketch_bytes" in p_stats else 0
         )
-        manifest.commit(rec)
+        manifest.commit(
+            PartitionRecord(
+                partition=p,
+                rows_scanned=rows,
+                rows_violating=len(p_viol),
+                constraint_outcomes=outcomes,
+                outputs=[pdir],
+                sketch_bytes=sketch_bytes,
+            )
+        )
         verdict_rows.append(
             {
                 "partition": p,
@@ -277,8 +325,6 @@ def run_validation(
         )
 
     verdicts = pa.Table.from_pylist(verdict_rows) if verdict_rows else pa.table({})
-    import pyarrow.parquet as pq
-
     pq.write_table(verdicts, os.path.join(out_dir, f"verdicts-{len(done)}.parquet"))
     result.verdicts = verdicts
     result.stats = pa.Table.from_pandas(
@@ -296,4 +342,6 @@ def _load_verdicts(out_dir: str):
     files = sorted(glob.glob(os.path.join(out_dir, "verdicts-*.parquet")))
     if not files:
         return pa.table({})
-    return pa.concat_tables([pq.read_table(f) for f in files], promote_options="default")
+    return pa.concat_tables(
+        [pq.read_table(f) for f in files], promote_options="default"
+    )
