@@ -54,6 +54,47 @@ def extract_text(html: bytes | None) -> str | None:
     return s.decode("utf-8", errors="replace")
 
 
+def extract_text_arrow(html_col, out_null_on_error: bool = True):
+    """Vectorized Arrow/RE2 twin of :func:`extract_text` — identical
+    output byte-for-byte on valid-UTF-8 html (verified in tests).
+
+    All work happens in pyarrow compute kernels (C++/RE2): cast
+    binary→string, drop script/style blocks (two passes — RE2 has no
+    backreferences; equivalent for non-interleaved tags), strip tags,
+    decode the five standard entities, collapse ASCII whitespace runs,
+    trim. Rows whose bytes are not valid UTF-8 come back null (they are
+    schema violations upstream anyway)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(html_col, pa.ChunkedArray):
+        html_col = html_col.combine_chunks()
+    try:
+        s = pc.cast(html_col, pa.string())
+    except pa.ArrowInvalid:
+        if not out_null_on_error:
+            raise
+        # rare fallback: per-row decode, invalid rows → null
+        vals = html_col.to_pylist()
+        dec = []
+        for v in vals:
+            if v is None:
+                dec.append(None)
+            else:
+                try:
+                    dec.append(v.decode("utf-8"))
+                except UnicodeDecodeError:
+                    dec.append(None)
+        s = pa.array(dec, pa.string())
+    s = pc.replace_substring_regex(s, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    s = pc.replace_substring_regex(s, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    s = pc.replace_substring_regex(s, r"<[^>]*>", " ")
+    for ent, ch in _ENTITIES.items():
+        s = pc.replace_substring(s, ent.decode(), ch.decode())
+    s = pc.replace_substring_regex(s, r"[ \t\r\n\f\v]+", " ")
+    return pc.utf8_trim(s, " \t\r\n\f\v")
+
+
 # ---------------------------------------------------------------------------
 # Tokenization / counting
 # ---------------------------------------------------------------------------

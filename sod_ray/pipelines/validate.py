@@ -53,56 +53,156 @@ WEBPAGE_SCHEMA = {
 
 
 class FusedFeatures:
-    """One actor-pool pass per batch: extraction invariant + null flags
-    + text features. Regexes compiled once per actor. Output is the slim
-    feature table — html and text are dropped here."""
-
-    def __init__(self):
-        import re
-
-        from ..functions import text as T
-
-        self._T = T
-        self.token = re.compile(r"\S+")
-        self.word = re.compile(r"[^\W\d_]+", re.UNICODE)
-        self.punct = re.compile(r"[^\w\s]", re.UNICODE)
-        self.stop_en = frozenset(T._STOPWORDS["en"])
+    """One pass per batch: extraction invariant + null flags + text
+    features — ALL in pyarrow compute kernels (C++/RE2), zero Python
+    objects per row. This matters beyond elegance: per-row Python
+    (to_pylist + re) is allocator/memory-bound and stops scaling past
+    ~10 cores on commodity VMs, while the Arrow kernels scale linearly.
+    Output is the slim feature table — html and text are dropped here."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch["html"].to_pylist()
-        texts = batch["text"].to_pylist()
-        extract = self._T.extract_text
-        match = np.fromiter(
-            (
-                (h is not None and t is not None and extract(h) == t)
-                for h, t in zip(htmls, texts)
-            ),
-            dtype=bool,
-            count=len(htmls),
-        )
-        html_null = np.fromiter((h is None for h in htmls), dtype=bool, count=len(htmls))
-        text_null = np.fromiter((t is None for t in texts), dtype=bool, count=len(texts))
-        n_chars = np.fromiter(
-            (len(t) if t else 0 for t in texts), dtype=np.int64, count=len(texts)
-        )
-        tok = self.token
-        n_tokens = np.fromiter(
-            (len(tok.findall(t)) if t else 0 for t in texts),
-            dtype=np.int64,
-            count=len(texts),
-        )
+        from ..functions.text import extract_text_arrow
+
+        extracted = extract_text_arrow(batch["html"])
+        text = batch["text"].combine_chunks() if isinstance(
+            batch["text"], pa.ChunkedArray
+        ) else batch["text"]
+        match = pc.fill_null(pc.equal(extracted, text), False)
+        html_null = pc.is_null(batch["html"])
+        text_null = pc.is_null(text)
+        n_chars = pc.fill_null(pc.utf8_length(text), 0)
+        n_tokens = pc.fill_null(pc.count_substring_regex(text, r"\S+"), 0)
         return pa.table(
             {
                 "url": batch["url"],
                 "warc_ts": batch["warc_ts"],
                 "lang": batch["lang"],
-                "n_chars": pa.array(n_chars),
-                "n_tokens": pa.array(n_tokens),
-                "extract_match": pa.array(match),
-                "html_null": pa.array(html_null),
-                "text_null": pa.array(text_null),
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "extract_match": match,
+                "html_null": html_null,
+                "text_null": text_null,
             }
         )
+
+
+def _combined_partials_merge(featured, cfg: "ValidateConfig"):
+    """One partial+merge pass computing, per partition key: Welford +
+    t-digest sketches for every stat column, the url-uniqueness HLL,
+    and the null/match counters. One map_batches + one groupby — the
+    shuffle carries a handful of sketch rows per (key, batch)."""
+    from ..state.sketches import HyperLogLog, TDigest, Welford, hash64
+    from ..stages.stats import _group_indices
+
+    stat_cols = list(cfg.stat_columns)
+    key = cfg.part_key
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rows = {
+            "part_key": [],
+            "rows": [],
+            "html_nulls": [],
+            "text_nulls": [],
+            "extract_matches": [],
+            "url_hll": [],
+        }
+        for c in stat_cols:
+            rows[f"wf_{c}"] = []
+            rows[f"td_{c}"] = []
+        for key_val, idx in _group_indices(batch, key):
+            sub = batch if idx is None else batch.take(pa.array(idx))
+            rows["part_key"].append(key_val)
+            rows["rows"].append(len(sub))
+            rows["html_nulls"].append(
+                int(pc.sum(sub["html_null"]).as_py() or 0)
+            )
+            rows["text_nulls"].append(int(pc.sum(sub["text_null"]).as_py() or 0))
+            rows["extract_matches"].append(
+                int(pc.sum(sub["extract_match"]).as_py() or 0)
+            )
+            hll = HyperLogLog()
+            hll.update_hashes(hash64(sub["url"]))
+            rows["url_hll"].append(hll.to_bytes())
+            for c in stat_cols:
+                rows[f"wf_{c}"].append(Welford().update_array(sub[c]).to_bytes())
+                rows[f"td_{c}"].append(TDigest().update_array(sub[c]).to_bytes())
+        t = {
+            "part_key": pa.array(rows["part_key"], pa.string()),
+            "rows": pa.array(rows["rows"], pa.int64()),
+            "html_nulls": pa.array(rows["html_nulls"], pa.int64()),
+            "text_nulls": pa.array(rows["text_nulls"], pa.int64()),
+            "extract_matches": pa.array(rows["extract_matches"], pa.int64()),
+            "url_hll": pa.array(rows["url_hll"], pa.binary()),
+        }
+        for c in stat_cols:
+            t[f"wf_{c}"] = pa.array(rows[f"wf_{c}"], pa.binary())
+            t[f"td_{c}"] = pa.array(rows[f"td_{c}"], pa.binary())
+        return pa.table(t)
+
+    def merge(group: pa.Table) -> pa.Table:
+        key_val = group["part_key"][0].as_py()
+        n_rows = int(pc.sum(group["rows"]).as_py())
+        hll = HyperLogLog()
+        sketch_bytes = 0
+        for b in group["url_hll"].to_pylist():
+            hll.merge(HyperLogLog.from_bytes(b))
+            sketch_bytes += len(b)
+        distinct = hll.cardinality()
+        out = []
+        for c in stat_cols:
+            wf = Welford()
+            td = TDigest()
+            for b in group[f"wf_{c}"].to_pylist():
+                wf.merge(Welford.from_bytes(b))
+                sketch_bytes += len(b)
+            for b in group[f"td_{c}"].to_pylist():
+                td.merge(TDigest.from_bytes(b))
+                sketch_bytes += len(b)
+            r = wf.result()
+            out.append(
+                {
+                    "part_key": key_val,
+                    "column": c,
+                    "count": r["count"],
+                    "total": r["total"],
+                    "mean": r["mean"],
+                    "std": r["std"],
+                    "min": r["min"],
+                    "max": r["max"],
+                    "p50": td.quantile(0.5),
+                    "p90": td.quantile(0.9),
+                    "p99": td.quantile(0.99),
+                    "rows": n_rows,
+                    "html_nulls": int(pc.sum(group["html_nulls"]).as_py()),
+                    "text_nulls": int(pc.sum(group["text_nulls"]).as_py()),
+                    "extract_matches": int(pc.sum(group["extract_matches"]).as_py()),
+                    "distinct_est": distinct,
+                    "dup_est": max(0.0, n_rows - distinct),
+                    "sketch_bytes": sketch_bytes,
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return (
+        featured.map_batches(partials, batch_format="pyarrow", batch_size=8192)
+        .groupby("part_key")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+_FUSED_SINGLETON: FusedFeatures | None = None
+
+
+def fused_features_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task wrapper around FusedFeatures: regex state is a
+    lazy module-level singleton, compiled once per WORKER PROCESS (Ray
+    reuses workers across tasks), so plain tasks get actor-style state
+    amortization without actor-pool startup cost — the setup here is
+    milliseconds, not a model load, so tasks beat actors (guide rule)."""
+    global _FUSED_SINGLETON
+    if _FUSED_SINGLETON is None:
+        _FUSED_SINGLETON = FusedFeatures()
+    return _FUSED_SINGLETON(batch)
 
 
 @dataclass
@@ -155,6 +255,15 @@ def run_validation(
     by the caller (driver contract)."""
     import ray.data as rd
 
+    import time
+
+    _t0 = time.perf_counter()
+    _timing = os.environ.get("SOD_TIMING") == "1"
+
+    def _mark(label):
+        if _timing:
+            print(f"[validate] {label}: {time.perf_counter() - _t0:.2f}s", flush=True)
+
     cfg = cfg or ValidateConfig()
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(os.path.join(out_dir, "manifest"))
@@ -180,60 +289,77 @@ def run_validation(
             ignore_errors=True,
         )
 
+    _mark("setup")
     ds = rd.read_parquet(
         input_path,
         filter=pc.field(cfg.part_key).isin(remaining),
     )
     schema_verdict = schema_check(ds, WEBPAGE_SCHEMA)
+    _mark("schema")
 
-    # ONE scan: fused extraction + features; html dropped inside the stage.
+    # ONE scan: fused extraction + features; html dropped inside the
+    # stage. Stateless tasks (cheap per-worker setup) — elastic, no
+    # actor-pool startup; see fused_features_batch.
     featured = ds.map_batches(
-        FusedFeatures,
+        fused_features_batch,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.feature_concurrency,
     ).materialize()  # slim table; at 100TB: write to intermediate parquet
+    _mark("fused+materialize")
 
-    # --- consumers of the materialized feature table (no recompute) ---
-    from ray.data.aggregate import Count, Sum
+    # --- three independent consumers of the materialized feature table,
+    # executed CONCURRENTLY (threads share the Ray cluster; the
+    # streaming executor interleaves their tasks): (1) combined
+    # partial+merge for stats/nulls/uniqueness — only sketch rows and
+    # counters cross its shuffle (SURVEY.md §2.5 G7); (2) extraction
+    # mismatch rows; (3) the windowed peak scorer (the one real
+    # data shuffle: groupby(part_key) sort) ---
+    from concurrent.futures import ThreadPoolExecutor
 
-    stats_tbl = column_stats(
-        featured, list(cfg.stat_columns), key=cfg.part_key
-    ).to_pandas()
+    def _merged():
+        return _combined_partials_merge(featured, cfg).to_pandas()
 
-    flags = (
-        featured.groupby(cfg.part_key)
-        .aggregate(
-            Count(alias_name="rows"),
-            Sum("html_null", alias_name="html_nulls"),
-            Sum("text_null", alias_name="text_nulls"),
-            Sum("extract_match", alias_name="extract_matches"),
-        )
-        .to_pandas()
-        .set_index(cfg.part_key)
-    )
-
-    uniq_tbl = uniqueness_estimate(featured, "url", key=cfg.part_key).to_pandas()
-
-    mismatch_pdf = (
-        featured.map_batches(
+    def _mismatches():
+        return featured.map_batches(
             lambda t: t.filter(pc.invert(t["extract_match"])).select(
                 [cfg.part_key, "url"]
             ),
             batch_format="pyarrow",
-        )
-        .to_pandas()
+        ).to_pandas()
+
+    def _peaks():
+        return windowed_zscore(
+            featured,
+            key=cfg.part_key,
+            ts_col="warc_ts",
+            value_col=cfg.zscore_value,
+            id_cols=["url"],
+            window=cfg.zscore_window,
+            min_periods=cfg.zscore_min_periods,
+            threshold=cfg.zscore_threshold,
+        ).to_pandas()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_merged = pool.submit(_merged)
+        f_mismatch = pool.submit(_mismatches)
+        f_peaks = pool.submit(_peaks)
+        merged = f_merged.result()
+        _mark("combined-merge")
+        mismatch_pdf = f_mismatch.result()
+        _mark("mismatches")
+        peaks_pdf = f_peaks.result()
+        _mark("peaks")
+
+    stats_tbl = merged  # per (part_key, column) sketch stats
+    flags = (
+        merged[merged["column"] == cfg.stat_columns[0]]
+        .set_index("part_key")[["rows", "html_nulls", "text_nulls", "extract_matches"]]
     )
-    peaks_pdf = windowed_zscore(
-        featured,
-        key=cfg.part_key,
-        ts_col="warc_ts",
-        value_col=cfg.zscore_value,
-        id_cols=["url"],
-        window=cfg.zscore_window,
-        min_periods=cfg.zscore_min_periods,
-        threshold=cfg.zscore_threshold,
-    ).to_pandas()
+    uniq_tbl = (
+        merged[merged["column"] == cfg.stat_columns[0]]
+        [["part_key", "rows", "distinct_est", "dup_est"]]
+        .copy()
+    )
 
     mismatch_pdf["violation"] = "extract_mismatch"
     peaks_pdf["violation"] = "peak"
@@ -324,12 +450,11 @@ def run_validation(
             }
         )
 
+    _mark("verdict-loop")
     verdicts = pa.Table.from_pylist(verdict_rows) if verdict_rows else pa.table({})
     pq.write_table(verdicts, os.path.join(out_dir, f"verdicts-{len(done)}.parquet"))
     result.verdicts = verdicts
-    result.stats = pa.Table.from_pandas(
-        stats_tbl.drop(columns=["welford", "tdigest", "hll"]), preserve_index=False
-    )
+    result.stats = pa.Table.from_pandas(stats_tbl, preserve_index=False)
     result.rows_scanned = total_rows
     return result
 

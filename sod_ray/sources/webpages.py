@@ -116,12 +116,17 @@ def synth_shard(
             n_tok[burst] = n_tok[burst] * PEAK_MULT
             peak_rows.extend(int(r) for r in burst)
 
-    vocabs = {lang: _vocab(rng, lang) for lang in set(langs)}
-    texts = []
-    for i in range(n_rows):
-        v = vocabs[langs[i]]
-        idx = rng.integers(0, len(v), size=int(n_tok[i]))
-        texts.append(" ".join(v[j] for j in idx))
+    vocabs = {lang: np.array(_vocab(rng, lang)) for lang in set(langs)}
+    # vectorized text assembly: draw all token indices at once per lang,
+    # then join per row over slices of the flat word array
+    texts: list[str] = [""] * n_rows
+    for lang, vocab in vocabs.items():
+        rows = [i for i in range(n_rows) if langs[i] == lang]
+        counts = n_tok[rows]
+        flat = vocab[rng.integers(0, len(vocab), size=int(counts.sum()))]
+        bounds = np.concatenate(([0], np.cumsum(counts)))
+        for j, i in enumerate(rows):
+            texts[i] = " ".join(flat[bounds[j] : bounds[j + 1]])
 
     htmls: list[bytes | None] = [
         HTML_PREFIX + t.encode("utf-8") + HTML_SUFFIX for t in texts
@@ -134,7 +139,11 @@ def synth_shard(
     candidates = np.setdiff1d(np.arange(n_rows), null_rows)
     trunc_rows = rng.choice(candidates, size=n_trunc, replace=False)
     for r in trunc_rows:
-        htmls[r] = htmls[r][: len(htmls[r]) // 2]
+        h = htmls[r]
+        cut = len(h) // 2
+        while cut > 0 and (h[cut] & 0xC0) == 0x80:
+            cut -= 1  # back off to a UTF-8 boundary (still a violation)
+        htmls[r] = h[:cut]
 
     table = pa.table(
         {
@@ -184,6 +193,7 @@ def write_webpages(
     n_shards: int = 8,
     seed: int = 42,
     with_refs: bool = True,
+    mean_tokens: int = 40,
 ) -> dict:
     """Write a sharded parquet web table (one file per shard — the unit
     of resumable work) + refs table. Returns combined ground truth."""
@@ -197,7 +207,7 @@ def write_webpages(
     truths = []
     tables = []
     for s in range(n_shards):
-        t, truth = synth_shard(per, shard=s, seed=seed)
+        t, truth = synth_shard(per, shard=s, seed=seed, mean_tokens=mean_tokens)
         pq.write_table(t, f"{out_dir}/webpages/shard={s:05d}.parquet")
         truths.append(truth)
         if with_refs:

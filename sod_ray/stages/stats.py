@@ -53,9 +53,13 @@ def _group_indices(batch: pa.Table, key: str | None):
             yield str(dictionary[d]), rows
 
 
-def make_sketch_partials(columns: list[str], key: str | None = None):
+def make_sketch_partials(
+    columns: list[str], key: str | None = None, with_hll: bool = True
+):
     """Batch fn: Arrow table in → partial-sketch rows out (zero-copy
-    numeric path; one pass of numpy reductions per column per key)."""
+    numeric path; one pass of numpy reductions per column per key).
+    ``with_hll=False`` skips the distinct sketch (pointless for dense
+    numeric feature columns — saves the hashing pass)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         keys_out, cols_out, wf_out, td_out, hll_out = [], [], [], [], []
@@ -65,12 +69,13 @@ def make_sketch_partials(columns: list[str], key: str | None = None):
                 arr = sub[col]
                 wf = Welford().update_array(arr)
                 td = TDigest().update_array(arr)
-                hll = HyperLogLog().update_array(arr)
                 keys_out.append(key_val)
                 cols_out.append(col)
                 wf_out.append(wf.to_bytes())
                 td_out.append(td.to_bytes())
-                hll_out.append(hll.to_bytes())
+                hll_out.append(
+                    HyperLogLog().update_array(arr).to_bytes() if with_hll else b""
+                )
         return pa.table(
             {
                 "part_key": pa.array(keys_out, pa.string()),
@@ -94,8 +99,11 @@ def merge_sketch_group(group: pa.Table) -> pa.Table:
         wf.merge(Welford.from_bytes(b))
     for b in group["tdigest"].to_pylist():
         td.merge(TDigest.from_bytes(b))
+    have_hll = False
     for b in group["hll"].to_pylist():
-        hll.merge(HyperLogLog.from_bytes(b))
+        if b:
+            hll.merge(HyperLogLog.from_bytes(b))
+            have_hll = True
     r = wf.result()
     sketch_bytes = sum(
         len(x)
@@ -117,7 +125,9 @@ def merge_sketch_group(group: pa.Table) -> pa.Table:
             "p50": pa.array([td.quantile(0.5)], pa.float64()),
             "p90": pa.array([td.quantile(0.9)], pa.float64()),
             "p99": pa.array([td.quantile(0.99)], pa.float64()),
-            "distinct_est": pa.array([hll.cardinality()], pa.float64()),
+            "distinct_est": pa.array(
+                [hll.cardinality() if have_hll else float("nan")], pa.float64()
+            ),
             "welford": pa.array([wf.to_bytes()], pa.binary()),
             "tdigest": pa.array([td.to_bytes()], pa.binary()),
             "hll": pa.array([hll.to_bytes()], pa.binary()),
@@ -126,13 +136,19 @@ def merge_sketch_group(group: pa.Table) -> pa.Table:
     )
 
 
-def column_stats(ds, columns: list[str], key: str | None = None, batch_size: int = 8192):
+def column_stats(
+    ds,
+    columns: list[str],
+    key: str | None = None,
+    batch_size: int = 8192,
+    with_hll: bool = True,
+):
     """Dataset → per-(key, column) stats Dataset.
 
     Pipeline: map_batches(partials) → groupby(part_key, column) →
     map_groups(merge). Only sketch rows cross the shuffle."""
     partials = ds.map_batches(
-        make_sketch_partials(columns, key),
+        make_sketch_partials(columns, key, with_hll=with_hll),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

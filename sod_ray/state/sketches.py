@@ -139,40 +139,52 @@ class Welford(_Serializable):
 # ---------------------------------------------------------------------------
 
 
-def hash64(values) -> np.ndarray:
-    """Stable 64-bit hashes of a string/binary/numeric array.
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a high-quality 64-bit mixer."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
 
-    Uses pyarrow cast→binary + per-value blake2b(8 bytes). Stable across
-    processes and runs (unlike Python's salted hash()). Vector loop is
-    over a Python list of bytes — acceptable because hashing dominates;
-    used for HLL, dedup keys and salting."""
+
+def hash64(values) -> np.ndarray:
+    """Vectorized 64-bit hashes of a string/binary/numeric array.
+
+    Strings/binary hash via polars (vectorized aHash — stable within a
+    process/container, which is all the engine persists across);
+    numerics via splitmix64 of the float64 bit pattern (stable
+    everywhere). Never Python's salted hash(). Used for HLL, dedup
+    keys, bucketed joins and salting."""
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     if isinstance(values, pa.Array):
-        if pa.types.is_large_string(values.type) or pa.types.is_string(values.type):
-            vals = values.to_pylist()
-            it = (
-                v.encode("utf-8") if v is not None else b"\x00NULL" for v in vals
-            )
-        elif pa.types.is_binary(values.type) or pa.types.is_large_binary(values.type):
-            vals = values.to_pylist()
-            it = (v if v is not None else b"\x00NULL" for v in vals)
-        else:
-            # numeric: use the canonical 8-byte little-endian representation
-            np_vals = values.cast(pa.float64()).to_numpy(zero_copy_only=False)
-            it = (float(v).hex().encode() for v in np_vals)
-    else:
-        it = (str(v).encode("utf-8") for v in values)
-    from hashlib import blake2b
+        if (
+            pa.types.is_string(values.type)
+            or pa.types.is_large_string(values.type)
+            or pa.types.is_binary(values.type)
+            or pa.types.is_large_binary(values.type)
+        ):
+            import polars as pl
 
-    out = np.fromiter(
-        (
-            int.from_bytes(blake2b(v, digest_size=8).digest(), "little")
-            for v in it
-        ),
-        dtype=np.uint64,
-    )
-    return out
+            s = pl.Series(values)
+            h = s.hash(seed=0).to_numpy().astype(np.uint64)
+            if values.null_count:
+                # distinguish null deterministically
+                h = np.where(
+                    np.asarray(s.is_null()), np.uint64(0x6E756C6C6E756C6C), h
+                )
+            return _splitmix64(h)
+        np_vals = values.cast(pa.float64()).fill_null(float("-1.5e308")).to_numpy(
+            zero_copy_only=False
+        )
+        return _splitmix64(np_vals.view(np.uint64))
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iuf":
+        return _splitmix64(arr.astype(np.float64).view(np.uint64))
+    import polars as pl
+
+    return _splitmix64(pl.Series(arr.astype(str)).hash(seed=0).to_numpy().astype(np.uint64))
 
 
 @dataclass
@@ -252,6 +264,10 @@ class TDigest(_Serializable):
     n: int = 0
     _vmin: float = math.inf
     _vmax: float = -math.inf
+
+    def to_bytes(self) -> bytes:
+        self._compress()  # never serialize the raw value buffer
+        return super().to_bytes()
 
     def update_array(self, arr) -> "TDigest":
         if isinstance(arr, (pa.Array, pa.ChunkedArray)):

@@ -73,3 +73,27 @@ def test_md5_matches_duckdb():
     expected = duckdb.sql("SELECT md5(?) AS h", params=[s]).fetchone()[0]
     assert md5_hex(s) == expected
     assert md5_hex(None) == ""
+
+
+def test_extract_text_arrow_parity():
+    """The Arrow/RE2 fast path must match the Python reference
+    byte-for-byte on the synthetic corpus (incl. planted anomalies)."""
+    import pyarrow as pa
+
+    from sod_ray.functions.text import extract_text, extract_text_arrow
+    from sod_ray.sources.webpages import synth_shard
+
+    table, _ = synth_shard(3000, shard=1, seed=7)
+    fast = extract_text_arrow(table["html"]).to_pylist()
+    slow = [extract_text(h) for h in table["html"].to_pylist()]
+    assert fast == slow
+    # hand-built edge cases
+    cases = [
+        b"<html><body><p>a &amp; b</p><script>x</script></body></html>",
+        b"<style>p{}</style>text  here",
+        None,
+        b"",
+        "unicode é中文 <b>ok</b>".encode(),
+    ]
+    arr = pa.array(cases, pa.binary())
+    assert extract_text_arrow(arr).to_pylist() == [extract_text(c) for c in cases]
