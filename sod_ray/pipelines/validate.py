@@ -328,8 +328,11 @@ def run_validation(
         ).to_pandas()
 
     def _peaks():
-        return windowed_zscore(
+        from ..stages.window import windowed_zscore_manual
+
+        return windowed_zscore_manual(
             featured,
+            keys=remaining,
             key=cfg.part_key,
             ts_col="warc_ts",
             value_col=cfg.zscore_value,
@@ -337,7 +340,7 @@ def run_validation(
             window=cfg.zscore_window,
             min_periods=cfg.zscore_min_periods,
             threshold=cfg.zscore_threshold,
-        ).to_pandas()
+        )
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_merged = pool.submit(_merged)

@@ -107,6 +107,90 @@ def windowed_lof(
     return slim.groupby(key).map_groups(per_group, batch_format="pandas")
 
 
+def windowed_zscore_manual(
+    ds,
+    keys: list[str],
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_cols: list[str] | None = None,
+    window: int = 64,
+    min_periods: int = 8,
+    threshold: float = 3.0,
+):
+    """Known-key-set windowed z-score via an explicit two-stage shuffle
+    with raw Ray tasks (the documented Dataset-API escape hatch).
+
+    ``Dataset.groupby().map_groups`` sorts the WHOLE dataset to group it
+    — wasteful when the key space is tiny (≤ dozens of entities). Here:
+    stage 1 splits each block by key (num_returns=len(keys), so pieces
+    flow worker-to-worker, never through the driver); stage 2 runs one
+    task per key: concat → sort by (ts, ids) → rolling z-score.
+
+    Partitioning assumption: one key's full slim history fits one
+    worker (same contract as the reference's per-entity window,
+    /root/reference/internal/dispatcher/manager.go:222-235). For
+    finer-grained entity keys use windowed_zscore (sort-based).
+    Returns a pandas DataFrame of flagged rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    cols = [key, ts_col, value_col] + [
+        c for c in (id_cols or []) if c not in (key, ts_col, value_col)
+    ]
+    slim = ds.select_columns(cols)
+    key_index = {k: i for i, k in enumerate(keys)}
+
+    @ray.remote
+    def split_block(block: pa.Table):
+        import pyarrow.compute as pc2
+
+        out = [None] * len(keys)
+        codes = block[key].combine_chunks().dictionary_encode()
+        idx = codes.indices.to_numpy(zero_copy_only=False)
+        dictionary = codes.dictionary.to_pylist()
+        order = np.argsort(idx, kind="stable")
+        bounds = np.searchsorted(idx[order], np.arange(len(dictionary)))
+        bounds = np.append(bounds, idx.shape[0])
+        for d, val in enumerate(dictionary):
+            rows = order[bounds[d] : bounds[d + 1]]
+            ki = key_index.get(str(val))
+            if ki is not None and rows.size:
+                out[ki] = block.take(pa.array(rows))
+        empty = block.slice(0, 0)
+        return tuple(t if t is not None else empty for t in out)
+
+    @ray.remote
+    def reduce_key(*pieces):
+        tables = [t for t in pieces if t.num_rows]
+        if not tables:
+            return pd.DataFrame()
+        g = pa.concat_tables(tables).to_pandas()
+        sort_cols = [ts_col] + [c for c in (id_cols or []) if c in g.columns]
+        g = g.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+        z = rolling_zscore(g[value_col].to_numpy(), window, min_periods)
+        g["z"] = z
+        with np.errstate(invalid="ignore"):
+            g["is_peak"] = np.abs(z) > threshold
+        return g[g["is_peak"]]
+
+    split_fn = split_block.options(num_returns=len(keys))
+    block_refs = slim.to_arrow_refs()
+    per_key: list[list] = [[] for _ in keys]
+    for ref in block_refs:
+        outs = split_fn.remote(ref)
+        if len(keys) == 1:
+            outs = [outs]
+        for i, r in enumerate(outs):
+            per_key[i].append(r)
+    results = ray.get([reduce_key.remote(*refs) for refs in per_key])
+    out = pd.concat([r for r in results if len(r)], ignore_index=True) if any(
+        len(r) for r in results
+    ) else pd.DataFrame(columns=cols + ["z", "is_peak"])
+    return out
+
+
 def retention_topk_by_recency(ds, key: str, ts_col: str, max_items: int):
     """Grouped keep-newest-N (reference db_scheduler retention,
     /root/reference/internal/dispatcher/db_scheduler.go:53-71): sort by
