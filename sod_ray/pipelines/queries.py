@@ -615,6 +615,33 @@ def lof_events_outliers(sf_dir: str):
     return out.select_columns(["event_id", "user_id"])
 
 
+def lof_predict_events(sf_dir: str):
+    """PREDICT-path scoring (SURVEY.md §3.2): build per-user windows
+    from the first half of the events stream, score the second half
+    read-only against them (rows-only: stateful, not SQL)."""
+    from ..stages.predictor import build_entity_windows, predict_against_windows
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    mid = ds.select_columns(["ts"]).to_pandas()["ts"].quantile(0.5)
+    cut = pa.scalar(mid, pa.timestamp("us"))
+    build = ds.map_batches(
+        lambda t: t.filter(pc.less(t["ts"], cut)), batch_format="pyarrow"
+    )
+    query = ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cut)), batch_format="pyarrow"
+    )
+    windows = build_entity_windows(
+        build, key="user_id", ts_col="ts", feature_cols=["value"], max_items=256
+    )
+    out = predict_against_windows(
+        query, windows, key="user_id", feature_cols=["value"]
+    ).to_pandas()
+    flagged = out[out["outlier"]]
+    return pa.Table.from_pandas(
+        flagged[["event_id", "user_id"]], preserve_index=False
+    )
+
+
 def ivf_knn_top5(sf_dir: str):
     """IVF approximate kNN (rows-only: approximation has no SQL oracle)."""
     import pyarrow.parquet as pq
@@ -725,6 +752,7 @@ QUERIES = {
     "doc_quality_scores": doc_quality_scores,
     "lang_id_predictions": lang_id_predictions,
     "lof_events_outliers": lof_events_outliers,
+    "lof_predict_events": lof_predict_events,
     "ivf_knn_top5": ivf_knn_top5,
     "sketch_stats_documents": sketch_stats_documents,
     "hll_distinct_urls": hll_distinct_urls,

@@ -1,0 +1,128 @@
+"""Read-only scoring against per-entity stored models — the PREDICT
+path of the reference (SURVEY.md §3.2; /root/reference/internal/predict/
+handler.go:65-148 + dispatcher predictor registry manager.go:270-295).
+
+Semantics replicated:
+
+- models are built from previously COLLECTed data only; request rows
+  never enter the model (predict/handler.go — scoring is pure),
+- scoring an entity with no stored window yields the reference's
+  error verdict "unable to predict, test vec size 0" (lof.go:107-108;
+  the registry creates an empty predictor for unknown entities,
+  manager.go:277-286, so unknown == empty),
+- windows respect max_items retention (newest rows win),
+- the reference caps predict requests at 10 points
+  (predict/config.go:7 MaxDataItemsLen); in the batch engine that
+  cap maps to ``batch_size`` — there is no semantic row limit.
+
+Ray shape: the window dict is built once (bounded: entities ×
+max_items × dim) and broadcast via ``ray.put``; the scorer is an actor
+pool fetching it once per actor in ``__init__`` (the K6 registry
+analog), scoring each batch vectorized."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..functions.lof import LofWindow
+
+MAX_DATA_ITEMS_LEN = 10  # reference predict/config.go:7 (documented cap)
+
+
+def build_entity_windows(
+    build_ds,
+    key: str,
+    ts_col: str,
+    feature_cols: list[str],
+    max_items: int = 0,
+    k: int = 3,
+    metric: str = "euclidean",
+    skip_items: int = 0,
+) -> dict:
+    """Build {entity: LofWindow} from a collect dataset: per entity,
+    ts-sorted, newest ``max_items`` retained (brute.go:168-179). Runs
+    the per-entity fold distributed (map_groups), then collects the
+    BOUNDED window state to the driver for broadcast."""
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        if max_items > 0:
+            g = g.tail(max_items)
+        vecs = g[feature_cols].to_numpy(dtype=np.float64)
+        ts = g[ts_col].astype("int64").to_numpy()
+        return pd.DataFrame(
+            {
+                "entity": [str(g[key].iloc[0])],
+                "vecs": [vecs.tolist()],
+                "ts": [ts.tolist()],
+            }
+        )
+
+    rows = (
+        build_ds.select_columns([key, ts_col] + feature_cols)
+        .groupby(key)
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    windows = {}
+    for _, r in rows.iterrows():
+        w = LofWindow(
+            k=k, metric=metric, skip_items=skip_items, max_items=max_items
+        )
+        w.build([np.asarray(v) for v in r["vecs"]], r["ts"])
+        windows[r["entity"]] = w
+    return windows
+
+
+class PredictScorer:
+    """Actor: fetch the broadcast window dict once; score batches
+    read-only (no state mutation — predict path)."""
+
+    def __init__(self, windows_ref, key: str, feature_cols: list[str]):
+        self.windows = (
+            ray.get(windows_ref) if not isinstance(windows_ref, dict) else windows_ref
+        )
+        self.key = key
+        self.feature_cols = feature_cols
+        self._empty = LofWindow()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        lofs, outliers, errors = [], [], []
+        for _, row in batch.iterrows():
+            w = self.windows.get(str(row[self.key]), self._empty)
+            v = w.predict([float(row[c]) for c in self.feature_cols])
+            lofs.append(v.lof)
+            outliers.append(v.outlier)
+            errors.append(v.error or "")
+        batch = batch.copy()
+        batch["lof"] = lofs
+        batch["outlier"] = outliers
+        batch["verdict_error"] = errors
+        return batch
+
+
+def predict_against_windows(
+    query_ds,
+    windows: dict,
+    key: str,
+    feature_cols: list[str],
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+):
+    """Score a query Dataset against prebuilt windows (broadcast once,
+    read per actor — never re-shipped per batch)."""
+    ref = ray.put(windows)
+    return query_ds.map_batches(
+        PredictScorer,
+        fn_constructor_kwargs={
+            "windows_ref": ref,
+            "key": key,
+            "feature_cols": feature_cols,
+        },
+        batch_format="pandas",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -100,6 +100,20 @@ def windowed_lof(
         g["lof"] = [v.lof for v in verdicts]
         g["outlier"] = [v.outlier for v in verdicts]
         g["verdict_error"] = [v.error or "" for v in verdicts]
+        # K7 last-normal-vector cache (manager.go:395-407): each flagged
+        # row carries the most recent inlier's feature vector (the
+        # reference attaches the cached NormVec to the alert; its nil
+        # quirk is documented in FIXTURES.md G2 — we emit the actual
+        # last inlier vector).
+        outlier_arr = np.asarray(g["outlier"], dtype=bool)
+        scored = np.asarray([v.error is None for v in verdicts], dtype=bool)
+        inlier = scored & ~outlier_arr
+        idx = np.arange(len(g))
+        last_inlier = np.maximum.accumulate(np.where(inlier, idx, -1))
+        prev = np.concatenate(([-1], last_inlier[:-1]))
+        g["norm_vec"] = [
+            vecs[j].tolist() if j >= 0 else None for j in prev
+        ]
         if flagged_only:
             g = g[g["outlier"]]
         return g
