@@ -469,6 +469,71 @@ ORDER BY value DESC, event_id LIMIT 10
 """
 
 
+def events_sessionize(sf_dir: str):
+    """Session windows per user (gap > 30 min splits): the engine's
+    tumbling/session-window surface, computed per sorted group inside
+    map_groups (the Ray translation of event-time sessionization)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    gap = pd.Timedelta(minutes=30)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        g["session_id"] = brk.cumsum().astype("int64") - 1
+        out = (
+            g.groupby("session_id")
+            .agg(
+                n_events=("event_id", "size"),
+                first_event_id=("event_id", "min"),
+            )
+            .reset_index()
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "session_id", "n_events", "first_event_id"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+  FROM o
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(event_id) AS first_event_id
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def events_errors_by_user(sf_dir: str):
+    """Grouped fetch + predicate (reference FindByEntity(filter),
+    metric/database/metric.go:242-265): vectorized filter inside
+    map_batches, then groupby count."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    errs = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("error"))),
+        batch_format="pyarrow",
+    )
+    return errs.groupby("user_id").aggregate(Count(alias_name="n_errors"))
+
+
+EVENTS_ERRORS_SQL = """
+SELECT user_id, COUNT(*) AS n_errors FROM events
+WHERE event_type = 'error' GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -744,6 +809,8 @@ QUERIES = {
     "events_zscore_flags": events_zscore_flags,
     "events_retention_top3": events_retention_top3,
     "events_top10_value": events_top10_value,
+    "events_sessionize": events_sessionize,
+    "events_errors_by_user": events_errors_by_user,
     "doc_token_counts": doc_token_counts,
     "token_totals_by_lang": token_totals_by_lang,
     "embedding_norms": embedding_norms,
@@ -777,6 +844,8 @@ ORACLES = {
     "events_zscore_flags": EVENTS_ZSCORE_SQL,
     "events_retention_top3": EVENTS_RETENTION_SQL,
     "events_top10_value": EVENTS_TOP10_SQL,
+    "events_sessionize": EVENTS_SESSIONIZE_SQL,
+    "events_errors_by_user": EVENTS_ERRORS_SQL,
     "doc_token_counts": DOC_TOKENS_SQL,
     "token_totals_by_lang": TOKEN_TOTALS_SQL,
     "embedding_norms": EMBED_NORMS_SQL,
