@@ -355,19 +355,23 @@ _REF_RELATIONSHIPS = [
 def ref_orphan_counts(sf_dir: str):
     """FK containment over the star schema via broadcast anti-join
     (sod_ray.stages.constraints.broadcast_anti_join — zero shuffle)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..stages.constraints import broadcast_anti_join
 
-    rows = []
-    for name, child, fk, parent, pk in _REF_RELATIONSHIPS:
+    def one(rel):
+        name, child, fk, parent, pk = rel
         child_ds = _read(sf_dir, child, [fk])
         parent_tbl = _read(sf_dir, parent, [pk]).to_pandas()
         keys = pa.array(parent_tbl[pk])
-        n = broadcast_anti_join(child_ds, keys, fk).count()
-        rows.append({"relationship": name, "n_orphans": n})
+        return name, broadcast_anti_join(child_ds, keys, fk).count()
+
+    with ThreadPoolExecutor(max_workers=5) as pool:  # independent checks overlap
+        rows = list(pool.map(one, _REF_RELATIONSHIPS))
     return pa.table(
         {
-            "relationship": pa.array([r["relationship"] for r in rows], pa.string()),
-            "n_orphans": pa.array([r["n_orphans"] for r in rows], pa.int64()),
+            "relationship": pa.array([r[0] for r in rows], pa.string()),
+            "n_orphans": pa.array([r[1] for r in rows], pa.int64()),
         }
     )
 
