@@ -359,15 +359,20 @@ def ref_orphan_counts(sf_dir: str):
 
     from ..stages.constraints import broadcast_anti_join
 
-    def one(rel):
-        name, child, fk, parent, pk = rel
+    # build the datasets serially (fsspec's lazy imports are not
+    # thread-safe), then overlap only the anti-join executions
+    prepared = []
+    for name, child, fk, parent, pk in _REF_RELATIONSHIPS:
         child_ds = _read(sf_dir, child, [fk])
-        parent_tbl = _read(sf_dir, parent, [pk]).to_pandas()
-        keys = pa.array(parent_tbl[pk])
-        return name, broadcast_anti_join(child_ds, keys, fk).count()
+        keys = pa.array(_read(sf_dir, parent, [pk]).to_pandas()[pk])
+        prepared.append((name, broadcast_anti_join(child_ds, keys, fk)))
 
-    with ThreadPoolExecutor(max_workers=5) as pool:  # independent checks overlap
-        rows = list(pool.map(one, _REF_RELATIONSHIPS))
+    def one(item):
+        name, ds = item
+        return name, ds.count()
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        rows = list(pool.map(one, prepared))
     return pa.table(
         {
             "relationship": pa.array([r[0] for r in rows], pa.string()),
