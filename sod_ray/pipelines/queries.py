@@ -339,6 +339,69 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
 
+def q3_join(sf_dir: str):
+    """TPC-H Q3 shape: broadcast semi-filter on the small dimension
+    (customer segment), NATIVE Ray hash join (``Dataset.join``,
+    hash-partitioned) for the two large fact tables, then groupby +
+    top-10. Demonstrates both join strategies from the guide."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.constraints import broadcast_semi_join
+
+    cutoff = pa.scalar(pd.Timestamp("1997-01-01"), pa.timestamp("us"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    cust_keys = pa.array(
+        cust.to_pandas().query("c_mktsegment == 'BUILDING'")["c_custkey"]
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    orders_f = broadcast_semi_join(
+        orders.map_batches(
+            lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)),
+            batch_format="pyarrow",
+        ),
+        cust_keys,
+        "o_custkey",
+    )
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(
+        lambda t: t.append_column(
+            "rev",
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        ).filter(pc.greater(t["l_shipdate"], cutoff)),
+        batch_format="pyarrow",
+    )
+    joined = orders_f.join(
+        li, "inner", num_partitions=16, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+    agg = joined.groupby(["o_orderkey", "o_orderdate"]).aggregate(
+        Sum("rev", alias_name="revenue")
+    )
+    top = (
+        agg.to_pandas()
+        .sort_values(["revenue", "o_orderkey"], ascending=[False, True], kind="stable")
+        .head(10)
+    )
+    top["revenue"] = top["revenue"].round(2)
+    return pa.Table.from_pandas(
+        top[["o_orderkey", "o_orderdate", "revenue"]], preserve_index=False
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey, o_orderdate,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Referential
 # ---------------------------------------------------------------------------
@@ -809,6 +872,7 @@ QUERIES = {
     "doc_gmean_hmean_by_lang": doc_gmean_hmean_by_lang,
     "events_agg_by_type": events_agg_by_type,
     "q1_lineitem": q1_lineitem,
+    "q3_join": q3_join,
     "distinct_langs": distinct_langs,
     "distinct_user_count": distinct_user_count,
     "doc_md5": doc_md5,
@@ -844,6 +908,7 @@ ORACLES = {
     "doc_gmean_hmean_by_lang": DOC_GMEAN_SQL,
     "events_agg_by_type": EVENTS_AGG_SQL,
     "q1_lineitem": Q1_SQL,
+    "q3_join": Q3_SQL,
     "distinct_langs": DISTINCT_LANGS_SQL,
     "distinct_user_count": DISTINCT_USERS_SQL,
     "doc_md5": DOC_MD5_SQL,
