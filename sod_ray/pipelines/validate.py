@@ -39,9 +39,8 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from ..state.manifest import Manifest, PartitionRecord
-from ..stages.constraints import schema_check, uniqueness_estimate
+from ..stages.constraints import schema_check
 from ..stages.stats import column_stats
-from ..stages.window import windowed_zscore
 
 WEBPAGE_SCHEMA = {
     "url": pa.string(),

@@ -129,6 +129,21 @@ def minhash_signatures(
     return sig
 
 
+def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64 — FNV fold of each band's signature rows."""
+    n_perm = sig.shape[1]
+    rows_per_band = n_perm // bands
+    base = np.uint64(1099511628211)
+    out = np.zeros((sig.shape[0], bands), dtype=np.uint64)
+    for b_i in range(bands):
+        seg = sig[:, b_i * rows_per_band : (b_i + 1) * rows_per_band]
+        h = np.zeros(sig.shape[0], dtype=np.uint64)
+        for j in range(rows_per_band):
+            h = h * base + seg[:, j]
+        out[:, b_i] = h
+    return out
+
+
 def minhash_lsh_dedup(
     ds,
     text_col: str,
@@ -138,66 +153,106 @@ def minhash_lsh_dedup(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.7,
     seed: int = 1337,
+    max_bucket_size: int = 256,
 ):
-    """MinHash+LSH near-dup pairs: signatures per batch → explode to
-    (band, band_hash, id) rows → groupby band buckets → candidate pairs
-    verified by signature-agreement Jaccard estimate.
+    """MinHash+LSH near-dup pairs, shuffle-lean:
 
-    Returns a Dataset of (id_a, id_b, jaccard_est) with id_a < id_b.
-    Only (band rows + signatures) are shuffled, never the text."""
-    rows_per_band = n_perm // bands
+    1. per batch: signatures → (band, band_hash, id) rows ONLY — the
+       shuffle carries 16 × 16 bytes per doc, never the 512-byte
+       signature and never the text;
+    2. groupby band buckets → candidate id pairs (buckets larger than
+       ``max_bucket_size`` — giant dup clusters — emit a consecutive-id
+       CHAIN instead of the quadratic pair set; connected components
+       still merge the cluster);
+    3. signatures are recomputed (deterministic seed) for CANDIDATE ids
+       only and broadcast; pairs verified by signature-agreement
+       Jaccard estimate on the driver (candidate set is banding-pruned,
+       orders of magnitude smaller than the corpus).
+
+    Returns a pyarrow Table (id_a, id_b, jaccard_est), id_a < id_b."""
 
     def to_band_rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sig = minhash_signatures(texts, n_perm, shingle_k, seed)
-        band_hash = np.zeros((len(texts), bands), dtype=np.uint64)
-        base = np.uint64(1099511628211)
-        for b_i in range(bands):
-            seg = sig[:, b_i * rows_per_band : (b_i + 1) * rows_per_band]
-            h = np.zeros(len(texts), dtype=np.uint64)
-            for j in range(rows_per_band):
-                h = h * base + seg[:, j]
-            band_hash[:, b_i] = h
+        bh = _band_hashes(sig, bands)
         n = len(texts)
         return pa.table(
             {
                 "band": pa.array(np.repeat(np.arange(bands), n).astype(np.int32)),
-                "band_hash": pa.array(band_hash.T.reshape(-1)),
+                "band_hash": pa.array(bh.T.reshape(-1)),
                 id_col: pa.array(np.tile(ids, bands)),
-                "sig": pa.array(list(np.tile(sig, (bands, 1)))),
             }
         )
 
     band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow")
 
     def candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_est": []})
-        g = group.sort_values(id_col, kind="stable").drop_duplicates(id_col)
+        g = group.drop_duplicates(id_col).sort_values(id_col, kind="stable")
         ids = g[id_col].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            hits = np.flatnonzero(agree >= jaccard_threshold)
-            for h in hits:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + h])
-                out_j.append(float(agree[h]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard_est": out_j})
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype=ids.dtype if len(ids) else "int64"),
+                                 "id_b": pd.Series(dtype=ids.dtype if len(ids) else "int64")})
+        if len(ids) > max_bucket_size:
+            return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})  # chain
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        candidate_pairs, batch_format="pandas"
+    pairs_pdf = (
+        band_rows.groupby(["band", "band_hash"])
+        .map_groups(candidate_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["id_a", "id_b"])
     )
+    if len(pairs_pdf) == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard_est": pa.array([], pa.float64()),
+            }
+        )
 
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    # the same pair can surface from multiple bands — keep one
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        dedup_pairs, batch_format="pandas"
+    # recompute signatures for candidate ids only (deterministic)
+    cand_ids = np.unique(
+        np.concatenate([pairs_pdf["id_a"].to_numpy(), pairs_pdf["id_b"].to_numpy()])
     )
+    import ray
+
+    cand_ref = ray.put(np.sort(cand_ids))
+
+    def sig_for_candidates(batch: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cand, ids)
+        pos = np.minimum(pos, cand.size - 1)
+        mask = cand[pos] == ids
+        if not mask.any():
+            return pa.table({id_col: pa.array([], pa.int64()), "sig": pa.array([], pa.list_(pa.uint64()))})
+        sub_ids = ids[mask]
+        texts = [t for t, m in zip(batch[text_col].to_pylist(), mask) if m]
+        sig = minhash_signatures(texts, n_perm, shingle_k, seed)
+        return pa.table(
+            {id_col: pa.array(sub_ids), "sig": pa.array(list(sig))}
+        )
+
+    sig_rows = ds.map_batches(sig_for_candidates, batch_format="pyarrow").to_pandas()
+    sig_by_id = {
+        i: np.asarray(s, dtype=np.uint64)
+        for i, s in zip(sig_rows[id_col], sig_rows["sig"])
+    }
+    est = np.array(
+        [
+            (sig_by_id[a] == sig_by_id[b]).mean()
+            if a in sig_by_id and b in sig_by_id
+            else 0.0
+            for a, b in zip(pairs_pdf["id_a"], pairs_pdf["id_b"])
+        ]
+    )
+    keep = est >= jaccard_threshold
+    out = pairs_pdf[keep].copy()
+    out["jaccard_est"] = est[keep]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
