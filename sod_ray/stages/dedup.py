@@ -154,6 +154,7 @@ def minhash_lsh_dedup(
     jaccard_threshold: float = 0.7,
     seed: int = 1337,
     max_bucket_size: int = 256,
+    small_corpus_rows: int = 100_000,
 ):
     """MinHash+LSH near-dup pairs, shuffle-lean:
 
@@ -169,6 +170,11 @@ def minhash_lsh_dedup(
        Jaccard estimate on the driver (candidate set is banding-pruned,
        orders of magnitude smaller than the corpus).
 
+    For small corpora (< ``small_corpus_rows``) the extra executions
+    cost more than they save — there the signatures ride along in the
+    band rows and verification happens inside the bucket groups (one
+    execution total). Same results either way (tested).
+
     Returns a pyarrow Table (id_a, id_b, jaccard_est), id_a < id_b."""
 
     def to_band_rows(batch: pa.Table) -> pa.Table:
@@ -183,6 +189,11 @@ def minhash_lsh_dedup(
                 "band_hash": pa.array(bh.T.reshape(-1)),
                 id_col: pa.array(np.tile(ids, bands)),
             }
+        )
+
+    if ds.count() < small_corpus_rows:
+        return _minhash_small(
+            ds, text_col, id_col, n_perm, bands, shingle_k, jaccard_threshold, seed
         )
 
     band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow")
@@ -253,6 +264,66 @@ def minhash_lsh_dedup(
     out = pairs_pdf[keep].copy()
     out["jaccard_est"] = est[keep]
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def _minhash_small(
+    ds, text_col, id_col, n_perm, bands, shingle_k, jaccard_threshold, seed
+):
+    """Small-corpus path: one pass — signatures computed on the driver
+    over collected (id, text) batches would defeat the point; instead
+    signatures ride in the band rows and buckets verify in-place."""
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig = minhash_signatures(texts, n_perm, shingle_k, seed)
+        bh = _band_hashes(sig, bands)
+        n = len(texts)
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(bands), n).astype(np.int32)),
+                "band_hash": pa.array(bh.T.reshape(-1)),
+                id_col: pa.array(np.tile(ids, bands)),
+                "sig": pa.array(list(np.tile(sig, (bands, 1)))),
+            }
+        )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates(id_col).sort_values(id_col, kind="stable")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+                 "jaccard_est": pd.Series(dtype="float64")}
+            )
+        ids = g[id_col].to_numpy()
+        sigs = np.stack(g["sig"].to_numpy())
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            hits = np.flatnonzero(agree >= jaccard_threshold)
+            for h in hits:
+                out_a.append(ids[i])
+                out_b.append(ids[i + 1 + h])
+                out_j.append(float(agree[h]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard_est": out_j})
+
+    pairs = (
+        ds.map_batches(to_band_rows, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    if len(pairs) == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard_est": pa.array([], pa.float64()),
+            }
+        )
+    return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
