@@ -42,7 +42,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from .distance import EUCLIDEAN, pairwise
+from .distance import EUCLIDEAN, DimMismatchError, pairwise
 
 MIN_K_NUM = 3  # lof/config.go:13
 LOF_THRESHOLD = 1.0  # lof.go:14
@@ -72,6 +72,12 @@ class LofWindow:
     allow_append_outlier: bool = True  # dispatcher/config.go:23
     _vecs: list[np.ndarray] = field(default_factory=list)
     _ts: list[int] = field(default_factory=list)
+    # incremental stored-point distance cache: appending a point costs
+    # O(w·d) instead of rebuilding the O(w²·d) matrix per scored row —
+    # the streaming replay's hot path. Same numeric kernel per element,
+    # so scores are identical to the rebuilt-matrix path (tested).
+    _S: np.ndarray | None = field(default=None, repr=False)
+    _DS: np.ndarray | None = field(default=None, repr=False)
 
     def __len__(self) -> int:
         return len(self._vecs)
@@ -79,7 +85,28 @@ class LofWindow:
     # -- window maintenance (brute.go Build/Append + eviction) ----------
 
     def append(self, vec, ts_us: int = 0) -> None:
-        self._vecs.append(np.asarray(vec, dtype=np.float64))
+        v = np.asarray(vec, dtype=np.float64)
+        if self._S is not None and self._S.size:
+            try:
+                d = pairwise(v[None, :], self._S, self.metric)[0]
+            except DimMismatchError:
+                # reference semantics: Append stores anything; dimension
+                # errors surface at distance time (geom.ErrDimNotEqual)
+                self._S = None
+                self._DS = None
+            else:
+                w = self._S.shape[0]
+                new_DS = np.empty((w + 1, w + 1))
+                new_DS[:w, :w] = self._DS
+                new_DS[w, :w] = d
+                new_DS[:w, w] = d
+                new_DS[w, w] = 0.0
+                self._DS = new_DS
+                self._S = np.vstack([self._S, v[None, :]])
+        else:
+            self._S = None
+            self._DS = None
+        self._vecs.append(v)
         self._ts.append(int(ts_us))
         self._evict()
 
@@ -89,11 +116,15 @@ class LofWindow:
         for i in order:
             self._vecs.append(np.asarray(vecs[i], dtype=np.float64))
             self._ts.append(int(ts_us[i]))
+        self._S = None
+        self._DS = None
         self._evict()
 
     def reset(self) -> None:
         self._vecs.clear()
         self._ts.clear()
+        self._S = None
+        self._DS = None
 
     def _evict(self) -> None:
         # size eviction: drop oldest beyond max_items (brute.go:168-179)
@@ -101,6 +132,9 @@ class LofWindow:
             drop = len(self._vecs) - self.max_items
             del self._vecs[:drop]
             del self._ts[:drop]
+            if self._S is not None:
+                self._S = self._S[drop:]
+                self._DS = self._DS[drop:, drop:]
         # time eviction relative to data time, not wall clock
         # (brute.go:153-166 uses time.Since; deterministic translation)
         if self.max_storage_time_us > 0 and self._ts:
@@ -109,21 +143,34 @@ class LofWindow:
             if len(keep) != len(self._ts):
                 self._vecs = [self._vecs[i] for i in keep]
                 self._ts = [self._ts[i] for i in keep]
+                if self._S is not None:
+                    idx = np.asarray(keep, dtype=np.int64)
+                    self._S = self._S[idx]
+                    self._DS = self._DS[np.ix_(idx, idx)]
 
     # -- scoring --------------------------------------------------------
 
     def _stored(self) -> np.ndarray:
         return np.stack(self._vecs) if self._vecs else np.empty((0, 0))
 
+    def _matrices(self):
+        if self._S is None or not self._S.size:
+            self._S = self._stored()
+            self._DS = (
+                pairwise(self._S, self._S, self.metric)
+                if self._S.size
+                else np.empty((0, 0))
+            )
+        return self._S, self._DS
+
     def lof(self, vec) -> float:
         """LOF score of `vec` against the stored window (lof.go:124-143)."""
         q = np.asarray(vec, dtype=np.float64)
-        S = self._stored()
+        S, DS = self._matrices()
         if S.shape[0] < self.k:
             raise LofError("knn less minimal value")
-        # distances: query→stored and stored→stored, computed once
+        # query→stored distances; stored→stored from the incremental cache
         dq = pairwise(q[None, :], S, self.metric)[0]
-        DS = pairwise(S, S, self.metric)
 
         def knn_sorted(d: np.ndarray, k: int) -> np.ndarray:
             if d.shape[0] < k:

@@ -283,8 +283,6 @@ DEDUP_FIRST_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text
 def dup_text_groups(sf_dir: str):
     """Duplicate-text groups (uniqueness exact fallback); empty when the
     table has no dup texts — still a valid constraint result."""
-    from ..stages.dedup import exact_dedup  # noqa: F401  (same shuffle shape)
-
     import hashlib
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -23,16 +23,6 @@ from ..state.sketches import HyperLogLog, TDigest, Welford, hash64
 
 GLOBAL_KEY = "__all__"
 
-PARTIAL_SCHEMA = pa.schema(
-    [
-        ("part_key", pa.string()),
-        ("column", pa.string()),
-        ("welford", pa.binary()),
-        ("tdigest", pa.binary()),
-        ("hll", pa.binary()),
-    ]
-)
-
 
 def _group_indices(batch: pa.Table, key: str | None):
     """Yield (key_value, row_indices) for each distinct key in the batch."""
