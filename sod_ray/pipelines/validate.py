@@ -349,21 +349,39 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
     # data shuffle: groupby(part_key) sort) ---
     from concurrent.futures import ThreadPoolExecutor
 
+    viol_dir = os.path.join(out_dir, "violations")
+    os.makedirs(viol_dir, exist_ok=True)
+
     def _merged():
         return _combined_partials_merge(featured, cfg).to_pandas()
 
     def _mismatches():
-        return featured.map_batches(
-            lambda t: t.filter(pc.invert(t["extract_match"])).select(
-                [cfg.part_key, "url"]
-            ),
-            batch_format="pyarrow",
-        ).to_pandas()
+        """Distributed violation sink: flagged rows write straight to
+        the partitioned sidecar (never through the driver); only the
+        per-key counts come back."""
+        from ray.data.aggregate import Count
+
+        def flag_rows(t: pa.Table) -> pa.Table:
+            bad = t.filter(pc.invert(t["extract_match"])).select(
+                [cfg.part_key, "url", "warc_ts"]
+            )
+            return bad.append_column(
+                "violation", pa.array(["extract_mismatch"] * len(bad), pa.string())
+            )
+
+        mism = featured.map_batches(flag_rows, batch_format="pyarrow")
+        mism.write_parquet(viol_dir, partition_cols=[cfg.part_key])
+        return (
+            mism.groupby(cfg.part_key)
+            .aggregate(Count(alias_name="n_mismatch"))
+            .to_pandas()
+            .set_index(cfg.part_key)
+        )
 
     def _peaks():
         from ..stages.window import windowed_zscore_manual
 
-        return windowed_zscore_manual(
+        counts = windowed_zscore_manual(
             featured,
             keys=remaining,
             key=cfg.part_key,
@@ -373,7 +391,10 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
             window=cfg.zscore_window,
             min_periods=cfg.zscore_min_periods,
             threshold=cfg.zscore_threshold,
+            sink_dir=viol_dir,
+            sink_key_prefix=cfg.part_key,
         )
+        return counts.set_index(cfg.part_key)
 
     with ThreadPoolExecutor(max_workers=3) as pool:
         f_merged = pool.submit(_merged)
@@ -381,9 +402,9 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
         f_peaks = pool.submit(_peaks)
         merged = f_merged.result()
         _mark("combined-merge")
-        mismatch_pdf = f_mismatch.result()
+        mismatch_counts = f_mismatch.result()
         _mark("mismatches")
-        peaks_pdf = f_peaks.result()
+        peak_counts = f_peaks.result()
         _mark("peaks")
 
     stats_tbl = merged  # per (part_key, column) sketch stats
@@ -397,13 +418,6 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
         .copy()
     )
 
-    mismatch_pdf["violation"] = "extract_mismatch"
-    peaks_pdf["violation"] = "peak"
-    viol_cols = [cfg.part_key, "url", "violation"]
-    violations = pd.concat(
-        [mismatch_pdf[viol_cols], peaks_pdf[viol_cols]], ignore_index=True
-    )
-
     drift_tbl = None
     if cfg.baseline:
         from ..stages.drift import drift_check
@@ -414,16 +428,25 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
         cur = column_stats(featured, list(cfg.stat_columns), key=cfg.part_key)
         drift_tbl = drift_check(cur, cfg.baseline).to_pandas()
 
-    # --- per-partition verdicts + manifest commit ---
+    # --- per-partition verdicts + manifest commit (violation rows are
+    # already ON DISK, written by the distributed sinks; only counts
+    # flow through here) ---
     import pyarrow.parquet as pq
 
-    viol_dir = os.path.join(out_dir, "violations")
     verdict_rows = []
     total_rows = 0
     for p in remaining:
         p_stats = stats_tbl[stats_tbl["part_key"] == p]
         p_uniq = uniq_tbl[uniq_tbl["part_key"] == p]
-        p_viol = violations[violations[cfg.part_key] == p]
+        n_mismatch = (
+            int(mismatch_counts.loc[p, "n_mismatch"])
+            if p in mismatch_counts.index
+            else 0
+        )
+        n_peaks = (
+            int(peak_counts.loc[p, "n_flagged"]) if p in peak_counts.index else 0
+        )
+        n_viol = n_mismatch + n_peaks
         rows = int(flags.loc[p, "rows"]) if p in flags.index else 0
         total_rows += rows
 
@@ -438,13 +461,11 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
         outcomes["uniqueness"] = (
             "pass" if dup_est <= cfg.max_dup_rate * max(rows, 1) else "fail"
         )
-        n_mismatch = int((p_viol["violation"] == "extract_mismatch").sum())
         outcomes["extraction"] = (
             "pass"
             if n_mismatch <= cfg.max_extract_mismatch_rate * max(rows, 1)
             else "fail"
         )
-        n_peaks = int((p_viol["violation"] == "peak").sum())
         outcomes["peaks"] = (
             "pass" if n_peaks <= cfg.max_peak_rate * max(rows, 1) else "fail"
         )
@@ -457,11 +478,7 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
             )
 
         pdir = os.path.join(viol_dir, f"{cfg.part_key}={p}")
-        os.makedirs(pdir, exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pandas(p_viol, preserve_index=False),
-            os.path.join(pdir, "part-0.parquet"),
-        )
+        os.makedirs(pdir, exist_ok=True)  # exists unless the key had no rows
 
         sketch_bytes = (
             int(p_stats["sketch_bytes"].sum()) if "sketch_bytes" in p_stats else 0
@@ -470,7 +487,7 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
             PartitionRecord(
                 partition=p,
                 rows_scanned=rows,
-                rows_violating=len(p_viol),
+                rows_violating=n_viol,
                 constraint_outcomes=outcomes,
                 outputs=[pdir],
                 sketch_bytes=sketch_bytes,
@@ -480,7 +497,7 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
             {
                 "partition": p,
                 "rows": rows,
-                "violations": len(p_viol),
+                "violations": n_viol,
                 "passed": all(v == "pass" for v in outcomes.values()),
                 **{f"c_{k}": v for k, v in outcomes.items()},
             }

@@ -131,9 +131,18 @@ def windowed_zscore_manual(
     window: int = 64,
     min_periods: int = 8,
     threshold: float = 3.0,
+    sink_dir: str | None = None,
+    sink_key_prefix: str | None = None,
 ):
     """Known-key-set windowed z-score via an explicit two-stage shuffle
     with raw Ray tasks (the documented Dataset-API escape hatch).
+
+    With ``sink_dir`` set, each reduce task WRITES its partition's
+    flagged rows to ``<sink_dir>/<prefix>=<key>/peaks-0.parquet``
+    itself and only (key, n_flagged) rows return to the driver — the
+    violation sidecar never funnels through one process (the 100 TB
+    path). Without it, the flagged rows come back as a DataFrame
+    (test/oracle convenience).
 
     ``Dataset.groupby().map_groups`` sorts the WHOLE dataset to group it
     — wasteful when the key space is tiny (≤ dozens of entities). Here:
@@ -176,18 +185,35 @@ def windowed_zscore_manual(
         return tuple(t if t is not None else empty for t in out)
 
     @ray.remote
-    def reduce_key(*pieces):
+    def reduce_key(key_val, *pieces):
         tables = [t for t in pieces if t.num_rows]
         if not tables:
-            return pd.DataFrame()
-        g = pa.concat_tables(tables).to_pandas()
-        sort_cols = [ts_col] + [c for c in (id_cols or []) if c in g.columns]
-        g = g.sort_values(sort_cols, kind="stable").reset_index(drop=True)
-        z = rolling_zscore(g[value_col].to_numpy(), window, min_periods)
-        g["z"] = z
-        with np.errstate(invalid="ignore"):
-            g["is_peak"] = np.abs(z) > threshold
-        return g[g["is_peak"]]
+            flagged = pd.DataFrame(columns=cols + ["z", "is_peak"])
+        else:
+            g = pa.concat_tables(tables).to_pandas()
+            sort_cols = [ts_col] + [c for c in (id_cols or []) if c in g.columns]
+            g = g.sort_values(sort_cols, kind="stable").reset_index(drop=True)
+            z = rolling_zscore(g[value_col].to_numpy(), window, min_periods)
+            g["z"] = z
+            with np.errstate(invalid="ignore"):
+                g["is_peak"] = np.abs(z) > threshold
+            flagged = g[g["is_peak"]]
+        if sink_dir is None:
+            return flagged
+        import os
+
+        import pyarrow.parquet as pq
+
+        prefix = sink_key_prefix or key
+        pdir = os.path.join(sink_dir, f"{prefix}={key_val}")
+        os.makedirs(pdir, exist_ok=True)
+        flagged = flagged.copy()
+        flagged["violation"] = "peak"
+        pq.write_table(
+            pa.Table.from_pandas(flagged, preserve_index=False),
+            os.path.join(pdir, "peaks-0.parquet"),
+        )
+        return pd.DataFrame({key: [key_val], "n_flagged": [len(flagged)]})
 
     split_fn = split_block.options(num_returns=len(keys))
     block_refs = slim.to_arrow_refs()
@@ -198,10 +224,12 @@ def windowed_zscore_manual(
             outs = [outs]
         for i, r in enumerate(outs):
             per_key[i].append(r)
-    results = ray.get([reduce_key.remote(*refs) for refs in per_key])
+    results = ray.get(
+        [reduce_key.remote(k, *refs) for k, refs in zip(keys, per_key)]
+    )
     out = pd.concat([r for r in results if len(r)], ignore_index=True) if any(
         len(r) for r in results
-    ) else pd.DataFrame(columns=cols + ["z", "is_peak"])
+    ) else pd.DataFrame(columns=(cols + ["z", "is_peak"]) if sink_dir is None else [key, "n_flagged"])
     return out
 
 

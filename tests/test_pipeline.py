@@ -90,12 +90,15 @@ def test_verdicts_detect_planted_anomalies(ray_session, web_dir, tmp_path):
     # with ~0.5% planted null html, the null check must now fail somewhere
     assert (v["c_null_rate"] == "fail").any()
     assert (v["c_extraction"] == "fail").any()
-    # violation files contain peak rows
+    # violation sidecar files (written by the distributed sinks) contain
+    # both violation kinds
+    import glob
+
     viols = []
     for p in v["partition"]:
-        f = os.path.join(out, "violations", f"lang={p}", "part-0.parquet")
-        viols.append(pq.read_table(f).to_pandas())
-    allv = pd.concat(viols)
+        for f in glob.glob(os.path.join(out, "violations", f"lang={p}", "*.parquet")):
+            viols.append(pq.read_table(f).to_pandas())
+    allv = pd.concat(viols, join="outer", ignore_index=True)
     assert (allv["violation"] == "peak").sum() > 0
     assert (allv["violation"] == "extract_mismatch").sum() > 0
 
