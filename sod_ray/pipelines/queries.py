@@ -539,6 +539,23 @@ ORDER BY value DESC, event_id LIMIT 10
 """
 
 
+def orders_sorted_top100(sf_dir: str):
+    """Native distributed sort (``Dataset.sort`` — the full range-
+    partitioned exchange) + limit; contrast with events_top10_value's
+    partial-top-k path which avoids the sort entirely."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+    return out.map_batches(
+        lambda t: _round_cols(t, {"o_totalprice": 2}), batch_format="pyarrow"
+    )
+
+
+ORDERS_SORT_SQL = """
+SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
 def events_sessionize(sf_dir: str):
     """Session windows per user (gap > 30 min splits): the engine's
     tumbling/session-window surface, computed per sorted group inside
@@ -882,6 +899,7 @@ QUERIES = {
     "events_top10_value": events_top10_value,
     "events_sessionize": events_sessionize,
     "events_errors_by_user": events_errors_by_user,
+    "orders_sorted_top100": orders_sorted_top100,
     "doc_token_counts": doc_token_counts,
     "token_totals_by_lang": token_totals_by_lang,
     "embedding_norms": embedding_norms,
@@ -918,6 +936,7 @@ ORACLES = {
     "events_top10_value": EVENTS_TOP10_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_errors_by_user": EVENTS_ERRORS_SQL,
+    "orders_sorted_top100": ORDERS_SORT_SQL,
     "doc_token_counts": DOC_TOKENS_SQL,
     "token_totals_by_lang": TOKEN_TOTALS_SQL,
     "embedding_norms": EMBED_NORMS_SQL,

@@ -134,3 +134,82 @@ def frame_sample_plan(n_frames: int, every: int) -> list[int]:
     """Deterministic frame-sampling plan (video stub): indices
     0, every, 2*every, ... < n_frames."""
     return list(range(0, n_frames, max(1, every)))
+
+
+# ---------------------------------------------------------------------------
+# Audio modality (same pattern: opaque binary + typed metadata)
+# ---------------------------------------------------------------------------
+
+AUDIO_MAGIC = b"SODAUD"
+AUDIO_HEADER = struct.Struct("<6sIH4x")  # magic, sample_rate, channels
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),
+        ("sample_rate", pa.int32()),
+        ("n_samples", pa.int64()),
+    ]
+)
+
+
+def synth_audio(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake audio table: int16 PCM-ish noise payloads."""
+    rng = np.random.default_rng(seed)
+    payloads, rates, lens = [], [], []
+    for _ in range(n):
+        sr = int(rng.choice([8000, 16000]))
+        ns = int(rng.integers(100, 2000))
+        body = rng.integers(-(1 << 15), 1 << 15, size=ns, dtype=np.int16).tobytes()
+        payloads.append(AUDIO_HEADER.pack(AUDIO_MAGIC, sr, 1) + body)
+        rates.append(sr)
+        lens.append(ns)
+    return pa.table(
+        {
+            "media_id": pa.array(range(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["audio"] * n, pa.string()),
+            "sample_rate": pa.array(rates, pa.int32()),
+            "n_samples": pa.array(lens, pa.int64()),
+        }
+    )
+
+
+class AudioFeatures:
+    """Actor-pool audio feature stage. ``strict=True`` raises at the
+    codec boundary (no audio libs here); otherwise the deterministic
+    fake decoder parses the PCM payload and computes RMS energy +
+    zero-crossing rate — real numpy work on real plumbing."""
+
+    def __init__(self, strict: bool = False):
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "audio codec not available in this environment; "
+                "run with strict=False for the deterministic fake decoder"
+            )
+        rms, zcr, oks = [], [], []
+        for p in batch["payload"].to_pylist():
+            magic, sr, ch = AUDIO_HEADER.unpack_from(p)
+            if magic != AUDIO_MAGIC:
+                rms.append(float("nan"))
+                zcr.append(float("nan"))
+                oks.append(False)
+                continue
+            x = np.frombuffer(p, dtype=np.int16, offset=AUDIO_HEADER.size).astype(
+                np.float64
+            )
+            rms.append(float(np.sqrt(np.mean(x * x))) if x.size else 0.0)
+            zcr.append(
+                float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                if x.size > 1
+                else 0.0
+            )
+            oks.append(True)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("rms", pa.array(rms, pa.float64()))
+        out = out.append_column("zcr", pa.array(zcr, pa.float64()))
+        return out.append_column("decode_ok", pa.array(oks, pa.bool_()))

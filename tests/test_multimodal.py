@@ -68,3 +68,21 @@ def test_resize_stage(ray_session):
 def test_frame_plan():
     assert frame_sample_plan(10, 3) == [0, 3, 6, 9]
     assert frame_sample_plan(2, 0) == [0, 1]
+
+
+def test_audio_stage(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.multimodal import AUDIO_SCHEMA, AudioFeatures, synth_audio
+
+    t = synth_audio(30, seed=42)
+    assert t.schema.equals(AUDIO_SCHEMA)
+    out = (
+        rd.from_arrow(t)
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=2)
+        .to_pandas()
+    )
+    assert out["decode_ok"].all()
+    assert (out["rms"] > 0).all()
+    assert out["zcr"].between(0, 1).all()
+    assert "payload" not in out.columns
