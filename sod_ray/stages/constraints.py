@@ -152,6 +152,55 @@ def uniqueness_estimate(ds, column: str, key: str | None = None):
     return p.groupby("part_key").map_groups(merge, batch_format="pyarrow")
 
 
+def uniqueness_check(
+    ds,
+    column: str,
+    key: str | None = None,
+    max_dup_rate: float = 0.0,
+    estimate_tolerance: float = 0.005,
+):
+    """Composite uniqueness constraint: the HLL estimate decides
+    whether the exact fallback shuffle is even needed (SURVEY.md §7.3.4).
+
+    - estimate says clean (dup_est ≤ tolerance·rows for every key) →
+      PASS with no data shuffle at all;
+    - otherwise run the exact ``groupby(column)`` duplicate finder and
+      verdict on true counts, returning the duplicate rows as evidence.
+
+    Returns (verdict_dict, violations_ds_or_None)."""
+    est = uniqueness_estimate(ds, column, key=key).to_pandas()
+    suspect = est[est["dup_est"] > estimate_tolerance * est["rows"].clip(lower=1)]
+    if suspect.empty:
+        return (
+            {
+                "constraint": "uniqueness",
+                "passed": True,
+                "path": "hll_estimate",
+                "per_key": est.to_dict("records"),
+            },
+            None,
+        )
+    dups = exact_duplicates(ds, column)
+    dup_pdf = dups.to_pandas()
+    # excess rows = group members beyond the first of each dup group
+    n_dup_rows = (
+        int(len(dup_pdf) - dup_pdf[column].nunique()) if len(dup_pdf) else 0
+    )
+    total = int(est["rows"].sum())
+    passed = n_dup_rows <= max_dup_rate * max(total, 1)
+    return (
+        {
+            "constraint": "uniqueness",
+            "passed": bool(passed),
+            "path": "exact_fallback",
+            "dup_rows": n_dup_rows,
+            "total": total,
+            "per_key": est.to_dict("records"),
+        },
+        dups,
+    )
+
+
 def exact_duplicates(ds, column: str, keep_columns: list[str] | None = None):
     """Exact duplicate finder — the fallback shuffle path. Projects to
     the key (+ requested evidence columns) BEFORE the groupby so wide

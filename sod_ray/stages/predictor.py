@@ -77,6 +77,68 @@ def build_entity_windows(
     return windows
 
 
+def save_windows(windows: dict, path: str) -> None:
+    """Persist per-entity window state as parquet (the reference's
+    metric store snapshot, metric/database/metric.go — rows keyed by
+    entity, vectors + timestamps). Atomic write-then-rename."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    rows = {
+        "entity": [],
+        "vecs": [],
+        "ts": [],
+        "k": [],
+        "metric": [],
+        "max_items": [],
+        "skip_items": [],
+    }
+    for entity, w in windows.items():
+        rows["entity"].append(entity)
+        rows["vecs"].append([v.tolist() for v in w._vecs])
+        rows["ts"].append(list(w._ts))
+        rows["k"].append(w.k)
+        rows["metric"].append(w.metric)
+        rows["max_items"].append(w.max_items)
+        rows["skip_items"].append(w.skip_items)
+    t = pa.table(
+        {
+            "entity": pa.array(rows["entity"], pa.string()),
+            "vecs": pa.array(rows["vecs"], pa.list_(pa.list_(pa.float64()))),
+            "ts": pa.array(rows["ts"], pa.list_(pa.int64())),
+            "k": pa.array(rows["k"], pa.int32()),
+            "metric": pa.array(rows["metric"], pa.string()),
+            "max_items": pa.array(rows["max_items"], pa.int64()),
+            "skip_items": pa.array(rows["skip_items"], pa.int64()),
+        }
+    )
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+    os.close(fd)
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+
+
+def load_windows(path: str) -> dict:
+    """Restore windows from a snapshot (the bulkLoad recovery analog,
+    dispatcher/manager.go:311-354 — but from columnar state, no replay)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    windows = {}
+    for row in t.to_pylist():
+        w = LofWindow(
+            k=row["k"],
+            metric=row["metric"],
+            max_items=row["max_items"],
+            skip_items=row["skip_items"],
+        )
+        w.build([np.asarray(v) for v in row["vecs"]], row["ts"])
+        windows[row["entity"]] = w
+    return windows
+
+
 class PredictScorer:
     """Actor: fetch the broadcast window dict once; score batches
     read-only (no state mutation — predict path)."""

@@ -154,3 +154,59 @@ def test_registry(ray_session):
 
     ok4, ev4 = run_constraint(ds2, get("custom_rowcount")())
     assert ok4 and ev4["n"] == 110
+
+
+def test_window_snapshot_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from sod_ray.stages.predictor import (
+        build_entity_windows,
+        load_windows,
+        predict_against_windows,
+        save_windows,
+    )
+
+    build = pd.DataFrame(
+        {
+            "entity": ["a"] * 5 + ["b"] * 4,
+            "ts": pd.date_range("2024-01-01", periods=5).tolist()
+            + pd.date_range("2024-01-01", periods=4).tolist(),
+            "value": [0.0, 1.0, 2.0, 3.0, 10.0, 5.0, 6.0, 7.0, 8.0],
+        }
+    )
+    windows = build_entity_windows(
+        rd.from_pandas(build), key="entity", ts_col="ts", feature_cols=["value"]
+    )
+    path = str(tmp_path / "windows.parquet")
+    save_windows(windows, path)
+    restored = load_windows(path)
+    assert set(restored) == set(windows)
+    q = pd.DataFrame({"entity": ["a", "b"], "value": [100.0, 6.5]})
+    a = predict_against_windows(
+        rd.from_pandas(q), windows, key="entity", feature_cols=["value"]
+    ).to_pandas()
+    b = predict_against_windows(
+        rd.from_pandas(q), restored, key="entity", feature_cols=["value"]
+    ).to_pandas()
+    assert a["outlier"].tolist() == b["outlier"].tolist()
+    assert a["lof"].tolist() == pytest.approx(b["lof"].tolist(), nan_ok=True)
+
+
+def test_uniqueness_composite(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sod_ray.stages.constraints import uniqueness_check
+
+    clean = rd.from_arrow(pa.table({"u": [f"u{i}" for i in range(5000)]}))
+    verdict, viol = uniqueness_check(clean, "u")
+    assert verdict["passed"] and verdict["path"] == "hll_estimate" and viol is None
+
+    dirty = rd.from_arrow(
+        pa.table({"u": [f"u{i}" for i in range(1000)] + ["u1"] * 200})
+    )
+    verdict2, viol2 = uniqueness_check(dirty, "u", max_dup_rate=0.01)
+    assert verdict2["path"] == "exact_fallback"
+    assert not verdict2["passed"]
+    assert verdict2["dup_rows"] == 200
+    assert set(viol2.to_pandas()["u"]) == {"u1"}

@@ -156,3 +156,49 @@ def test_serialization_roundtrip():
     t = TDigest().update_array(np.arange(1000.0))
     t2 = TDigest.from_bytes(t.to_bytes())
     assert t2.quantile(0.5) == pytest.approx(t.quantile(0.5))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(min_size=0, max_size=8), min_size=0, max_size=40),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_hll_merge_associative(chunks):
+    def fold_left(cs):
+        h = HyperLogLog(p=10)
+        for c in cs:
+            h.merge(HyperLogLog(p=10).update_array(pa.array(c, pa.string())))
+        return h.cardinality()
+
+    def fold_right(cs):
+        h = HyperLogLog(p=10).update_array(pa.array(cs[-1], pa.string()))
+        for c in reversed(cs[:-1]):
+            g = HyperLogLog(p=10).update_array(pa.array(c, pa.string()))
+            h = g.merge(h)
+        return h.cardinality()
+
+    assert fold_left(chunks) == fold_right(chunks)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=60),
+        min_size=2,
+        max_size=5,
+    )
+)
+def test_tdigest_merge_order_insensitive_bounds(chunks):
+    """Merged digest quantiles stay within the global min/max and the
+    median lands within the data range regardless of merge order."""
+    flat = np.concatenate([np.asarray(c) for c in chunks])
+    left = TDigest(delta=100)
+    for c in chunks:
+        left.merge(TDigest(delta=100).update_array(np.asarray(c)))
+    assert flat.min() <= left.quantile(0.5) <= flat.max()
+    assert left.quantile(0.0) == flat.min()
+    assert left.quantile(1.0) == flat.max()
+    assert left.n == flat.size
