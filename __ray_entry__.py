@@ -37,6 +37,9 @@ def entry() -> Any:
     uniq = uniqueness_estimate(docs, "doc_id", key="lang").to_pandas()
     nulls = null_rates(docs, ["text", "lang"], key="lang").to_pandas()
     quality = doc_quality_scores(SF_SMOKE).to_pandas()
+    docs_pdf = docs.select_columns(["doc_id", "lang"]).to_pandas()
+    quality = quality.merge(docs_pdf, on="doc_id")
+    low_q_by_lang = quality.groupby("lang")["quality"].apply(lambda q: float((q < 0.5).mean()))
 
     verdicts = []
     for lang in sorted(stats["part_key"].unique()):
@@ -51,9 +54,7 @@ def entry() -> Any:
                 "p50_n_chars": float(s["p50"]),
                 "distinct_doc_est": float(u["distinct_est"]),
                 "null_rate_text": float(n["null_rate"]),
-                "low_quality_rate": float(
-                    (quality["quality"] < 0.5).mean()
-                ),
+                "low_quality_rate": float(low_q_by_lang.get(lang, 0.0)),
                 "passed": bool(
                     n["null_rate"] == 0.0 and u["dup_est"] <= 0.01 * u["rows"]
                 ),

@@ -138,6 +138,38 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
             t[f"td_{c}"] = pa.array(rows[f"td_{c}"], pa.binary())
         return pa.table(t)
 
+    def combine(group: pa.Table) -> pa.Table:
+        """Level-1 (salted) merge: fold a group's partial rows into ONE
+        partial row of the same shape — associative, so it can run
+        per salt bucket before the final merge."""
+        hll = HyperLogLog()
+        for b in group["url_hll"].to_pylist():
+            hll.merge(HyperLogLog.from_bytes(b))
+        t = {
+            "part_key": pa.array([group["part_key"][0].as_py()], pa.string()),
+            "rows": pa.array([int(pc.sum(group["rows"]).as_py())], pa.int64()),
+            "html_nulls": pa.array(
+                [int(pc.sum(group["html_nulls"]).as_py())], pa.int64()
+            ),
+            "text_nulls": pa.array(
+                [int(pc.sum(group["text_nulls"]).as_py())], pa.int64()
+            ),
+            "extract_matches": pa.array(
+                [int(pc.sum(group["extract_matches"]).as_py())], pa.int64()
+            ),
+            "url_hll": pa.array([hll.to_bytes()], pa.binary()),
+        }
+        for c in stat_cols:
+            wf = Welford()
+            td = TDigest()
+            for b in group[f"wf_{c}"].to_pylist():
+                wf.merge(Welford.from_bytes(b))
+            for b in group[f"td_{c}"].to_pylist():
+                td.merge(TDigest.from_bytes(b))
+            t[f"wf_{c}"] = pa.array([wf.to_bytes()], pa.binary())
+            t[f"td_{c}"] = pa.array([td.to_bytes()], pa.binary())
+        return pa.table(t)
+
     def merge(group: pa.Table) -> pa.Table:
         key_val = group["part_key"][0].as_py()
         n_rows = int(pc.sum(group["rows"]).as_py())
@@ -182,11 +214,29 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
             )
         return pa.Table.from_pylist(out)
 
-    return (
-        featured.map_batches(partials, batch_format="pyarrow", batch_size=8192)
-        .groupby("part_key")
-        .map_groups(merge, batch_format="pyarrow")
+    partial_rows = featured.map_batches(
+        partials, batch_format="pyarrow", batch_size=8192
     )
+    if cfg.merge_salt > 1:
+        # two-level salted merge (SURVEY.md §7.5.6): the hot key's
+        # partial rows (one per batch — 10^8 of them at 10^12 rows)
+        # first fold within `merge_salt` buckets in parallel, then the
+        # final merge folds only `merge_salt` rows per key. The salt is
+        # a deterministic hash of each partial's url-HLL bytes (unique
+        # per batch), so re-execution lands in the same bucket.
+        def add_merge_salt(t: pa.Table) -> pa.Table:
+            salt = hash64(t["url_hll"]) % np.uint64(cfg.merge_salt)
+            return t.append_column("salt", pa.array(salt.astype(np.int64)))
+
+        level1 = (
+            partial_rows.map_batches(add_merge_salt, batch_format="pyarrow")
+            .groupby(["part_key", "salt"])
+            .map_groups(
+                lambda g: combine(g.drop_columns(["salt"])), batch_format="pyarrow"
+            )
+        )
+        return level1.groupby("part_key").map_groups(merge, batch_format="pyarrow")
+    return partial_rows.groupby("part_key").map_groups(merge, batch_format="pyarrow")
 
 
 _FUSED_SINGLETON: FusedFeatures | None = None
@@ -222,6 +272,10 @@ class ValidateConfig:
     # one streaming DAG (max throughput); a small number gives
     # finer-grained checkpoints (a killed run loses at most one wave).
     partitions_per_wave: int | None = None
+    # two-level salted sketch merge: hot keys' per-batch partial rows
+    # pre-fold across this many parallel buckets before the final merge
+    # (1 disables). See _combined_partials_merge.
+    merge_salt: int = 8
     baseline: dict | None = None  # (key, col) -> sketch bytes for drift
 
 
