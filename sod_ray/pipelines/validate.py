@@ -276,6 +276,10 @@ class ValidateConfig:
     # pre-fold across this many parallel buckets before the final merge
     # (1 disables). See _combined_partials_merge.
     merge_salt: int = 8
+    # when set, the slim feature table is written to parquet here and
+    # re-read instead of pinned in the object store — the 100 TB path
+    # (spillable, reusable across retries). None = materialize().
+    intermediate_dir: str | None = None
     baseline: dict | None = None  # (key, col) -> sketch bytes for drift
 
 
@@ -387,11 +391,20 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
     # ONE scan: fused extraction + features; html dropped inside the
     # stage. Stateless tasks (cheap per-worker setup) — elastic, no
     # actor-pool startup; see fused_features_batch.
-    featured = ds.map_batches(
+    featured_stream = ds.map_batches(
         fused_features_batch,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-    ).materialize()  # slim table; at 100TB: write to intermediate parquet
+    )
+    if cfg.intermediate_dir:
+        # 100 TB path: land the slim table on storage (spillable,
+        # survives worker loss) and stream it back per consumer
+        inter = os.path.join(cfg.intermediate_dir, f"featured-{wave_id}")
+        shutil.rmtree(inter, ignore_errors=True)
+        featured_stream.write_parquet(inter)
+        featured = rd.read_parquet(inter)
+    else:
+        featured = featured_stream.materialize()
     _mark("fused+materialize")
 
     # --- three independent consumers of the materialized feature table,

@@ -115,3 +115,26 @@ def test_schema_check_catches_missing(ray_session, web_dir):
     assert ok["passed"]
     bad = schema_check(ds.drop_columns(["lang"]), WEBPAGE_SCHEMA)
     assert not bad["passed"] and bad["missing"] == ["lang"]
+
+
+def test_intermediate_parquet_path(ray_session, web_dir, tmp_path):
+    """The 100TB path (featured table via parquet) must produce the
+    same verdicts as the object-store materialize path."""
+    from sod_ray.pipelines.validate import ValidateConfig, run_validation
+
+    src, _ = web_dir
+    a = run_validation(
+        f"{src}/webpages", str(tmp_path / "outA"), ValidateConfig()
+    ).verdicts.to_pandas()
+    b = run_validation(
+        f"{src}/webpages",
+        str(tmp_path / "outB"),
+        ValidateConfig(intermediate_dir=str(tmp_path / "inter")),
+    ).verdicts.to_pandas()
+    cols = ["partition", "rows", "violations", "passed"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values("partition").reset_index(drop=True),
+        b[cols].sort_values("partition").reset_index(drop=True),
+    )
