@@ -280,6 +280,11 @@ class ValidateConfig:
     # re-read instead of pinned in the object store — the 100 TB path
     # (spillable, reusable across retries). None = materialize().
     intermediate_dir: str | None = None
+    # optional referential side table (parquet with src_url/dst_url):
+    # dst_url ⊆ webpages.url is checked run-level (HLL containment
+    # estimate → broadcast/bucketed anti-join exact path).
+    refs_path: str | None = None
+    max_dangling_rate: float = 0.001
     baseline: dict | None = None  # (key, col) -> sketch bytes for drift
 
 
@@ -291,6 +296,7 @@ class ValidationResult:
     partitions_skipped: list = field(default_factory=list)
     rows_scanned: int = 0
     out_dir: str = ""
+    referential: dict | None = None
 
     def all_passed(self) -> bool:
         return bool(pc.all(self.verdicts["passed"]).as_py())
@@ -342,6 +348,7 @@ def run_validation(
     if not remaining:
         result.verdicts = _load_verdicts(out_dir)
         result.stats = pa.table({})
+        _ensure_referential(result, input_path, cfg, manifest, out_dir, resume)
         return result
 
     for p in remaining:  # wipe partial output of uncommitted partitions
@@ -373,7 +380,59 @@ def run_validation(
         pd.concat(all_stats, ignore_index=True), preserve_index=False
     ) if all_stats else pa.table({})
     result.rows_scanned = total_rows_all
+
+    _ensure_referential(result, input_path, cfg, manifest, out_dir, resume)
     return result
+
+
+def _ensure_referential(result, input_path, cfg, manifest, out_dir, resume):
+    """Run-level referential constraint (north_star: url foreign-key
+    containment). Runs once per run; its own manifest record makes it
+    resume-safe like any partition."""
+    if not cfg.refs_path:
+        return
+    done = manifest.committed_partitions() if resume else set()
+    if "__referential__" in done:
+        rec = manifest.load("__referential__")
+        result.referential = rec.constraint_outcomes if rec else None
+    else:
+        result.referential = _run_referential(input_path, cfg, manifest, out_dir)
+
+
+def _run_referential(input_path, cfg, manifest, out_dir):
+    """dst_url ⊆ webpages.url: HLL containment estimate first; exact
+    violations via the broadcast/bucketed anti-join (the parent side is
+    a single thin column scan — columnar pruning keeps it cheap)."""
+    import ray.data as rd
+
+    from ..stages.constraints import referential_check
+
+    refs = rd.read_parquet(cfg.refs_path)
+    parent = rd.read_parquet(input_path, columns=["url"])
+    violations, est = referential_check(refs, parent, "dst_url", "url")
+    vdir = os.path.join(out_dir, "violations", "referential")
+    shutil.rmtree(vdir, ignore_errors=True)
+    violations.write_parquet(vdir)
+    n_dangling = rd.read_parquet(vdir).count() if os.listdir(vdir) else 0
+    n_refs = refs.count()
+    passed = n_dangling <= cfg.max_dangling_rate * max(n_refs, 1)
+    outcomes = {
+        "referential": "pass" if passed else "fail",
+        "n_dangling": n_dangling,
+        "n_refs": n_refs,
+        "dangling_est": est["dangling_est"],
+        "exact_path": est["exact_path"],
+    }
+    manifest.commit(
+        PartitionRecord(
+            partition="__referential__",
+            rows_scanned=n_refs,
+            rows_violating=n_dangling,
+            constraint_outcomes=outcomes,
+            outputs=[vdir],
+        )
+    )
+    return outcomes
 
 
 def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):

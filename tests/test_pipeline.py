@@ -138,3 +138,33 @@ def test_intermediate_parquet_path(ray_session, web_dir, tmp_path):
         a[cols].sort_values("partition").reset_index(drop=True),
         b[cols].sort_values("partition").reset_index(drop=True),
     )
+
+
+def test_referential_run_level(ray_session, web_dir, tmp_path):
+    """refs_path wires the FK-containment check into the flagship:
+    planted dangling dst_urls are found, the check is resume-safe."""
+    from sod_ray.pipelines.validate import ValidateConfig, run_validation
+
+    src, truth = web_dir
+    out = str(tmp_path / "outR")
+    cfg = ValidateConfig(refs_path=f"{src}/webpage_refs")
+    res = run_validation(f"{src}/webpages", out, cfg)
+    assert res.referential is not None
+    assert res.referential["n_dangling"] == len(truth["refs"]["dangling"])
+    assert res.referential["referential"] == "fail"  # 1% > 0.1% threshold
+    # violations on disk match the planted set
+    import pyarrow.parquet as pq
+    import glob
+
+    files = glob.glob(os.path.join(out, "violations", "referential", "*.parquet"))
+    got = sorted(
+        set(
+            pq.read_table(f).column("dst_url").to_pylist()[i]
+            for f in files
+            for i in range(pq.read_table(f).num_rows)
+        )
+    )
+    assert got == truth["refs"]["dangling"]
+    # resume: second run reuses the committed record
+    res2 = run_validation(f"{src}/webpages", out, cfg)
+    assert res2.referential["n_dangling"] == res.referential["n_dangling"]
