@@ -62,13 +62,14 @@ def ensure_web_table(sf: float) -> str:
     from sod_ray.sources.webpages import write_webpages
 
     n = webpage_rows(sf)
-    d = os.path.join(CACHE_ROOT, f"web-{n}-t120")
+    d = os.path.join(CACHE_ROOT, f"web-{n}-t120r")
     marker = os.path.join(d, "truth.json")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
         # mean_tokens=120 → ~1 KB documents (closer to real CC pages;
-        # keeps the bench compute-bound rather than overhead-bound)
-        write_webpages(d, n_rows=n, n_shards=64, seed=42, with_refs=False,
+        # keeps the bench compute-bound rather than overhead-bound);
+        # refs enable the run-level FK-containment check
+        write_webpages(d, n_rows=n, n_shards=64, seed=42, with_refs=True,
                        mean_tokens=120)
     return os.path.join(d, "webpages")
 
@@ -114,7 +115,9 @@ def run_bench(ncpu: int) -> dict:
     from sod_ray.pipelines.validate import ValidateConfig, run_validation
 
     out_dir = os.path.join(CACHE_ROOT, f"out-{ncpu}-{os.getpid()}")
-    cfg = ValidateConfig(feature_concurrency=max(1, ncpu - 2))  # fixed pool (leave CPUs for the read stage)
+    cfg = ValidateConfig(
+        refs_path=os.path.join(os.path.dirname(web_dir), "webpage_refs"),
+    )
     t0 = time.perf_counter()
     res = run_validation(web_dir, out_dir, cfg, resume=False)
     headline = time.perf_counter() - t0
