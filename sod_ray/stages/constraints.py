@@ -357,19 +357,32 @@ def referential_check(
     pk: str,
     broadcast_threshold: int = 5_000_000,
 ):
-    """Full referential constraint: HLL estimate → exact path.
+    """Full referential constraint.
 
-    Chooses broadcast (parent keys fit in memory) vs bucketed hash
-    join. Returns (violations_ds, verdict_dict)."""
-    est = referential_estimate(child_ds, parent_ds, fk, pk)
+    Small parent (≤ broadcast_threshold keys): go STRAIGHT to the exact
+    broadcast anti-join — it costs one child scan, cheaper than the
+    HLL estimate itself. Large parent: run the sketch containment
+    estimate first; only a positive signal pays for the bucketed hash
+    join (both-sides-large shuffle). Returns (violations_ds, verdict)."""
     parent_count = parent_ds.count()
     if parent_count <= broadcast_threshold:
         keys = pa.chunked_array(
-            [b[pk] for b in parent_ds.select_columns([pk]).iter_batches(batch_format="pyarrow")]
+            [
+                b[pk]
+                for b in parent_ds.select_columns([pk]).iter_batches(
+                    batch_format="pyarrow"
+                )
+            ]
             or [pa.array([], pa.string())]
         )
         violations = broadcast_anti_join(child_ds, keys, fk)
-    else:
-        violations = bucketed_anti_join(child_ds, parent_ds, fk, pk)
-    est["exact_path"] = "broadcast" if parent_count <= broadcast_threshold else "bucketed"
+        return violations, {
+            "constraint": "referential",
+            "exact_path": "broadcast",
+            "dangling_est": float("nan"),  # estimate skipped on purpose
+            "pk_distinct_est": float(parent_count),
+        }
+    est = referential_estimate(child_ds, parent_ds, fk, pk)
+    violations = bucketed_anti_join(child_ds, parent_ds, fk, pk)
+    est["exact_path"] = "bucketed"
     return violations, est
