@@ -21,11 +21,17 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _round_cols(table: pa.Table, cols: dict[str, int]) -> pa.Table:
+    """Round float columns with DuckDB-compatible HALF-AWAY-FROM-ZERO
+    semantics (pyarrow's default is half-to-even, which diverges from
+    the oracle exactly on representable .5 boundaries)."""
     for c, nd in cols.items():
         i = table.schema.get_field_index(c)
-        table = table.set_column(
-            i, c, pc.round(pc.cast(table[c], pa.float64()), ndigits=nd)
-        )
+        x = pc.cast(table[c], pa.float64()).to_numpy(zero_copy_only=False)
+        scale = 10.0**nd
+        with np.errstate(invalid="ignore"):
+            r = np.copysign(np.floor(np.abs(x) * scale + 0.5), x) / scale
+        r = np.where(np.isnan(x), x, r)
+        table = table.set_column(i, c, pa.array(r, pa.float64()))
     return table
 
 
