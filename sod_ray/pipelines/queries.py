@@ -545,6 +545,24 @@ ORDER BY value DESC, event_id LIMIT 10
 """
 
 
+def events_systematic_sample(sf_dir: str):
+    """Deterministic systematic sampling (reproducible subset for
+    audits): keep rows where event_id ≡ 3 (mod 20). A vectorized
+    filter, no shuffle; the SQL twin is exact."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 3))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+EVENTS_SAMPLE_SQL = """
+SELECT event_id, user_id, value FROM events WHERE event_id % 20 = 3
+"""
+
+
 def orders_sorted_top100(sf_dir: str):
     """Native distributed sort (``Dataset.sort`` — the full range-
     partitioned exchange) + limit; contrast with events_top10_value's
@@ -906,6 +924,7 @@ QUERIES = {
     "events_sessionize": events_sessionize,
     "events_errors_by_user": events_errors_by_user,
     "orders_sorted_top100": orders_sorted_top100,
+    "events_systematic_sample": events_systematic_sample,
     "doc_token_counts": doc_token_counts,
     "token_totals_by_lang": token_totals_by_lang,
     "embedding_norms": embedding_norms,
@@ -943,6 +962,7 @@ ORACLES = {
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_errors_by_user": EVENTS_ERRORS_SQL,
     "orders_sorted_top100": ORDERS_SORT_SQL,
+    "events_systematic_sample": EVENTS_SAMPLE_SQL,
     "doc_token_counts": DOC_TOKENS_SQL,
     "token_totals_by_lang": TOKEN_TOTALS_SQL,
     "embedding_norms": EMBED_NORMS_SQL,
