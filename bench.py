@@ -123,6 +123,10 @@ def run_bench(ncpu: int) -> dict:
     headline = time.perf_counter() - t0
     rows = res.rows_scanned
 
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # keep /tmp tidy across runs
+
     qtimes = {}
     from sod_ray.pipelines.queries import QUERIES
 

@@ -412,9 +412,12 @@ def _run_referential(input_path, cfg, manifest, out_dir):
     violations, est = referential_check(refs, parent, "dst_url", "url")
     vdir = os.path.join(out_dir, "violations", "referential")
     shutil.rmtree(vdir, ignore_errors=True)
+    # violations are a tiny fraction by construction — materialize once,
+    # then count + write without re-executing the join
+    violations = violations.materialize()
+    n_dangling = violations.count()
     violations.write_parquet(vdir)
-    n_dangling = rd.read_parquet(vdir).count() if os.listdir(vdir) else 0
-    n_refs = refs.count()
+    n_refs = refs.count()  # parquet metadata only
     passed = n_dangling <= cfg.max_dangling_rate * max(n_refs, 1)
     outcomes = {
         "referential": "pass" if passed else "fail",
