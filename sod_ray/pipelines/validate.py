@@ -508,11 +508,13 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
         )
 
     def _peaks():
-        from ..stages.window import windowed_zscore_manual
+        # hot-key-parallel scorer: distributed sort + per-block scoring
+        # with (window-1)-row overlaps — one skewed entity (lang=en at
+        # 62%) no longer serializes on a single reduce task
+        from ..stages.window import windowed_zscore_sorted
 
-        counts = windowed_zscore_manual(
+        counts = windowed_zscore_sorted(
             featured,
-            keys=remaining,
             key=cfg.part_key,
             ts_col="warc_ts",
             value_col=cfg.zscore_value,

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.lof import score_stream
 from ..functions.zscore import rolling_zscore
@@ -230,6 +232,121 @@ def windowed_zscore_manual(
     out = pd.concat([r for r in results if len(r)], ignore_index=True) if any(
         len(r) for r in results
     ) else pd.DataFrame(columns=(cols + ["z", "is_peak"]) if sink_dir is None else [key, "n_flagged"])
+    return out
+
+
+def windowed_zscore_sorted(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_cols: list[str] | None = None,
+    window: int = 64,
+    min_periods: int = 8,
+    threshold: float = 3.0,
+    sink_dir: str | None = None,
+    sink_key_prefix: str | None = None,
+):
+    """Hot-key-parallel windowed z-score: distributed sort + per-block
+    scoring with (window-1)-row overlaps — EXACT and parallel WITHIN a
+    key, unlike the reducer-per-key designs.
+
+    After ``ds.sort([key, ts, ids])`` each block holds a contiguous,
+    globally ordered slice. A trailing window of w rows for any row in
+    block i reaches at most w-1 rows back, all of which live in block
+    i's prefix or block i-1's (w-1)-row tail (keys are contiguous after
+    the sort, so the tail filtered to the row's key is exactly the
+    needed context). Tails depend only on the sort — every block scores
+    in parallel, no sequential chain. This is the scorer for entity
+    keys of ANY cardinality/skew; one hot key no longer serializes.
+
+    With sink_dir, each block task writes its flagged rows into the
+    per-key violation dirs itself and returns only counts
+    (key, n_flagged)."""
+    import ray
+
+    cols = [key, ts_col, value_col] + [
+        c for c in (id_cols or []) if c not in (key, ts_col, value_col)
+    ]
+    slim = ds.select_columns(cols)
+    sort_keys = [key, ts_col] + [c for c in (id_cols or []) if c not in (key, ts_col)]
+    sorted_ds = slim.sort(sort_keys)
+    block_refs = sorted_ds.to_arrow_refs()
+    if not block_refs:
+        return pd.DataFrame(columns=[key, "n_flagged"] if sink_dir else cols + ["z", "is_peak"])
+
+    @ray.remote
+    def tail_of(block: pa.Table):
+        n = block.num_rows
+        return block.slice(max(0, n - (window - 1)), min(n, window - 1))
+
+    @ray.remote
+    def score_block(block: pa.Table, prev_tail, block_idx: int):
+        if block.num_rows == 0 and prev_tail is None:
+            g = pd.DataFrame(columns=cols)
+        else:
+            ctx_len = 0
+            if prev_tail is not None and prev_tail.num_rows and block.num_rows:
+                first_key = block[key][0].as_py()
+                mask = pc.equal(prev_tail[key], pa.scalar(first_key))
+                ctx = prev_tail.filter(mask)
+                ctx_len = ctx.num_rows
+                g = pa.concat_tables([ctx, block]).to_pandas()
+            else:
+                g = block.to_pandas()
+        if len(g) == 0:
+            flagged = pd.DataFrame(columns=cols + ["z", "is_peak"])
+        else:
+            parts = []
+            values = g[value_col].to_numpy()
+            keys_arr = g[key].to_numpy()
+            # contiguous key runs (input already sorted)
+            change = np.flatnonzero(keys_arr[1:] != keys_arr[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(g)]))
+            for s, e in zip(starts, ends):
+                z = rolling_zscore(values[s:e], window, min_periods)
+                sub = g.iloc[s:e].copy()
+                sub["z"] = z
+                with np.errstate(invalid="ignore"):
+                    sub["is_peak"] = np.abs(z) > threshold
+                parts.append(sub)
+            g = pd.concat(parts)
+            g = g.iloc[ctx_len:]  # context rows belong to the previous block
+            flagged = g[g["is_peak"]]
+        if sink_dir is None:
+            return flagged
+        import os
+
+        import pyarrow.parquet as pq
+
+        prefix = sink_key_prefix or key
+        counts = []
+        for key_val, kg in flagged.groupby(key):
+            pdir = os.path.join(sink_dir, f"{prefix}={key_val}")
+            os.makedirs(pdir, exist_ok=True)
+            kg = kg.copy()
+            kg["violation"] = "peak"
+            pq.write_table(
+                pa.Table.from_pandas(kg, preserve_index=False),
+                os.path.join(pdir, f"peaks-b{block_idx}.parquet"),
+            )
+            counts.append({key: key_val, "n_flagged": len(kg)})
+        return pd.DataFrame(counts, columns=[key, "n_flagged"])
+
+    tails = [tail_of.remote(r) for r in block_refs]
+    results = ray.get(
+        [
+            score_block.remote(r, tails[i - 1] if i > 0 else None, i)
+            for i, r in enumerate(block_refs)
+        ]
+    )
+    non_empty = [r for r in results if len(r)]
+    if not non_empty:
+        return pd.DataFrame(columns=[key, "n_flagged"] if sink_dir else cols + ["z", "is_peak"])
+    out = pd.concat(non_empty, ignore_index=True)
+    if sink_dir is not None:
+        out = out.groupby(key, as_index=False)["n_flagged"].sum()
     return out
 
 

@@ -233,3 +233,61 @@ def test_salting(ray_session, webpages):
     expected = df[df["lang"] == "en"]["n_chars"]
     assert en["count"] == len(expected)
     assert en["mean"] == pytest.approx(expected.mean(), rel=1e-9)
+
+
+def test_windowed_zscore_sorted_matches_groupby(ray_session, webpages):
+    """The hot-key-parallel sorted scorer must produce EXACTLY the same
+    flagged rows as the per-group scorer, including across block
+    boundaries (overlap correctness)."""
+    import ray.data as rd
+
+    from sod_ray.stages.textstage import TextFeatures
+    from sod_ray.stages.window import windowed_zscore, windowed_zscore_sorted
+
+    table, _ = webpages
+    ds = (
+        rd.from_arrow(table)
+        .map_batches(TextFeatures, batch_format="pandas", concurrency=2)
+        .repartition(13)  # force many blocks → many key-spanning boundaries
+    )
+    a = (
+        windowed_zscore(ds, key="lang", ts_col="warc_ts", value_col="n_chars",
+                        id_cols=["url"])
+        .to_pandas()
+        .sort_values(["lang", "warc_ts", "url"])
+        .reset_index(drop=True)
+    )
+    b = (
+        windowed_zscore_sorted(ds, key="lang", ts_col="warc_ts",
+                               value_col="n_chars", id_cols=["url"])
+        .sort_values(["lang", "warc_ts", "url"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_series_equal(a["url"], b["url"], check_names=False)
+    np.testing.assert_allclose(a["z"].to_numpy(), b["z"].to_numpy(), rtol=1e-12)
+
+
+def test_windowed_zscore_sorted_sink(ray_session, webpages, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from sod_ray.stages.textstage import TextFeatures
+    from sod_ray.stages.window import windowed_zscore_sorted
+
+    table, _ = webpages
+    ds = rd.from_arrow(table).map_batches(
+        TextFeatures, batch_format="pandas", concurrency=2
+    )
+    sink = str(tmp_path / "viol")
+    counts = windowed_zscore_sorted(
+        ds, key="lang", ts_col="warc_ts", value_col="n_chars", id_cols=["url"],
+        sink_dir=sink, sink_key_prefix="lang",
+    )
+    total = counts["n_flagged"].sum()
+    on_disk = sum(
+        pq.read_table(f).num_rows for f in glob.glob(f"{sink}/lang=*/peaks-*.parquet")
+    )
+    assert total == on_disk > 0
