@@ -163,16 +163,18 @@ def run_scaling() -> dict:
     controllers."""
     import subprocess
 
-    results = {}
-    for ncpu in (2, 8, 32):
-        trials = []
-        for _ in range(1 if ncpu == 2 else 2):  # best-of-2 where cheap
+    # INTERLEAVED trials (2,8,32,2,8,32) with per-level minima: the
+    # shared VM's throughput drifts over minutes, so consecutive trials
+    # of the same level share the drift — interleaving decorrelates it
+    trials: dict[int, list] = {2: [], 8: [], 32: []}
+    for _ in range(2):
+        for ncpu in (2, 8, 32):
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(ncpu),
                 SOD_BENCH_HEADLINE_ONLY="1",
-                # 4x the per-round size: minute-scale runs so shared-VM
-                # noise does not dominate the ratio
+                # 4x the per-round size: minute-scale runs so noise
+                # does not dominate the ratio
                 SOD_BENCH_ROWS="2000000",
             )
             out = subprocess.run(
@@ -183,8 +185,8 @@ def run_scaling() -> dict:
                 check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             ).stdout
-            trials.append(json.loads(out.strip().splitlines()[-1]))
-        results[ncpu] = min(trials, key=lambda r: r["value"])
+            trials[ncpu].append(json.loads(out.strip().splitlines()[-1]))
+    results = {n: min(t, key=lambda r: r["value"]) for n, t in trials.items()}
     eff_2_8 = (results[2]["value"] / results[8]["value"]) / 4
     eff_8_32 = (results[8]["value"] / results[32]["value"]) / 4
     return {

@@ -291,3 +291,26 @@ def test_windowed_zscore_sorted_sink(ray_session, webpages, tmp_path):
         pq.read_table(f).num_rows for f in glob.glob(f"{sink}/lang=*/peaks-*.parquet")
     )
     assert total == on_disk > 0
+
+
+def test_retention_reference_fixture(ray_session):
+    """FIXTURES.md G3 / db_scheduler_test.go:27-49: 5 rows per entity,
+    max_items ∈ {3, 1} → keep the newest 3 / 1."""
+    import ray.data as rd
+
+    from sod_ray.stages.window import retention_topk_by_recency
+
+    df = pd.DataFrame(
+        {
+            "k": ["e"] * 5,
+            "ts": pd.to_datetime(
+                ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"]
+            ),
+            "v": [1, 2, 3, 4, 5],
+        }
+    )
+    for max_items, expect in [(3, [3, 4, 5]), (1, [5])]:
+        out = retention_topk_by_recency(
+            rd.from_pandas(df), "k", "ts", max_items
+        ).to_pandas()
+        assert sorted(out["v"].tolist()) == expect
