@@ -3,18 +3,24 @@ Common-Crawl-style web table (BASELINE.json north_star, SURVEY.md §3.1
 translated to Ray Data).
 
     read_parquet (resume-filtered, row-group pruned)
-      → ONE fused actor-pool stage: html→text extraction + byte-identity
+      → ONE fused Arrow/RE2 pass: html→text extraction + byte-identity
         check + null flags + text features; html DROPPED on output
         (wide payloads never reach a shuffle or the object store twice)
-      → materialize the slim feature table ONCE (numeric + keys only;
-        ~1-2% of input bytes) — every downstream constraint consumes it
-        without recomputing the scan
-      → per-batch sketch partials → groupby(part_key) merge   (stats)
-      → flag-sum aggregates (null rates), HLL uniqueness      (constraints)
-      → windowed z-score peak scorer per partition            (outliers)
+      → slim feature table landed ONCE (object-store materialize, or
+        parquet via intermediate_dir — the 100 TB path); every
+        downstream constraint consumes it without recomputing the scan
+      → CONCURRENTLY:
+        · combined sketch partials → two-level salted merge    (stats,
+          nulls, uniqueness — only sketch rows cross the shuffle)
+        · extraction-mismatch rows → partitioned parquet sink
+        · windowed z-score peaks: distributed sort + per-block scoring
+          with (window-1)-row overlap context — exact, parallel even
+          within one hot entity key; flagged rows written by the
+          scoring tasks themselves
       → optional drift check vs baseline sketches (actor pool)
-      → violations sidecar parquet (one dir per partition)
-      → per-partition verdicts + manifest commit (atomic rename)
+      → run-level referential FK containment (refs_path)
+      → per-partition verdicts + manifest commit (atomic rename),
+        in waves (partitions_per_wave) for checkpoint granularity
 
 At 100 TB the materialize step becomes a write of the slim feature
 table to intermediate parquet (same shape, spillable); everything else
