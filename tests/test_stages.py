@@ -314,3 +314,20 @@ def test_retention_reference_fixture(ray_session):
             rd.from_pandas(df), "k", "ts", max_items
         ).to_pandas()
         assert sorted(out["v"].tolist()) == expect
+
+
+def test_bucketed_anti_join_int_keys(ray_session):
+    """Bucketed hash anti-join with integer keys (casts through the
+    tagged-union path)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sod_ray.stages.constraints import bucketed_anti_join
+
+    child = rd.from_arrow(
+        pa.table({"fk": pa.array([1, 2, 3, 99, 100], pa.int64()),
+                  "payload": ["a", "b", "c", "d", "e"]})
+    )
+    parent = rd.from_arrow(pa.table({"pk": pa.array(range(50), pa.int64())}))
+    out = bucketed_anti_join(child, parent, "fk", "pk", num_buckets=4).to_pandas()
+    assert sorted(out["payload"]) == ["d", "e"]

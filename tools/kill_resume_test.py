@@ -76,7 +76,7 @@ def main():
     print(f"clean run partitions: {clean_ran}")
 
     # attempt 1: killed mid-flight (SIGKILL, no cleanup handlers)
-    run(OUT, kill_after=16.0)
+    run(OUT, kill_after=13.0)
     committed_after_kill = sorted(
         f.split("part-")[1].split(".json")[0]
         for f in os.listdir(os.path.join(OUT, "manifest"))
