@@ -204,6 +204,58 @@ class LofWindow:
             lrd_q = np.float64(lrd(dq))
             return float(avg_lrd / lrd_q)
 
+    def _lrd_stored(self) -> np.ndarray:
+        """lrd of every stored point, computed once per window state.
+
+        Under the reference's quirky kDistance (= distance to the
+        NEAREST of KNN(p,3), i.e. the minimum distance — lof.go:175-181
+        uses vectors[0] of the ascending queue), reach_dist(p,y) =
+        max(min_dist(p), d(p,y)) = d(p,y) for every y in KNN(p,k), so
+        lrd(p) = k / Σ(top-k nearest distances) — identical numbers to
+        the literal transcription (property-tested)."""
+        S, DS = self._matrices()
+        k = self.k
+        part = np.partition(DS, k - 1, axis=1)[:, :k]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.float64(k) / part.sum(axis=1)
+
+    def predict_batch(self, Q) -> list[Verdict]:
+        """Vectorized read-only scoring of a query matrix (the predict
+        path, lof.go:106-118): one pairwise() call + numpy top-k for
+        the whole batch, reusing the per-window stored-lrd cache."""
+        n = np.atleast_2d(np.asarray(Q, dtype=np.float64)).shape[0]
+        if len(self) == 0:
+            return [
+                Verdict(np.nan, False, "unable to predict, test vec size 0")
+            ] * n
+        if len(self) < self.skip_items:
+            return [
+                Verdict(np.nan, False, "unable to predict, test vec less skip items param")
+            ] * n
+        if self.k < MIN_K_NUM:
+            return [
+                Verdict(np.nan, False, "the k selected in the config is too small")
+            ] * n
+        S, _ = self._matrices()
+        if S.shape[0] < self.k:
+            return [Verdict(np.nan, False, "knn less minimal value")] * n
+        Qm = np.atleast_2d(np.asarray(Q, dtype=np.float64))
+        try:
+            dq = pairwise(Qm, S, self.metric)
+        except Exception as e:  # dim mismatch etc → per-row error verdicts
+            return [Verdict(np.nan, False, str(e))] * n
+        k = self.k
+        lrd_stored = self._lrd_stored()
+        nn = np.argpartition(dq, k - 1, axis=1)[:, :k]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            d_nn = np.take_along_axis(dq, nn, axis=1)
+            lrd_q = np.float64(k) / d_nn.sum(axis=1)
+            avg_lrd = lrd_stored[nn].sum(axis=1) / np.float64(k)
+            scores = avg_lrd / lrd_q
+        return [
+            Verdict(float(s), bool(s > LOF_THRESHOLD)) for s in scores
+        ]
+
     def predict(self, vec) -> Verdict:
         """Score without mutating the window (lof.go:106-118,153-166)."""
         if len(self) == 0:

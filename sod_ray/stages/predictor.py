@@ -152,14 +152,28 @@ class PredictScorer:
         self._empty = LofWindow()
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        lofs, outliers, errors = [], [], []
-        for _, row in batch.iterrows():
-            w = self.windows.get(str(row[self.key]), self._empty)
-            v = w.predict([float(row[c]) for c in self.feature_cols])
-            lofs.append(v.lof)
-            outliers.append(v.outlier)
-            errors.append(v.error or "")
+        """Vectorized per-entity scoring: group the batch by entity,
+        one ``predict_batch`` call per entity (pairwise + top-k across
+        all that entity's rows at once)."""
         batch = batch.copy()
+        lofs = np.full(len(batch), np.nan)
+        outliers = np.zeros(len(batch), dtype=bool)
+        errors = np.array([""] * len(batch), dtype=object)
+        keys = batch[self.key].astype(str).to_numpy()
+        feats = batch[self.feature_cols].to_numpy(dtype=np.float64)
+        order = np.argsort(keys, kind="stable")
+        sorted_keys = keys[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
+        )
+        bounds = np.append(bounds, len(keys))
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            idx = order[b0:b1]
+            w = self.windows.get(sorted_keys[b0], self._empty)
+            verdicts = w.predict_batch(feats[idx])
+            lofs[idx] = [v.lof for v in verdicts]
+            outliers[idx] = [v.outlier for v in verdicts]
+            errors[idx] = [v.error or "" for v in verdicts]
         batch["lof"] = lofs
         batch["outlier"] = outliers
         batch["verdict_error"] = errors

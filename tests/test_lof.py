@@ -168,3 +168,38 @@ def test_time_eviction_data_time():
     for t in [0, 5, 20, 25]:
         w.append([1.0], t)
     assert [int(t) for t in w._ts] == [20, 25]
+
+
+def test_predict_batch_matches_predict():
+    """Vectorized predict_batch must equal per-row predict exactly
+    (the quirky-kDistance simplification is mathematically identical)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    w = LofWindow()
+    pts = rng.normal(0, 1, size=(40, 3))
+    w.build(list(pts), list(range(40)))
+    Q = np.vstack([rng.normal(0, 1, size=(25, 3)), pts[:5] * 10])
+    singles = [w.predict(q) for q in Q]
+    batch = w.predict_batch(Q)
+    for s, b in zip(singles, batch):
+        if math.isnan(s.lof):
+            assert math.isnan(b.lof)
+        else:
+            assert b.lof == pytest.approx(s.lof, rel=1e-12)
+        assert b.outlier == s.outlier
+        assert (b.error or None) == (s.error or None)
+    # degenerate window (all identical) → NaN / Inf edges must agree
+    w2 = LofWindow()
+    w2.build([[1.0]] * 4, [0, 1, 2, 3])
+    for q in ([1.0], [9.0]):
+        s = w2.predict(q)
+        b = w2.predict_batch([q])[0]
+        assert (math.isnan(s.lof) and math.isnan(b.lof)) or b.lof == s.lof
+        assert b.outlier == s.outlier
+    # error guards
+    empty = LofWindow()
+    assert empty.predict_batch([[1.0]])[0].error == "unable to predict, test vec size 0"
+    small = LofWindow()
+    small.build([[1.0], [2.0]], [0, 1])
+    assert small.predict_batch([[1.0]])[0].error == "knn less minimal value"
