@@ -1,0 +1,72 @@
+"""CLI entry point — the ``ray job submit`` surface:
+
+    ray job submit -- python -m sod_ray \\
+        --input /data/webpages --out /data/run1 \\
+        [--refs /data/webpage_refs] [--waves 4] [--num-cpus 32] \\
+        [--intermediate-dir /data/tmp] [--no-resume]
+
+Prints the per-partition verdict table and a one-line JSON summary;
+exit code 0 iff every constraint passed. This script OWNS the Ray
+session (guarded init — under ``ray job submit`` the cluster already
+exists and ``ray.init()`` attaches to it)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sod_ray")
+    p.add_argument("--input", required=True, help="webpages parquet dir")
+    p.add_argument("--out", required=True, help="output/checkpoint dir")
+    p.add_argument("--refs", default=None, help="webpage_refs parquet dir")
+    p.add_argument("--part-key", default="lang")
+    p.add_argument("--waves", type=int, default=None, help="partitions per wave")
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--intermediate-dir", default=None)
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
+        if args.num_cpus:
+            kwargs.update(address="local", num_cpus=args.num_cpus)
+        ray.init(**kwargs)
+
+    from sod_ray.pipelines.validate import ValidateConfig, run_validation
+
+    cfg = ValidateConfig(
+        part_key=args.part_key,
+        partitions_per_wave=args.waves,
+        refs_path=args.refs,
+        intermediate_dir=args.intermediate_dir,
+    )
+    res = run_validation(args.input, args.out, cfg, resume=not args.no_resume)
+    vdf = res.verdicts.to_pandas()
+    if len(vdf):
+        print(vdf.to_string(index=False))
+    passed = bool(res.all_passed()) if len(vdf) else True
+    if res.referential is not None:
+        passed = passed and res.referential.get("referential") == "pass"
+        print(f"referential: {res.referential}")
+    print(
+        json.dumps(
+            {
+                "partitions_run": len(res.partitions_run),
+                "partitions_skipped": len(res.partitions_skipped),
+                "rows_scanned": res.rows_scanned,
+                "all_passed": passed,
+                "out_dir": res.out_dir,
+            }
+        )
+    )
+    ray.shutdown()
+    return 0 if passed else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
