@@ -216,6 +216,10 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
                     "distinct_est": distinct,
                     "dup_est": max(0.0, n_rows - distinct),
                     "sketch_bytes": sketch_bytes,
+                    # merged sketches ride along (KB per key×column):
+                    # drift scoring + the persisted baseline use them
+                    "welford": wf.to_bytes(),
+                    "tdigest": td.to_bytes(),
                 }
             )
         return pa.Table.from_pylist(out)
@@ -291,6 +295,10 @@ class ValidateConfig:
     # estimate → broadcast/bucketed anti-join exact path).
     refs_path: str | None = None
     max_dangling_rate: float = 0.001
+    # drift baseline: a baseline.parquet written by a PREVIOUS run
+    # (every run writes one to its out_dir); when set, each partition
+    # gets a drift outcome (PSI/KS vs the baseline sketches).
+    baseline_path: str | None = None
     baseline: dict | None = None  # (key, col) -> sketch bytes for drift
 
 
@@ -387,6 +395,14 @@ def run_validation(
     ) if all_stats else pa.table({})
     result.rows_scanned = total_rows_all
 
+    # persist this run's merged sketches as the NEXT run's drift
+    # baseline (KB-scale; atomic rename)
+    if all_stats:
+        save_baseline(
+            pd.concat(all_stats, ignore_index=True),
+            os.path.join(out_dir, "baseline.parquet"),
+        )
+
     _ensure_referential(result, input_path, cfg, manifest, out_dir, resume)
     return result
 
@@ -403,6 +419,35 @@ def _ensure_referential(result, input_path, cfg, manifest, out_dir, resume):
         result.referential = rec.constraint_outcomes if rec else None
     else:
         result.referential = _run_referential(input_path, cfg, manifest, out_dir)
+
+
+def save_baseline(stats_pdf, path: str) -> None:
+    """Persist merged (part_key, column) sketches for the next run's
+    drift check. Atomic write-then-rename."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    t = pa.Table.from_pandas(
+        stats_pdf[["part_key", "column", "tdigest", "welford"]],
+        preserve_index=False,
+    )
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
+    os.close(fd)
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+
+
+def load_baseline(path: str) -> dict:
+    """baseline.parquet → {(part_key, column): {"tdigest","welford"}}
+    (the broadcast dict for sod_ray.stages.drift.DriftScorer)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    return {
+        (r["part_key"], r["column"]): {"tdigest": r["tdigest"], "welford": r["welford"]}
+        for r in t.to_pylist()
+    }
 
 
 def _run_referential(input_path, cfg, manifest, out_dir):
@@ -556,14 +601,20 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
     )
 
     drift_tbl = None
-    if cfg.baseline:
+    baseline = cfg.baseline
+    if baseline is None and cfg.baseline_path and os.path.exists(cfg.baseline_path):
+        baseline = load_baseline(cfg.baseline_path)
+    if baseline:
+        # score the ALREADY-merged sketches against the baseline (no
+        # recompute); DriftScorer actor pool with the broadcast baseline
+        import ray.data as rd
+
         from ..stages.drift import drift_check
-        from ..stages.stats import merge_sketch_group  # noqa: F401
 
-        import ray.data as rd2  # noqa: F401
-
-        cur = column_stats(featured, list(cfg.stat_columns), key=cfg.part_key)
-        drift_tbl = drift_check(cur, cfg.baseline).to_pandas()
+        cur = rd.from_pandas(
+            merged[["part_key", "column", "tdigest", "welford"]]
+        )
+        drift_tbl = drift_check(cur, baseline).to_pandas()
 
     # --- per-partition verdicts + manifest commit (violation rows are
     # already ON DISK, written by the distributed sinks; only counts

@@ -168,3 +168,35 @@ def test_referential_run_level(ray_session, web_dir, tmp_path):
     # resume: second run reuses the committed record
     res2 = run_validation(f"{src}/webpages", out, cfg)
     assert res2.referential["n_dangling"] == res.referential["n_dangling"]
+
+
+def test_drift_across_runs(ray_session, web_dir, tmp_path):
+    """Run N writes baseline.parquet; run N+1 with baseline_path gets a
+    drift outcome — same data passes, shifted data fails."""
+    import pyarrow.parquet as pq
+
+    from sod_ray.pipelines.validate import ValidateConfig, run_validation
+    from sod_ray.sources.webpages import synth_shard, write_webpages
+
+    src, _ = web_dir
+    out1 = str(tmp_path / "r1")
+    res1 = run_validation(f"{src}/webpages", out1, ValidateConfig())
+    assert os.path.exists(os.path.join(out1, "baseline.parquet"))
+
+    # same data vs the baseline → drift passes everywhere
+    out2 = str(tmp_path / "r2")
+    cfg2 = ValidateConfig(baseline_path=os.path.join(out1, "baseline.parquet"))
+    res2 = run_validation(f"{src}/webpages", out2, cfg2)
+    v2 = res2.verdicts.to_pandas()
+    assert "c_drift" in v2.columns
+    assert (v2["c_drift"] == "pass").all()
+
+    # shifted data (10x longer docs) vs the baseline → drift fails
+    shifted_dir = str(tmp_path / "shifted")
+    os.makedirs(f"{shifted_dir}/webpages", exist_ok=True)
+    t, _ = synth_shard(2000, shard=0, seed=42, mean_tokens=400)
+    pq.write_table(t, f"{shifted_dir}/webpages/shard=00000.parquet")
+    out3 = str(tmp_path / "r3")
+    res3 = run_validation(f"{shifted_dir}/webpages", out3, cfg2)
+    v3 = res3.verdicts.to_pandas()
+    assert (v3["c_drift"] == "fail").any()
