@@ -26,6 +26,10 @@ def main(argv=None) -> int:
     p.add_argument("--waves", type=int, default=None, help="partitions per wave")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--intermediate-dir", default=None)
+    p.add_argument(
+        "--baseline", default=None,
+        help="baseline.parquet from a previous run (enables drift checks)",
+    )
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args(argv)
 
@@ -44,6 +48,7 @@ def main(argv=None) -> int:
         partitions_per_wave=args.waves,
         refs_path=args.refs,
         intermediate_dir=args.intermediate_dir,
+        baseline_path=args.baseline,
     )
     res = run_validation(args.input, args.out, cfg, resume=not args.no_resume)
     vdf = res.verdicts.to_pandas()
