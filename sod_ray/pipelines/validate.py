@@ -423,15 +423,23 @@ def _ensure_referential(result, input_path, cfg, manifest, out_dir, resume):
 
 def save_baseline(stats_pdf, path: str) -> None:
     """Persist merged (part_key, column) sketches for the next run's
-    drift check. Atomic write-then-rename."""
+    drift check. MERGES with an existing file so a resumed run (which
+    only recomputed some partitions) never clobbers the others' rows.
+    Atomic write-then-rename."""
     import tempfile
 
     import pyarrow.parquet as pq
 
-    t = pa.Table.from_pandas(
-        stats_pdf[["part_key", "column", "tdigest", "welford"]],
-        preserve_index=False,
-    )
+    new = stats_pdf[["part_key", "column", "tdigest", "welford"]]
+    if os.path.exists(path):
+        old = pq.read_table(path).to_pandas()
+        keep = old[
+            ~old.set_index(["part_key", "column"]).index.isin(
+                new.set_index(["part_key", "column"]).index
+            )
+        ]
+        new = pd.concat([new, keep], ignore_index=True)
+    t = pa.Table.from_pandas(new, preserve_index=False)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".", suffix=".tmp")
     os.close(fd)
     pq.write_table(t, tmp)

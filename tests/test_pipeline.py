@@ -200,3 +200,26 @@ def test_drift_across_runs(ray_session, web_dir, tmp_path):
     res3 = run_validation(f"{shifted_dir}/webpages", out3, cfg2)
     v3 = res3.verdicts.to_pandas()
     assert (v3["c_drift"] == "fail").any()
+
+
+def test_baseline_survives_partial_resume(ray_session, web_dir, tmp_path):
+    """A resumed run recomputes only some partitions; baseline.parquet
+    must keep the other partitions' sketches (merge, not clobber)."""
+    import pyarrow.parquet as pq
+
+    from sod_ray.pipelines.validate import ValidateConfig, run_validation
+
+    src, _ = web_dir
+    out = str(tmp_path / "outB")
+    run_validation(f"{src}/webpages", out, ValidateConfig())
+    bpath = os.path.join(out, "baseline.parquet")
+    full_keys = set(
+        map(tuple, pq.read_table(bpath).to_pandas()[["part_key", "column"]].values)
+    )
+    # force a partial resume of just one partition
+    os.unlink(os.path.join(out, "manifest", "part-en.json"))
+    run_validation(f"{src}/webpages", out, ValidateConfig())
+    after_keys = set(
+        map(tuple, pq.read_table(bpath).to_pandas()[["part_key", "column"]].values)
+    )
+    assert after_keys == full_keys
