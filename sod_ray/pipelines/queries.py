@@ -615,8 +615,8 @@ WITH o AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, event_id,
-         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
   FROM o
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -681,7 +681,7 @@ def token_totals_by_lang(sf_dir: str):
 
 
 TOKEN_TOTALS_SQL = r"""
-SELECT lang, SUM(len(regexp_extract_all(text, '\S+'))) AS total_tokens
+SELECT lang, CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
 FROM documents GROUP BY lang
 """
 

@@ -44,7 +44,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
-from ..state.manifest import Manifest, PartitionRecord
+from ..state.manifest import Manifest, PartitionRecord, _is_flag
 from ..stages.constraints import schema_check
 from ..stages.stats import column_stats
 
@@ -360,7 +360,7 @@ def run_validation(
         out_dir=out_dir,
     )
     if not remaining:
-        result.verdicts = _load_verdicts(out_dir)
+        result.verdicts = _verdicts_from_manifest(manifest, all_parts)
         result.stats = pa.table({})
         _ensure_referential(result, input_path, cfg, manifest, out_dir, resume)
         return result
@@ -384,27 +384,56 @@ def run_validation(
         all_verdicts.append(vt)
         all_stats.append(st)
         total_rows_all += nrows
-    verdicts = (
-        pa.concat_tables(all_verdicts, promote_options="default")
-        if all_verdicts
+        # persist this wave's merged sketches immediately (save_baseline
+        # merges, so a kill after N waves keeps those N waves' sketches
+        # for the next run's drift check — matching the manifest commits)
+        save_baseline(st, os.path.join(out_dir, "baseline.parquet"))
+
+    # previously committed partitions keep their verdicts (from the
+    # manifest outcomes) so all_passed()/the CLI exit code cover the
+    # WHOLE run after a kill+resume, not just the recomputed wave
+    skipped_verdicts = _verdicts_from_manifest(
+        manifest, [p for p in sorted(done) if p != "__referential__"]
+    )
+    tables = (
+        [skipped_verdicts] if skipped_verdicts.num_rows else []
+    ) + all_verdicts
+    result.verdicts = (
+        pa.concat_tables(tables, promote_options="default")
+        if tables
         else pa.table({})
     )
-    result.verdicts = verdicts
     result.stats = pa.Table.from_pandas(
         pd.concat(all_stats, ignore_index=True), preserve_index=False
     ) if all_stats else pa.table({})
     result.rows_scanned = total_rows_all
 
-    # persist this run's merged sketches as the NEXT run's drift
-    # baseline (KB-scale; atomic rename)
-    if all_stats:
-        save_baseline(
-            pd.concat(all_stats, ignore_index=True),
-            os.path.join(out_dir, "baseline.parquet"),
-        )
-
     _ensure_referential(result, input_path, cfg, manifest, out_dir, resume)
     return result
+
+
+def _verdicts_from_manifest(manifest: Manifest, partitions) -> pa.Table:
+    """Rebuild verdict rows for committed partitions from their manifest
+    records (same shape as _run_wave's verdict rows). Robust even if a
+    verdicts-*.parquet file was lost between commit and write."""
+    rows = []
+    for p in partitions:
+        if p == "__referential__":
+            continue
+        rec = manifest.load(p)
+        if rec is None:
+            continue
+        flags = {k: v for k, v in rec.constraint_outcomes.items() if _is_flag(v)}
+        rows.append(
+            {
+                "partition": p,
+                "rows": rec.rows_scanned,
+                "violations": rec.rows_violating,
+                "passed": rec.passed(),
+                **{f"c_{k}": v for k, v in flags.items()},
+            }
+        )
+    return pa.Table.from_pylist(rows) if rows else pa.table({})
 
 
 def _ensure_referential(result, input_path, cfg, manifest, out_dir, resume):
@@ -416,7 +445,9 @@ def _ensure_referential(result, input_path, cfg, manifest, out_dir, resume):
     done = manifest.committed_partitions() if resume else set()
     if "__referential__" in done:
         rec = manifest.load("__referential__")
-        result.referential = rec.constraint_outcomes if rec else None
+        result.referential = (
+            {**rec.constraint_outcomes, **rec.evidence} if rec else None
+        )
     else:
         result.referential = _run_referential(input_path, cfg, manifest, out_dir)
 
@@ -478,8 +509,7 @@ def _run_referential(input_path, cfg, manifest, out_dir):
     violations.write_parquet(vdir)
     n_refs = refs.count()  # parquet metadata only
     passed = n_dangling <= cfg.max_dangling_rate * max(n_refs, 1)
-    outcomes = {
-        "referential": "pass" if passed else "fail",
+    evidence = {
         "n_dangling": n_dangling,
         "n_refs": n_refs,
         "dangling_est": est["dangling_est"],
@@ -490,11 +520,14 @@ def _run_referential(input_path, cfg, manifest, out_dir):
             partition="__referential__",
             rows_scanned=n_refs,
             rows_violating=n_dangling,
-            constraint_outcomes=outcomes,
+            # flags only — numeric evidence lives in its own field so
+            # passed()/summary() never confuse counts with pass markers
+            constraint_outcomes={"referential": "pass" if passed else "fail"},
             outputs=[vdir],
+            evidence=evidence,
         )
     )
-    return outcomes
+    return {"referential": "pass" if passed else "fail", **evidence}
 
 
 def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):

@@ -259,49 +259,50 @@ def referential_estimate(child_ds, parent_ds, fk: str, pk: str) -> dict:
     }
 
 
-def broadcast_anti_join(child_ds, parent_keys, fk: str):
-    """Anti-join with a broadcast parent key set: ``ray.put`` the sorted
-    key-hash array ONCE; every batch probes it with np.searchsorted.
+def _broadcast_membership(child_ds, parent_keys, fk: str, keep_present: bool):
+    """Shared core of the broadcast semi/anti joins: ``ray.put`` the
+    deduplicated parent key ARRAY once (actual values, not hashes — a
+    64-bit hash collision would silently hide a dangling key); every
+    batch probes it with pyarrow's vectorized ``is_in`` hash set.
     Zero shuffle; right side must fit in object-store memory
-    (8 bytes/key → 1e9 keys ≈ 8 GB, fine for dimension-sized parents)."""
+    (strings ~50 B/key → the 5M-key broadcast threshold ≈ 250 MB)."""
     if isinstance(parent_keys, pa.ChunkedArray):
         parent_keys = parent_keys.combine_chunks()
-    key_hashes = np.unique(hash64(parent_keys))
-    ref = ray.put(key_hashes)
+    if not isinstance(parent_keys, pa.Array):
+        parent_keys = pa.array(parent_keys)
+    uniq = pc.unique(parent_keys)
+    parent_has_null = uniq.null_count > 0
+    ref = ray.put(uniq.drop_null())
 
-    class AntiProbe:
+    class Probe:
         def __init__(self):
             self.keys = ray.get(ref)  # fetched once per actor
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            h = hash64(batch[fk])
-            pos = np.searchsorted(self.keys, h)
-            pos = np.minimum(pos, self.keys.size - 1)
-            present = self.keys[pos] == h
-            return batch.filter(pa.array(~present))
+            col = batch[fk]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            keys = self.keys
+            if keys.type != col.type:
+                keys = keys.cast(col.type)
+            present = pc.is_in(col, value_set=keys)
+            # null FK matches only if the parent key set contains null
+            present = pc.fill_null(present, parent_has_null)
+            if not keep_present:
+                present = pc.invert(present)
+            return batch.filter(present)
 
-    return child_ds.map_batches(AntiProbe, batch_format="pyarrow", concurrency=(1, 8))
+    return child_ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def broadcast_anti_join(child_ds, parent_keys, fk: str):
+    """Anti-join with a broadcast parent key set (exact values)."""
+    return _broadcast_membership(child_ds, parent_keys, fk, keep_present=False)
 
 
 def broadcast_semi_join(child_ds, parent_keys, fk: str):
     """Semi-join twin of broadcast_anti_join (keep matching rows)."""
-    if isinstance(parent_keys, pa.ChunkedArray):
-        parent_keys = parent_keys.combine_chunks()
-    key_hashes = np.unique(hash64(parent_keys))
-    ref = ray.put(key_hashes)
-
-    class SemiProbe:
-        def __init__(self):
-            self.keys = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            h = hash64(batch[fk])
-            pos = np.searchsorted(self.keys, h)
-            pos = np.minimum(pos, self.keys.size - 1)
-            present = self.keys[pos] == h
-            return batch.filter(pa.array(present))
-
-    return child_ds.map_batches(SemiProbe, batch_format="pyarrow", concurrency=(1, 8))
+    return _broadcast_membership(child_ds, parent_keys, fk, keep_present=True)
 
 
 def bucketed_anti_join(

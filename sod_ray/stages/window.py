@@ -276,12 +276,25 @@ def windowed_zscore_sorted(
         return pd.DataFrame(columns=[key, "n_flagged"] if sink_dir else cols + ["z", "is_peak"])
 
     @ray.remote
+    def nrows_of(block: pa.Table) -> int:
+        return block.num_rows
+
+    @ray.remote
     def tail_of(block: pa.Table):
         n = block.num_rows
         return block.slice(max(0, n - (window - 1)), min(n, window - 1))
 
     @ray.remote
-    def score_block(block: pa.Table, prev_tail, block_idx: int):
+    def score_block(block: pa.Table, block_idx: int, *ctx_tails):
+        # context = last (window-1) rows across the PRECEDING blocks'
+        # tails (possibly several, when blocks are shorter than the
+        # window — a single predecessor tail would truncate the history
+        # and mis-score rows near the boundary)
+        prev_tail = None
+        if ctx_tails:
+            cat = pa.concat_tables([t for t in ctx_tails if t.num_rows])
+            if cat.num_rows:
+                prev_tail = cat.slice(max(0, cat.num_rows - (window - 1)))
         if block.num_rows == 0 and prev_tail is None:
             g = pd.DataFrame(columns=cols)
         else:
@@ -335,12 +348,18 @@ def windowed_zscore_sorted(
         return pd.DataFrame(counts, columns=[key, "n_flagged"])
 
     tails = [tail_of.remote(r) for r in block_refs]
-    results = ray.get(
-        [
-            score_block.remote(r, tails[i - 1] if i > 0 else None, i)
-            for i, r in enumerate(block_refs)
-        ]
-    )
+    counts_per_block = ray.get([nrows_of.remote(r) for r in block_refs])
+    futures = []
+    for i, r in enumerate(block_refs):
+        # walk back until window-1 context rows are covered (or block 0)
+        js, acc, j = [], 0, i - 1
+        while j >= 0 and acc < window - 1:
+            js.append(j)
+            acc += counts_per_block[j]
+            j -= 1
+        ctx = [tails[j2] for j2 in reversed(js)]
+        futures.append(score_block.remote(r, i, *ctx))
+    results = ray.get(futures)
     non_empty = [r for r in results if len(r)]
     if not non_empty:
         return pd.DataFrame(columns=[key, "n_flagged"] if sink_dir else cols + ["z", "is_peak"])

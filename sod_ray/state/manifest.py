@@ -22,6 +22,14 @@ import tempfile
 from dataclasses import asdict, dataclass, field
 
 
+def _is_flag(v) -> bool:
+    """True for genuine pass/fail markers; numeric evidence values
+    (counts, estimates) must never be mistaken for flags (1 == True in
+    Python, so a naive membership test would treat n_dangling=1 as a
+    pass)."""
+    return (isinstance(v, str) and v in ("pass", "fail")) or isinstance(v, bool)
+
+
 @dataclass
 class PartitionRecord:
     partition: str
@@ -31,9 +39,14 @@ class PartitionRecord:
     outputs: list = field(default_factory=list)  # written file/dir paths
     sketch_bytes: int = 0
     committed: bool = True
+    evidence: dict = field(default_factory=dict)  # numeric evidence, NOT flags
 
     def passed(self) -> bool:
-        return all(v in ("pass", True) for v in self.constraint_outcomes.values())
+        return all(
+            v in ("pass", True)
+            for v in self.constraint_outcomes.values()
+            if _is_flag(v)
+        )
 
 
 class Manifest:
@@ -101,7 +114,11 @@ class Manifest:
             "rows_scanned": sum(r.get("rows_scanned", 0) for r in recs),
             "rows_violating": sum(r.get("rows_violating", 0) for r in recs),
             "all_passed": all(
-                all(v in ("pass", True) for v in r.get("constraint_outcomes", {}).values())
+                all(
+                    v in ("pass", True)
+                    for v in r.get("constraint_outcomes", {}).values()
+                    if _is_flag(v)
+                )
                 for r in recs
             ),
         }

@@ -175,12 +175,37 @@ def hash64(values) -> np.ndarray:
                     np.asarray(s.is_null()), np.uint64(0x6E756C6C6E756C6C), h
                 )
             return _splitmix64(h)
+        if pa.types.is_integer(values.type) or pa.types.is_boolean(values.type):
+            # Hash integers via their native 64-bit pattern — a float64
+            # cast loses precision beyond 2^53 (silent collisions) and
+            # raises ArrowInvalid past 2^63.
+            target = (
+                pa.uint64()
+                if pa.types.is_unsigned_integer(values.type)
+                else pa.int64()
+            )
+            filled = values.cast(target)
+            nullmask = (
+                np.asarray(filled.is_null()) if filled.null_count else None
+            )
+            np_vals = filled.fill_null(0).to_numpy(zero_copy_only=False)
+            h = _splitmix64(np_vals.view(np.uint64))
+            if nullmask is not None:
+                h = h.copy()
+                h[nullmask] = _splitmix64(
+                    np.array([0x6E756C6C6E756C6C], np.uint64)
+                )[0]
+            return h
         np_vals = values.cast(pa.float64()).fill_null(float("-1.5e308")).to_numpy(
             zero_copy_only=False
         )
         return _splitmix64(np_vals.view(np.uint64))
     arr = np.asarray(values)
-    if arr.dtype.kind in "iuf":
+    if arr.dtype.kind == "i":
+        return _splitmix64(arr.astype(np.int64).view(np.uint64))
+    if arr.dtype.kind == "u":
+        return _splitmix64(arr.astype(np.uint64))
+    if arr.dtype.kind == "f":
         return _splitmix64(arr.astype(np.float64).view(np.uint64))
     import polars as pl
 

@@ -73,6 +73,11 @@ def test_full_run_and_resume(ray_session, web_dir, tmp_path):
     # rerun rows match the original for the resumed partitions
     v3 = res3.verdicts.to_pandas().set_index("partition")
     assert v3.loc["en", "rows"] == v.loc["en", "rows"]
+    # verdicts after a partial resume cover the COMMITTED partitions too
+    # (from the manifest outcomes) so all_passed() reflects the whole run
+    assert set(v3.index) == set(v.index)
+    for p in v.index:
+        assert v3.loc[p, "rows"] == v.loc[p, "rows"]
 
 
 def test_verdicts_detect_planted_anomalies(ray_session, web_dir, tmp_path):

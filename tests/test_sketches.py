@@ -202,3 +202,37 @@ def test_tdigest_merge_order_insensitive_bounds(chunks):
     assert left.quantile(0.0) == flat.min()
     assert left.quantile(1.0) == flat.max()
     assert left.n == flat.size
+
+
+def test_hash64_large_int_distinct():
+    """Integer keys hash via their 64-bit pattern, not float64 (which
+    collides beyond 2^53 and crashes past 2^63 — ADVICE r1)."""
+    import pyarrow as pa
+
+    from sod_ray.state.sketches import hash64
+
+    big = [2**60, 2**60 + 1, 2**62, 2**62 + 1, -(2**60), -(2**60) - 1]
+    h_arrow = hash64(pa.array(big, pa.int64()))
+    assert len(set(h_arrow.tolist())) == len(big)
+    h_np = hash64(np.array(big, dtype=np.int64))
+    assert len(set(h_np.tolist())) == len(big)
+    # arrow and numpy paths agree for int64
+    np.testing.assert_array_equal(h_arrow, h_np)
+    # uint64 beyond int64 range works too
+    hu = hash64(pa.array([2**63, 2**63 + 1], pa.uint64()))
+    assert hu[0] != hu[1]
+    # nulls get a deterministic sentinel distinct from real values
+    hn = hash64(pa.array([None, 0], pa.int64()))
+    assert hn[0] != hn[1]
+
+
+def test_hash64_hll_large_ints():
+    """HLL distinct counts stay accurate for >2^53 int64 ids."""
+    import pyarrow as pa
+
+    from sod_ray.state.sketches import HyperLogLog, hash64
+
+    ids = pa.array([2**60 + i for i in range(5000)], pa.int64())
+    h = HyperLogLog()
+    h.update_hashes(hash64(ids))
+    assert abs(h.cardinality() - 5000) / 5000 < 0.05

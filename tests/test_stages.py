@@ -331,3 +331,88 @@ def test_bucketed_anti_join_int_keys(ray_session):
     parent = rd.from_arrow(pa.table({"pk": pa.array(range(50), pa.int64())}))
     out = bucketed_anti_join(child, parent, "fk", "pk", num_buckets=4).to_pandas()
     assert sorted(out["payload"]) == ["d", "e"]
+
+
+def test_broadcast_joins_exact_values(ray_session):
+    """Broadcast semi/anti joins compare ACTUAL key values (a 64-bit
+    hash collision must never hide a dangling key), including int64
+    keys beyond 2^53 and null FKs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sod_ray.stages.constraints import broadcast_anti_join, broadcast_semi_join
+
+    parent = pa.array([2**60, 2**60 + 1, 5], pa.int64())
+    child = rd.from_arrow(
+        pa.table(
+            {
+                "fk": pa.array([2**60, 2**60 + 1, 2**60 + 2, 5, None], pa.int64()),
+                "row": ["a", "b", "c", "d", "e"],
+            }
+        )
+    )
+    anti = broadcast_anti_join(child, parent, "fk").to_pandas()
+    assert sorted(anti["row"]) == ["c", "e"]  # null FK counts as dangling
+    semi = broadcast_semi_join(child, parent, "fk").to_pandas()
+    assert sorted(semi["row"]) == ["a", "b", "d"]
+
+
+def test_windowed_zscore_sorted_subwindow_blocks(ray_session):
+    """Blocks far smaller than the window: the sorted scorer must
+    accumulate context across SEVERAL preceding blocks (a single
+    predecessor tail truncates the trailing window — ADVICE r1)."""
+    import ray.data as rd
+
+    from sod_ray.stages.window import windowed_zscore, windowed_zscore_sorted
+
+    rng = np.random.default_rng(7)
+    n = 240
+    df = pd.DataFrame(
+        {
+            "k": ["x"] * n,
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(n), "s"),
+            "v": rng.normal(0, 1, n),
+            "id": [f"r{i:04d}" for i in range(n)],
+        }
+    )
+    ds = rd.from_pandas(df).repartition(48)  # ~5-row blocks << window 64
+    kw = dict(key="k", ts_col="ts", value_col="v", id_cols=["id"],
+              window=64, min_periods=8, threshold=0.0)  # flag everything scored
+    a = (
+        windowed_zscore(ds, **kw)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    b = windowed_zscore_sorted(ds, **kw).sort_values("id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    np.testing.assert_allclose(a["z"].to_numpy(), b["z"].to_numpy(), rtol=1e-12)
+
+
+def test_manifest_flags_vs_evidence(tmp_path):
+    """passed()/summary() consider only pass/fail flags; numeric
+    evidence (n_dangling etc.) must not flip the verdict (1 == True in
+    Python — ADVICE r1)."""
+    from sod_ray.state.manifest import Manifest, PartitionRecord
+
+    m = Manifest(str(tmp_path / "m"))
+    rec = PartitionRecord(
+        partition="__referential__",
+        constraint_outcomes={"referential": "pass"},
+        evidence={"n_dangling": 1, "n_refs": 100, "dangling_est": 0.0},
+    )
+    assert rec.passed()
+    m.commit(rec)
+    assert m.summary()["all_passed"]
+    # legacy-style record with numbers mixed into outcomes: the numbers
+    # are ignored, the flag governs
+    legacy = PartitionRecord(
+        partition="p",
+        constraint_outcomes={"referential": "fail", "n_dangling": 0},
+    )
+    assert not legacy.passed()
+    legacy_ok = PartitionRecord(
+        partition="q",
+        constraint_outcomes={"referential": "pass", "n_dangling": 7},
+    )
+    assert legacy_ok.passed()
