@@ -23,12 +23,11 @@ def entry() -> Any:
     documents table — sketch stats + uniqueness + null checks + quality,
     the documents-table analog of sod_ray.pipelines.validate."""
     import pandas as pd
+    import pyarrow as pa
 
-    from sod_ray.pipelines.queries import (
-        doc_quality_scores,
-        sketch_stats_documents,
-    )
+    from sod_ray.pipelines.queries import sketch_stats_documents
     from sod_ray.stages.constraints import null_rates, uniqueness_estimate
+    from sod_ray.stages.textstage import TextFeatures
 
     import ray.data as rd
 
@@ -36,10 +35,32 @@ def entry() -> Any:
     stats = sketch_stats_documents(SF_SMOKE).to_pandas()
     uniq = uniqueness_estimate(docs, "doc_id", key="lang").to_pandas()
     nulls = null_rates(docs, ["text", "lang"], key="lang").to_pandas()
-    quality = doc_quality_scores(SF_SMOKE).to_pandas()
-    docs_pdf = docs.select_columns(["doc_id", "lang"]).to_pandas()
-    quality = quality.merge(docs_pdf, on="doc_id")
-    low_q_by_lang = quality.groupby("lang")["quality"].apply(lambda q: float((q < 0.5).mean()))
+    # low-quality rate per lang: lang rides through the feature stage
+    # and a tiny groupby-sum collects ONLY per-lang counters — no
+    # full-table driver merge (scale-killer shape at 10^12 rows)
+    from ray.data.aggregate import Count, Sum
+
+    low_q = (
+        docs.select_columns(["doc_id", "lang", "text"])
+        .map_batches(TextFeatures, batch_format="pandas", concurrency=2)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": t["lang"],
+                    "low_q": pa.array(
+                        (t["quality"].to_numpy(zero_copy_only=False) < 0.5).astype(
+                            "int64"
+                        )
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("lang")
+        .aggregate(Sum("low_q", alias_name="n_low"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    low_q_by_lang = (low_q.set_index("lang")["n_low"] / low_q.set_index("lang")["n"]).to_dict()
 
     verdicts = []
     for lang in sorted(stats["part_key"].unique()):

@@ -791,6 +791,35 @@ def lof_events_outliers(sf_dir: str):
     return out.select_columns(["event_id", "user_id"])
 
 
+def _ts_median_sketch(ds, ts_col: str = "ts"):
+    """Distributed median of a timestamp column via merged t-digest
+    partials — the split point for half/half fixtures WITHOUT pulling
+    the column to the driver (8 TB at 10^12 rows). Deterministic for a
+    given input; exactness is not required, only a stable cut."""
+    from ..state.sketches import TDigest
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = (
+            t[ts_col]
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)  # µs-since-epoch ≈ 1.7e15 ≪ 2^53: exact
+        )
+        return pa.table(
+            {"td": pa.array([TDigest().update_array(x).to_bytes()], pa.binary())}
+        )
+
+    parts = (
+        ds.select_columns([ts_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .take_all()
+    )
+    td = TDigest()
+    for r in parts:
+        td.merge(TDigest.from_bytes(r["td"]))
+    return pd.Timestamp(int(td.quantile(0.5)), unit="us")
+
+
 def lof_predict_events(sf_dir: str):
     """PREDICT-path scoring (SURVEY.md §3.2): build per-user windows
     from the first half of the events stream, score the second half
@@ -798,7 +827,7 @@ def lof_predict_events(sf_dir: str):
     from ..stages.predictor import build_entity_windows, predict_against_windows
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    mid = ds.select_columns(["ts"]).to_pandas()["ts"].quantile(0.5)
+    mid = _ts_median_sketch(ds)
     cut = pa.scalar(mid, pa.timestamp("us"))
     build = ds.map_batches(
         lambda t: t.filter(pc.less(t["ts"], cut)), batch_format="pyarrow"
@@ -867,7 +896,7 @@ def psi_events_halves(sf_dir: str):
     from ..stages.stats import column_stats
 
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
-    mid = ds.select_columns(["ts"]).to_pandas()["ts"].quantile(0.5)
+    mid = _ts_median_sketch(ds)
     cut = pa.scalar(mid, pa.timestamp("us"))
     first = ds.map_batches(
         lambda t: t.filter(pc.less(t["ts"], cut)), batch_format="pyarrow"

@@ -60,23 +60,28 @@ def exact_dedup(ds, text_col: str, id_col: str, keep: str = "min"):
 
 
 def _token_ids(texts: list[str | None]) -> list[np.ndarray]:
-    """Whitespace tokens → stable 64-bit ids per doc (blake2b via
-    hash64 on the batch's unique tokens only — vocabulary is small
-    relative to total token count, so hashing is amortized)."""
-    docs_tokens = [t.split() if t else [] for t in texts]
-    vocab: dict[str, int] = {}
-    for toks in docs_tokens:
-        for tok in toks:
-            if tok not in vocab:
-                vocab[tok] = 0
-    if vocab:
-        keys = list(vocab)
-        ids = hash64(pa.array(keys, pa.string()))
-        vocab = dict(zip(keys, ids))
-    return [
-        np.fromiter((vocab[t] for t in toks), dtype=np.uint64, count=len(toks))
-        for toks in docs_tokens
-    ]
+    """Whitespace tokens → stable 64-bit ids per doc, fully vectorized:
+    Arrow ``utf8_split_whitespace`` → flatten → one ``hash64`` over the
+    whole batch's flat token array → slice back per doc via offsets.
+    Boundary whitespace yields empty tokens in Arrow (unlike
+    ``str.split()``) — filtered to keep tokenization identical."""
+    import pyarrow.compute as pc
+
+    arr = pa.array(texts, pa.string())
+    toks = pc.utf8_split_whitespace(arr)
+    lengths = pc.fill_null(pc.list_value_length(toks), 0).to_numpy(
+        zero_copy_only=False
+    )
+    flat = pc.list_flatten(toks)
+    if len(flat) == 0:
+        return [np.empty(0, dtype=np.uint64) for _ in texts]
+    nonempty = pc.not_equal(flat, pa.scalar("", pa.string()))
+    nonempty_np = nonempty.to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(texts)), lengths)[nonempty_np]
+    ids = hash64(flat.filter(nonempty))
+    counts = np.bincount(doc_idx, minlength=len(texts))
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    return [ids[offsets[i] : offsets[i + 1]] for i in range(len(texts))]
 
 
 def _shingle_hashes(token_ids: np.ndarray, k: int) -> np.ndarray:
@@ -156,33 +161,66 @@ def minhash_lsh_dedup(
     max_bucket_size: int = 256,
     small_corpus_rows: int = 100_000,
 ):
-    """MinHash+LSH near-dup pairs, shuffle-lean:
+    """MinHash+LSH near-dup pairs, fully distributed:
 
-    1. per batch: signatures → (band, band_hash, id) rows ONLY — the
-       shuffle carries 16 × 16 bytes per doc, never the 512-byte
-       signature and never the text;
-    2. groupby band buckets → candidate id pairs (buckets larger than
+    1. ONE text scan: per-batch signatures → (id, sig) rows, landed
+       once (object store; at 100 TB an intermediate parquet dir —
+       512 B/doc, ~0.05% of corpus bytes);
+    2. band hashes derived FROM the sig rows (cheap fold, no re-scan)
+       → (band, band_hash, id) rows ONLY cross the banding shuffle —
+       16 × 16 bytes per doc, never the signature, never the text;
+    3. groupby band buckets → candidate id pairs (buckets larger than
        ``max_bucket_size`` — giant dup clusters — emit a consecutive-id
        CHAIN instead of the quadratic pair set; connected components
        still merge the cluster);
-    3. signatures are recomputed (deterministic seed) for CANDIDATE ids
-       only and broadcast; pairs verified by signature-agreement
-       Jaccard estimate on the driver (candidate set is banding-pruned,
-       orders of magnitude smaller than the corpus).
+    4. verification is a distributed signature join, NEVER on the
+       driver (web corpora are ~30% near-dup — the candidate list is
+       not small): pairs explode to (key=endpoint) probe rows, union
+       with the (key=id) sig rows, ``groupby(key)`` attaches each
+       endpoint's signature, then ``groupby(pair)`` computes the
+       signature-agreement Jaccard estimate. Only verified pairs
+       reach the driver.
 
-    For small corpora (< ``small_corpus_rows``) the extra executions
-    cost more than they save — there the signatures ride along in the
+    For small corpora (< ``small_corpus_rows``) the join machinery
+    costs more than it saves — there the signatures ride along in the
     band rows and verification happens inside the bucket groups (one
     execution total). Same results either way (tested).
 
     Returns a pyarrow Table (id_a, id_b, jaccard_est), id_a < id_b."""
 
-    def to_band_rows(batch: pa.Table) -> pa.Table:
+    if ds.count() < small_corpus_rows:
+        return _minhash_small(
+            ds, text_col, id_col, n_perm, bands, shingle_k, jaccard_threshold, seed
+        )
+
+    def to_sig_rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         sig = minhash_signatures(texts, n_perm, shingle_k, seed)
+        # binary-encoded (n_perm × 8 B) — acero joins carry binary
+        # payloads but not list columns
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "sig": pa.array([row.tobytes() for row in sig], pa.binary()),
+            }
+        )
+
+    # one text scan; landed once so banding and the verify join both
+    # consume it without recomputing signatures
+    sig_rows = ds.map_batches(to_sig_rows, batch_format="pyarrow").materialize()
+
+    def sig_to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sig = (
+            np.frombuffer(
+                b"".join(batch["sig"].to_pylist()), dtype=np.uint64
+            ).reshape(-1, n_perm)
+            if len(batch)
+            else np.empty((0, n_perm), dtype=np.uint64)
+        )
         bh = _band_hashes(sig, bands)
-        n = len(texts)
+        n = len(ids)
         return pa.table(
             {
                 "band": pa.array(np.repeat(np.arange(bands), n).astype(np.int32)),
@@ -191,12 +229,7 @@ def minhash_lsh_dedup(
             }
         )
 
-    if ds.count() < small_corpus_rows:
-        return _minhash_small(
-            ds, text_col, id_col, n_perm, bands, shingle_k, jaccard_threshold, seed
-        )
-
-    band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow")
+    band_rows = sig_rows.map_batches(sig_to_bands, batch_format="pyarrow")
 
     def candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(id_col).sort_values(id_col, kind="stable")
@@ -209,13 +242,32 @@ def minhash_lsh_dedup(
         iu, ju = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
 
-    pairs_pdf = (
+    from ray.data.aggregate import Count
+
+    pairs = (
         band_rows.groupby(["band", "band_hash"])
         .map_groups(candidate_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(["id_a", "id_b"])
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="__n"))  # vectorized pair dedup
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "id_a": t["id_a"].cast(pa.int64()),
+                    "id_b": t["id_b"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        # land the (small) pair list: fusing the banding sort straight
+        # into the verify joins stalls the streaming executor
+        .materialize()
     )
-    if len(pairs_pdf) == 0:
+
+    verified = _verify_pairs_distributed(
+        pairs, sig_rows, id_col, jaccard_threshold
+    )
+    pdf = verified.to_pandas()
+    if len(pdf) == 0:
         return pa.table(
             {
                 "id_a": pa.array([], pa.int64()),
@@ -223,47 +275,73 @@ def minhash_lsh_dedup(
                 "jaccard_est": pa.array([], pa.float64()),
             }
         )
-
-    # recompute signatures for candidate ids only (deterministic)
-    cand_ids = np.unique(
-        np.concatenate([pairs_pdf["id_a"].to_numpy(), pairs_pdf["id_b"].to_numpy()])
+    return pa.Table.from_pandas(
+        pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        preserve_index=False,
     )
+
+
+def _join_partitions(requested: int | None) -> int:
+    """Join aggregator-actor count sized to the cluster: each hash join
+    spawns `num_partitions` aggregator actors, and oversubscribing CPUs
+    (e.g. two chained 16-way joins on 4 cores) deadlocks the pool."""
     import ray
 
-    cand_ref = ray.put(np.sort(cand_ids))
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    auto = max(2, cpus // 2)
+    return min(requested, auto) if requested else auto
 
-    def sig_for_candidates(batch: pa.Table) -> pa.Table:
-        cand = ray.get(cand_ref)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(cand, ids)
-        pos = np.minimum(pos, cand.size - 1)
-        mask = cand[pos] == ids
-        if not mask.any():
-            return pa.table({id_col: pa.array([], pa.int64()), "sig": pa.array([], pa.list_(pa.uint64()))})
-        sub_ids = ids[mask]
-        texts = [t for t, m in zip(batch[text_col].to_pylist(), mask) if m]
-        sig = minhash_signatures(texts, n_perm, shingle_k, seed)
+
+def _verify_pairs_distributed(
+    pairs, sig_rows, id_col: str, threshold: float, num_partitions: int | None = None
+):
+    """Distributed signature-agreement verify: two native hash joins
+    attach each endpoint's signature to its candidate pairs, then one
+    vectorized map computes the per-pair agreement fraction (Jaccard
+    estimate) and filters by threshold. The joins shuffle pair ids +
+    one signature per row (KBs per partition), never text; nothing
+    touches the driver. Returns a Dataset of (id_a, id_b,
+    jaccard_est)."""
+    num_partitions = _join_partitions(num_partitions)
+
+    def as_a(t: pa.Table) -> pa.Table:
+        return pa.table({"id_a": t[id_col].cast(pa.int64()), "sig_a": t["sig"]})
+
+    def as_b(t: pa.Table) -> pa.Table:
+        return pa.table({"id_b": t[id_col].cast(pa.int64()), "sig_b": t["sig"]})
+
+    sa = sig_rows.map_batches(as_a, batch_format="pyarrow")
+    sb = sig_rows.map_batches(as_b, batch_format="pyarrow")
+    # materialize between the two joins: running both aggregator pools
+    # concurrently doubles the actor footprint for no pipelining win
+    j1 = pairs.join(sa, "inner", num_partitions, on=("id_a",)).materialize()
+    j = j1.join(sb, "inner", num_partitions, on=("id_b",))
+
+    def est_batch(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard_est": pa.array([], pa.float64()),
+                }
+            )
+        A = np.frombuffer(b"".join(t["sig_a"].to_pylist()), dtype=np.uint64)
+        B = np.frombuffer(b"".join(t["sig_b"].to_pylist()), dtype=np.uint64)
+        A = A.reshape(len(t), -1)
+        B = B.reshape(len(t), -1)
+        e = (A == B).mean(axis=1)
+        keep = e >= threshold
+        sub = t.filter(pa.array(keep))
         return pa.table(
-            {id_col: pa.array(sub_ids), "sig": pa.array(list(sig))}
+            {
+                "id_a": sub["id_a"],
+                "id_b": sub["id_b"],
+                "jaccard_est": pa.array(e[keep], pa.float64()),
+            }
         )
 
-    sig_rows = ds.map_batches(sig_for_candidates, batch_format="pyarrow").to_pandas()
-    sig_by_id = {
-        i: np.asarray(s, dtype=np.uint64)
-        for i, s in zip(sig_rows[id_col], sig_rows["sig"])
-    }
-    est = np.array(
-        [
-            (sig_by_id[a] == sig_by_id[b]).mean()
-            if a in sig_by_id and b in sig_by_id
-            else 0.0
-            for a, b in zip(pairs_pdf["id_a"], pairs_pdf["id_b"])
-        ]
-    )
-    keep = est >= jaccard_threshold
-    out = pairs_pdf[keep].copy()
-    out["jaccard_est"] = est[keep]
-    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+    return j.map_batches(est_batch, batch_format="pyarrow")
 
 
 def _minhash_small(
@@ -530,10 +608,10 @@ def embedding_neardup(
 
 
 def connected_components(pairs_df: pd.DataFrame, id_a="id_a", id_b="id_b") -> dict:
-    """Union-find over a (small, verified) pair list on the driver.
-    Documented bound: the pair list is already candidate-filtered and
-    threshold-verified; if it were huge the data is one giant dup
-    cluster and dedup policy is trivial anyway."""
+    """Union-find over a SMALL pair list on the driver (test/driver
+    convenience). For web-scale pair sets use
+    ``connected_components_distributed`` — real corpora have many
+    mid-size clusters and the pair list does not fit one process."""
     parent: dict = {}
 
     def find(x):
@@ -547,3 +625,113 @@ def connected_components(pairs_df: pd.DataFrame, id_a="id_a", id_b="id_b") -> di
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {x: find(x) for x in set(pairs_df[id_a]) | set(pairs_df[id_b])}
+
+
+def _cc_lookup(labels, probes, num_partitions: int | None = None):
+    """(key, node) probe rows pick up ``label[key]`` from the (node,
+    label) table via a native hash join. Returns a Dataset of (node,
+    label) candidate rows."""
+    keyed_labels = labels.map_batches(
+        lambda t: pa.table({"key": t["node"], "label": t["label"]}),
+        batch_format="pyarrow",
+    )
+    joined = probes.join(
+        keyed_labels, "inner", _join_partitions(num_partitions), on=("key",)
+    )
+    return joined.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"].cast(pa.int64()),
+                "label": t["label"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def connected_components_distributed(
+    pairs_ds, id_a: str = "id_a", id_b: str = "id_b", max_rounds: int = 30
+):
+    """Distributed connected components over a pair Dataset: iterative
+    min-label propagation with pointer jumping, entirely as Dataset
+    ops — the driver holds only a per-round convergence scalar.
+
+    Each round: (1) edge relax — every node receives its neighbors'
+    labels; (2) pointer jump — label(node) := label(label(node)),
+    halving chain depth so max-bucket CHAINS from the LSH path
+    converge in O(log diameter) rounds, not O(diameter). New labels =
+    per-node min over {current, relaxed, jumped}. Fixpoint detected by
+    the (monotonically decreasing) global label sum.
+
+    Returns a Dataset of (node, label) with label = min node id of the
+    component."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    def sym(batch: pa.Table) -> pa.Table:
+        a = batch[id_a].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b = batch[id_b].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, b])),
+                "node": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64())})
+        )
+
+    # init: label(node) = min(node, min neighbor) — one free relax round
+    labels = (
+        edges.groupby("key")
+        .aggregate(Min("node", alias_name="label"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["key"],
+                    "label": pc.min_element_wise(t["key"], t["label"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    for _ in range(max_rounds):
+        # materialize each hop: three sort-shuffles fused into one DAG
+        # stall the streaming executor; the intermediate label/probe
+        # datasets are node-count-sized (16 B/row, spillable)
+        relaxed = _cc_lookup(labels, edges).materialize()
+        jump_probes = labels.map_batches(
+            lambda t: pa.table({"key": t["label"], "node": t["node"]}),
+            batch_format="pyarrow",
+        ).materialize()
+        jumped = _cc_lookup(labels, jump_probes).materialize()
+        labels = (
+            labels.union(relaxed)
+            .union(jumped)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(  # aggregate emits pandas blocks; re-normalize
+                lambda t: pa.table(
+                    {
+                        "node": t["node"].cast(pa.int64()),
+                        "label": t["label"].cast(pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels

@@ -98,9 +98,16 @@ def brute_force_topk(
 def train_centroids(
     ds, vec_col: str, n_centroids: int = 64, sample_rows: int = 10_000, seed: int = 5
 ) -> np.ndarray:
-    """Seeded k-means (few iterations) on a deterministic sample —
-    driver-side, tiny. The IVF coarse quantizer."""
-    sample = ds.limit(sample_rows).to_pandas()
+    """Seeded k-means (few iterations) on a deterministic UNIFORM
+    sample (seeded random_sample — a bare limit() takes the first
+    blocks, which is biased when the corpus is ordered) — driver-side,
+    tiny. The IVF coarse quantizer."""
+    total = ds.count()  # parquet metadata / cached count
+    if total > sample_rows:
+        frac = min(1.0, (2.5 * sample_rows) / total)
+        sample = ds.random_sample(frac, seed=seed).limit(sample_rows).to_pandas()
+    else:
+        sample = ds.to_pandas()
     X = _normalize(_to_matrix(sample[vec_col].tolist()))
     rng = np.random.default_rng(seed)
     n_centroids = min(n_centroids, X.shape[0])

@@ -118,3 +118,58 @@ def test_embedding_neardup(ray_session):
     found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
     assert (0, 1) in found
     assert len(found) <= 3  # random vectors shouldn't pair
+
+
+def test_minhash_large_path_parity(ray_session, doc_table):
+    """The distributed large-corpus path (sig-row join verify) must
+    produce exactly the small path's pairs."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import minhash_lsh_dedup
+
+    small = minhash_lsh_dedup(
+        rd.from_arrow(doc_table), "text", "doc_id", jaccard_threshold=0.5
+    ).to_pandas()
+    large = minhash_lsh_dedup(
+        rd.from_arrow(doc_table), "text", "doc_id", jaccard_threshold=0.5,
+        small_corpus_rows=1,  # force the distributed path
+    ).to_pandas()
+    s = {tuple(sorted(p)) for p in zip(small["id_a"], small["id_b"])}
+    l = {tuple(sorted(p)) for p in zip(large["id_a"], large["id_b"])}
+    assert s == l and len(s) > 0
+    # jaccard estimates agree too
+    sj = small.set_index(["id_a", "id_b"])["jaccard_est"].sort_index()
+    lj = large.set_index(["id_a", "id_b"])["jaccard_est"].sort_index()
+    pd.testing.assert_series_equal(sj, lj)
+
+
+def test_connected_components_distributed(ray_session):
+    """Distributed min-label propagation == driver union-find on a
+    graph with several components AND a long chain (the LSH
+    max-bucket chain trick makes diameter large — pointer jumping must
+    converge well under the round cap)."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    rng = np.random.default_rng(3)
+    # component 1: chain 1000..1300 (diameter 300)
+    chain = [(i, i + 1) for i in range(1000, 1300)]
+    # component 2: random clump over 0..49
+    clump = [tuple(sorted(rng.choice(50, size=2, replace=False))) for _ in range(80)]
+    clump = [(a, b) for a, b in clump if a != b]
+    # component 3: pair
+    extra = [(5000, 6000)]
+    pairs = pd.DataFrame(chain + clump + extra, columns=["id_a", "id_b"])
+    truth = connected_components(pairs)
+    labels = (
+        connected_components_distributed(rd.from_pandas(pairs), max_rounds=15)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert labels == truth
+    assert labels[1300] == 1000 and labels[6000] == 5000
