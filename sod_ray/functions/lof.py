@@ -65,6 +65,11 @@ class LofWindow:
 
     k: int = MIN_K_NUM  # lof/config.go:34 default KNum=3
     metric: str = EUCLIDEAN
+    # kNN backend, NNFor parity (lof/config.go:23-30): "brute" |
+    # "kd_tree". Identical verdicts (tested); kd_tree trades the O(w²)
+    # cached distance matrix for O(log w) pruned searches — the right
+    # backend for large windows.
+    alg: str = "brute"
     skip_items: int = 0
     max_items: int = 0  # 0 = unbounded (dispatcher/config.go:13 default 1e6)
     max_storage_time_us: int = 0  # 0 = unbounded (dispatcher/config.go:15)
@@ -78,6 +83,7 @@ class LofWindow:
     # so scores are identical to the rebuilt-matrix path (tested).
     _S: np.ndarray | None = field(default=None, repr=False)
     _DS: np.ndarray | None = field(default=None, repr=False)
+    _tree: object = field(default=None, repr=False)  # kd_tree backend
 
     def __len__(self) -> int:
         return len(self._vecs)
@@ -106,6 +112,11 @@ class LofWindow:
         else:
             self._S = None
             self._DS = None
+        if self._tree is not None:
+            try:
+                self._tree.insert(v)  # gbkd-style incremental insert
+            except Exception:
+                self._tree = None
         self._vecs.append(v)
         self._ts.append(int(ts_us))
         self._evict()
@@ -118,6 +129,7 @@ class LofWindow:
             self._ts.append(int(ts_us[i]))
         self._S = None
         self._DS = None
+        self._tree = None
         self._evict()
 
     def reset(self) -> None:
@@ -125,6 +137,7 @@ class LofWindow:
         self._ts.clear()
         self._S = None
         self._DS = None
+        self._tree = None
 
     def _evict(self) -> None:
         # size eviction: drop oldest beyond max_items (brute.go:168-179)
@@ -132,6 +145,7 @@ class LofWindow:
             drop = len(self._vecs) - self.max_items
             del self._vecs[:drop]
             del self._ts[:drop]
+            self._tree = None  # gbkd rebuilds after removals (gbkd.go:165-205)
             if self._S is not None:
                 self._S = self._S[drop:]
                 self._DS = self._DS[drop:, drop:]
@@ -143,6 +157,7 @@ class LofWindow:
             if len(keep) != len(self._ts):
                 self._vecs = [self._vecs[i] for i in keep]
                 self._ts = [self._ts[i] for i in keep]
+                self._tree = None
                 if self._S is not None:
                     idx = np.asarray(keep, dtype=np.int64)
                     self._S = self._S[idx]
@@ -163,9 +178,50 @@ class LofWindow:
             )
         return self._S, self._DS
 
+    def _kdtree(self):
+        if self._tree is None:
+            from .kdtree import KDTree
+
+            self._tree = KDTree(self.metric).build(self._stored())
+        return self._tree
+
+    def _lof_kdtree(self, q: np.ndarray) -> float:
+        """kd_tree-backend LOF: same formulas as the brute path, kNN
+        searches served by the pruned tree (KD_TREE arm of NNFor,
+        lof/config.go:39-49). Stored points match themselves at
+        distance 0, exactly like the brute linear scan."""
+        if len(self) < self.k:
+            raise LofError("knn less minimal value")
+        tree = self._kdtree()
+
+        def knn_t(p, k):
+            idx, dist = tree.knn(p, k)
+            if idx.shape[0] < k:
+                raise LofError("knn less minimal value")
+            return idx, dist
+
+        def lrd_at(p) -> float:
+            kd = float(knn_t(p, 3)[1][0])  # nearest-of-3 quirk
+            _, d_nn = knn_t(p, self.k)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                r_sum = np.float64(np.sum(np.maximum(kd, d_nn)))
+                return float(np.float64(1.0) / (r_sum / np.float64(self.k)))
+
+        nn_q, _ = knn_t(q, self.k)
+        S = self._stored()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            lrd_sum = 0.0
+            for y in nn_q:
+                lrd_sum += lrd_at(S[y])
+            avg_lrd = np.float64(lrd_sum) / np.float64(self.k)
+            lrd_q = np.float64(lrd_at(q))
+            return float(avg_lrd / lrd_q)
+
     def lof(self, vec) -> float:
         """LOF score of `vec` against the stored window (lof.go:124-143)."""
         q = np.asarray(vec, dtype=np.float64)
+        if self.alg == "kd_tree":
+            return self._lof_kdtree(q)
         S, DS = self._matrices()
         if S.shape[0] < self.k:
             raise LofError("knn less minimal value")
@@ -297,6 +353,7 @@ def score_stream(
     *,
     k: int = MIN_K_NUM,
     metric: str = EUCLIDEAN,
+    alg: str = "brute",
     skip_items: int = 0,
     max_items: int = 0,
     max_storage_time_us: int = 0,
@@ -309,6 +366,7 @@ def score_stream(
     w = LofWindow(
         k=k,
         metric=metric,
+        alg=alg,
         skip_items=skip_items,
         max_items=max_items,
         max_storage_time_us=max_storage_time_us,

@@ -847,6 +847,32 @@ def lof_predict_events(sf_dir: str):
     )
 
 
+def lof_docs_chunked(sf_dir: str):
+    """Chunked hot-key LOF replay over documents keyed by lang (the
+    skewed coarse key): state-handoff chains, no task ever holds a
+    key's full history (rows-only: stateful streaming, not SQL)."""
+    from ..stages.textstage import token_count_batch
+    from ..stages.window import windowed_lof_chunked
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    feats = ds.map_batches(token_count_batch, batch_format="pyarrow").select_columns(
+        ["doc_id", "lang", "n_tokens_ws"]
+    )
+    out = windowed_lof_chunked(
+        feats,
+        key="lang",
+        ts_col="doc_id",  # ingest order: doc_id is the stream position
+        feature_cols=["n_tokens_ws"],
+        max_items=128,
+        skip_items=5,
+        flagged_only=True,
+    )
+    return pa.Table.from_pandas(
+        out[["doc_id", "lang"]].sort_values("doc_id").reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
 def ivf_knn_top5(sf_dir: str):
     """IVF approximate kNN (rows-only: approximation has no SQL oracle)."""
     import pyarrow.parquet as pq
@@ -963,6 +989,7 @@ QUERIES = {
     "lang_id_predictions": lang_id_predictions,
     "lof_events_outliers": lof_events_outliers,
     "lof_predict_events": lof_predict_events,
+    "lof_docs_chunked": lof_docs_chunked,
     "ivf_knn_top5": ivf_knn_top5,
     "sketch_stats_documents": sketch_stats_documents,
     "hll_distinct_urls": hll_distinct_urls,

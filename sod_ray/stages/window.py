@@ -369,6 +369,126 @@ def windowed_zscore_sorted(
     return out
 
 
+def windowed_lof_chunked(
+    ds,
+    key: str,
+    ts_col: str,
+    feature_cols: list[str],
+    id_cols: list[str] | None = None,
+    k: int = 3,
+    metric: str = "euclidean",
+    alg: str = "brute",
+    skip_items: int = 0,
+    max_items: int = 0,
+    max_storage_time_us: int = 0,
+    allow_append_outlier: bool = True,
+    allow_append_data: bool = True,
+    flagged_only: bool = True,
+):
+    """Chunked streaming-LOF replay: identical verdicts to
+    ``windowed_lof`` without ever holding one key's FULL history in a
+    single task.
+
+    ``windowed_lof`` feeds each key's whole sorted group to one
+    ``map_groups`` task — correct, but a hot entity (lang=en at 62% of
+    a web corpus) means one task holding 62% of the table. Here the
+    table is distributed-sorted by (key, ts, ids); each key's rows span
+    a consecutive run of blocks, and a CHAIN of tasks replays them
+    chunk-by-chunk, handing off only the LofWindow state (≤ max_items
+    rows + params — the matrices/tree caches are dropped before
+    serialization and rebuilt lazily). Scoring a key is inherently
+    sequential (sod semantics: every verdict depends on all prior
+    appends), so the chain adds no wall-clock serialization that the
+    semantics don't already require; chains of different keys run in
+    parallel, and peak task memory drops from O(key history) to
+    O(block + window). Returns a pandas DataFrame like windowed_lof.
+    """
+    import pickle
+
+    import ray
+
+    from ..functions.lof import LofWindow
+
+    keep = [key, ts_col] + feature_cols + [
+        c
+        for c in (id_cols or [])
+        if c not in (key, ts_col) and c not in feature_cols
+    ]
+    slim = ds.select_columns(keep)
+    sort_keys = [key, ts_col] + [
+        c for c in (id_cols or []) if c not in (key, ts_col)
+    ]
+    sorted_ds = slim.sort(sort_keys)
+    block_refs = sorted_ds.to_arrow_refs()
+    out_cols = keep + ["lof", "outlier", "verdict_error", "norm_vec"]
+    if not block_refs:
+        return pd.DataFrame(columns=out_cols)
+
+    @ray.remote
+    def keys_of(block: pa.Table):
+        return pc.unique(block[key]).to_pylist() if block.num_rows else []
+
+    @ray.remote(num_returns=2)
+    def replay_chunk(block: pa.Table, key_val, state_bytes):
+        sub = block.filter(pc.equal(block[key], pa.scalar(key_val)))
+        w = (
+            pickle.loads(state_bytes)
+            if state_bytes is not None
+            else LofWindow(
+                k=k,
+                metric=metric,
+                alg=alg,
+                skip_items=skip_items,
+                max_items=max_items,
+                max_storage_time_us=max_storage_time_us,
+                allow_append_outlier=allow_append_outlier,
+                allow_append_data=allow_append_data,
+            )
+        )
+        g = sub.to_pandas()
+        vecs = g[feature_cols].to_numpy(dtype=np.float64)
+        ts = g[ts_col].astype("int64").to_numpy()
+        verdicts = [w.process(v, t) for v, t in zip(vecs, ts)]
+        g["lof"] = [v.lof for v in verdicts]
+        g["outlier"] = [v.outlier for v in verdicts]
+        g["verdict_error"] = [v.error or "" for v in verdicts]
+        outlier_arr = np.asarray(g["outlier"], dtype=bool)
+        scored = np.asarray([v.error is None for v in verdicts], dtype=bool)
+        inlier = scored & ~outlier_arr
+        idx = np.arange(len(g))
+        last_inlier = np.maximum.accumulate(np.where(inlier, idx, -1))
+        prev = np.concatenate(([-1], last_inlier[:-1]))
+        # K7 cache handoff: the previous chunk's last inlier seeds rows
+        # before this chunk's first inlier
+        carry_nv = getattr(w, "_carry_norm_vec", None)
+        g["norm_vec"] = [
+            vecs[j].tolist() if j >= 0 else carry_nv for j in prev
+        ]
+        if inlier.any():
+            w._carry_norm_vec = vecs[last_inlier[-1]].tolist()
+        if flagged_only:
+            g = g[g["outlier"]]
+        # strip rebuildable caches before the state crosses tasks
+        w._S = None
+        w._DS = None
+        w._tree = None
+        return g, pickle.dumps(w)
+
+    per_block_keys = ray.get([keys_of.remote(r) for r in block_refs])
+    chains: dict = {}
+    flagged_refs = []
+    for i, r in enumerate(block_refs):
+        for key_val in per_block_keys[i]:
+            state = chains.get(key_val)
+            fref, state = replay_chunk.remote(r, key_val, state)
+            chains[key_val] = state
+            flagged_refs.append(fref)
+    frames = [f for f in ray.get(flagged_refs) if len(f)]
+    if not frames:
+        return pd.DataFrame(columns=out_cols)
+    return pd.concat(frames, ignore_index=True)
+
+
 def retention_topk_by_recency(ds, key: str, ts_col: str, max_items: int):
     """Grouped keep-newest-N (reference db_scheduler retention,
     /root/reference/internal/dispatcher/db_scheduler.go:53-71): sort by

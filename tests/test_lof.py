@@ -203,3 +203,78 @@ def test_predict_batch_matches_predict():
     small = LofWindow()
     small.build([[1.0], [2.0]], [0, 1])
     assert small.predict_batch([[1.0]])[0].error == "knn less minimal value"
+
+
+# ---------------------------------------------------------------------------
+# K2: kd-tree backend (pkg/kdtree/tree.go) — identical verdicts to brute
+# ---------------------------------------------------------------------------
+
+
+def test_kdtree_knn_matches_brute_scan():
+    """Pruned kd-tree KNN returns the same neighbour distances as a
+    linear scan for every metric."""
+    from sod_ray.functions.distance import pairwise
+    from sod_ray.functions.kdtree import KDTree
+
+    rng = np.random.default_rng(11)
+    P = rng.normal(size=(300, 4))
+    for metric in ("euclidean", "chebyshev", "manhattan"):
+        t = KDTree(metric).build(P)
+        for _ in range(25):
+            q = rng.normal(size=4)
+            _, d = t.knn(q, 7)
+            brute = np.sort(pairwise(q[None, :], P, metric)[0], kind="stable")[:7]
+            # scalar vs vectorized kernels differ only in fp association
+            np.testing.assert_allclose(np.sort(d), brute, rtol=1e-12)
+
+
+def test_kdtree_insert_balance_range():
+    from sod_ray.functions.kdtree import KDTree
+
+    rng = np.random.default_rng(12)
+    P = rng.normal(size=(120, 3))
+    t = KDTree().build(P[:60])
+    for p in P[60:]:
+        t.insert(p)
+    t.balance()
+    assert len(t) == 120
+    idx, d = t.knn(P[5], 1)
+    assert d[0] == 0.0
+    box = np.array([[-0.4, 0.4]] * 3)
+    got = sorted(t.range_search(box))
+    want = sorted(np.flatnonzero(np.all((P >= -0.4) & (P <= 0.4), axis=1)).tolist())
+    assert got == want
+
+
+def test_lof_kdtree_backend_identical_verdicts():
+    """NNFor parity (lof/config.go:23-30): alg='kd_tree' produces the
+    SAME lof scores / outlier verdicts / errors as brute on a streamed
+    replay with warmup, eviction and verdict-gated append."""
+    rng = np.random.default_rng(13)
+    base = rng.normal(0, 1, size=(200, 2))
+    spikes = rng.normal(8, 0.5, size=(10, 2))
+    vecs = np.vstack([base[:100], spikes[:5], base[100:], spikes[5:]])
+    ts = np.arange(len(vecs), dtype=np.int64)
+    kw = dict(k=3, skip_items=5, max_items=64, allow_append_outlier=False)
+    a = score_stream(list(vecs), ts, alg="brute", **kw)
+    b = score_stream(list(vecs), ts, alg="kd_tree", **kw)
+    assert len(a) == len(b)
+    for va, vb in zip(a, b):
+        assert va.outlier == vb.outlier
+        assert va.error == vb.error
+        if va.error is None:
+            if np.isnan(va.lof):
+                assert np.isnan(vb.lof)
+            else:
+                np.testing.assert_allclose(va.lof, vb.lof, rtol=1e-12)
+
+
+def test_lof_kdtree_readme_fixture():
+    """README predict example via the kd-tree backend: [100] is the
+    outlier against the [10],[10],[10] window."""
+    w = LofWindow(k=3, alg="kd_tree")
+    for v in ([10.0], [10.0], [10.0]):
+        w.append(v)
+    out = w.predict([100.0])
+    inl = w.predict([10.0])
+    assert out.outlier and not inl.outlier

@@ -416,3 +416,38 @@ def test_manifest_flags_vs_evidence(tmp_path):
         constraint_outcomes={"referential": "pass", "n_dangling": 7},
     )
     assert legacy_ok.passed()
+
+
+def test_windowed_lof_chunked_matches_monolithic(ray_session, webpages):
+    """Chunked state-handoff replay == one-task-per-key replay (same
+    verdicts, scores, norm_vec cache) even with many sub-window blocks
+    and a skewed hot key."""
+    import ray.data as rd
+
+    from sod_ray.stages.textstage import TextFeatures
+    from sod_ray.stages.window import windowed_lof, windowed_lof_chunked
+
+    table, _ = webpages
+    ds = (
+        rd.from_arrow(table)
+        .map_batches(TextFeatures, batch_format="pandas", concurrency=2)
+        .repartition(11)
+    )
+    kw = dict(key="lang", ts_col="warc_ts", feature_cols=["n_chars", "n_tokens"],
+              id_cols=["url"], max_items=64, skip_items=5,
+              allow_append_outlier=False)
+    a = (
+        windowed_lof(ds, **kw)
+        .to_pandas()
+        .sort_values(["lang", "warc_ts", "url"])
+        .reset_index(drop=True)
+    )
+    b = (
+        windowed_lof_chunked(ds, **kw)
+        .sort_values(["lang", "warc_ts", "url"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b) > 0
+    pd.testing.assert_series_equal(a["url"], b["url"], check_names=False)
+    np.testing.assert_allclose(a["lof"].to_numpy(), b["lof"].to_numpy(), rtol=1e-12)
+    assert a["norm_vec"].tolist() == b["norm_vec"].tolist()
