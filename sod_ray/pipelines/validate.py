@@ -316,10 +316,28 @@ class ValidationResult:
         return bool(pc.all(self.verdicts["passed"]).as_py())
 
 
-def list_partitions(input_path: str, part_key: str) -> list[str]:
-    """Distinct partition keys via a column-pruned pyarrow scan (reads
-    only the key column — cheap relative to the run)."""
+def list_partitions(
+    input_path: str, part_key: str, distributed_over_files: int = 64
+) -> list[str]:
+    """Distinct partition keys, column-pruned. Few files → a local
+    pyarrow scan of just the key column. Many files (the 100 TB case,
+    or a fine key like host) → a distributed per-batch-unique pass;
+    only the deduped key values return to the driver."""
     dataset = pads.dataset(input_path, format="parquet")
+    if len(dataset.files) > distributed_over_files:
+        import ray.data as rd
+
+        uniq = (
+            rd.read_parquet(input_path, columns=[part_key])
+            .map_batches(
+                lambda t: pa.table({part_key: pc.unique(t[part_key])}),
+                batch_format="pyarrow",
+            )
+            .to_pandas()[part_key]
+            .dropna()
+            .unique()
+        )
+        return sorted(uniq.tolist())
     vals = set()
     for batch in dataset.to_batches(columns=[part_key]):
         vals.update(pc.unique(batch.column(0)).to_pylist())
@@ -550,10 +568,27 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )
-    if cfg.intermediate_dir:
+    intermediate_dir = cfg.intermediate_dir
+    if intermediate_dir is None:
+        # auto-spill: the slim table is ~64 B/row; when the estimate
+        # would crowd the object store (>25%), land it on disk instead
+        # of pinning it — the flagged-on-size version of the explicit
+        # intermediate_dir flag
+        try:
+            import ray
+
+            store_bytes = int(
+                ray.cluster_resources().get("object_store_memory", 0)
+            )
+            est_rows = pads.dataset(input_path, format="parquet").count_rows()
+            if store_bytes and est_rows * 64 > 0.25 * store_bytes:
+                intermediate_dir = os.path.join(out_dir, "_intermediate")
+        except Exception:
+            pass
+    if intermediate_dir:
         # 100 TB path: land the slim table on storage (spillable,
         # survives worker loss) and stream it back per consumer
-        inter = os.path.join(cfg.intermediate_dir, f"featured-{wave_id}")
+        inter = os.path.join(intermediate_dir, f"featured-{wave_id}")
         shutil.rmtree(inter, ignore_errors=True)
         featured_stream.write_parquet(inter)
         featured = rd.read_parquet(inter)
