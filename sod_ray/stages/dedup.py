@@ -224,12 +224,14 @@ def minhash_lsh_dedup(
         return pa.table(
             {
                 "band": pa.array(np.repeat(np.arange(bands), n).astype(np.int32)),
-                "band_hash": pa.array(bh.T.reshape(-1)),
+                "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
                 id_col: pa.array(np.tile(ids, bands)),
             }
         )
 
-    band_rows = sig_rows.map_batches(sig_to_bands, batch_format="pyarrow")
+    band_rows = _prune_singleton_buckets(
+        sig_rows.map_batches(sig_to_bands, batch_format="pyarrow")
+    )
 
     def candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(id_col).sort_values(id_col, kind="stable")
@@ -279,6 +281,108 @@ def minhash_lsh_dedup(
         pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True),
         preserve_index=False,
     )
+
+
+def _prune_singleton_buckets(band_rows, num_partitions: int | None = None):
+    """Drop band buckets holding a single doc BEFORE the per-bucket
+    group pass: nearly every bucket is a singleton (no candidate pair
+    can come out of it), and `groupby().map_groups` pays a Python call
+    per group — pruning turns ~N·bands tiny groups into only the dup
+    buckets. One vectorized count-aggregate + one hash join, both
+    distributed."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    # land the band rows once: the count pass, the filter pass and the
+    # downstream groupby would otherwise each re-execute the signature
+    # scan through lineage
+    band_rows = band_rows.materialize()
+    n_rows = band_rows.count()
+
+    def key64_of(t: pa.Table):
+        k = pc.bit_wise_or(
+            pc.shift_left(t["band"].cast(pa.int64()), pa.scalar(56, pa.int64())),
+            pc.bit_wise_and(
+                t["band_hash"].cast(pa.int64()),
+                pa.scalar((1 << 56) - 1, pa.int64()),
+            ),
+        )
+        return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+    if n_rows <= 5_000_000:
+        # partial-counts shortcut: per-batch value_counts of the
+        # composite key merge on the driver (≤5M 16-B rows) — skips
+        # the sort-based count shuffle entirely
+        import ray
+
+        def batch_counts(t: pa.Table) -> pa.Table:
+            vc = pc.value_counts(key64_of(t))
+            return pa.table(
+                {"key": vc.field("values"), "c": vc.field("counts")}
+            )
+
+        pdf = (
+            band_rows.map_batches(batch_counts, batch_format="pyarrow")
+            .to_pandas()
+            .groupby("key", as_index=False)["c"]
+            .sum()
+        )
+        hot_np = pdf.loc[pdf["c"] >= 2, "key"].to_numpy()
+        key_ref = ray.put(pa.array(hot_np, pa.int64()))
+
+        class HotFilter:
+            def __init__(self):
+                self.keys = ray.get(key_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_in(key64_of(t), value_set=self.keys))
+
+        return band_rows.map_batches(
+            HotFilter, batch_format="pyarrow", concurrency=(1, 8)
+        ).materialize()
+
+    counts = band_rows.groupby(["band", "band_hash"]).aggregate(
+        Count(alias_name="__c")
+    )
+    def hot_keys(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.greater_equal(t["__c"], pa.scalar(2)))
+        # aggregate output may widen the key dtypes; restore them so
+        # downstream key comparisons see matching field types
+        return pa.table(
+            {
+                "band": keep["band"].cast(pa.int32()),
+                "band_hash": keep["band_hash"].cast(pa.int64()),
+            }
+        )
+
+    hot = counts.map_batches(hot_keys, batch_format="pyarrow").materialize()
+    n_hot = hot.count()
+    if n_hot <= 2_000_000:
+        # dup buckets are few: broadcast their composite keys once and
+        # filter with a vectorized is_in — cheaper than spinning up a
+        # hash-join aggregator pool. 16 B/key → ≤32 MB broadcast.
+        # key = band<<56 | band_hash[:56]: truncation can only FALSELY
+        # KEEP a singleton (same-band 56-bit collision) which the
+        # verify step discards — never drops a real dup bucket.
+        import ray
+
+        combined = pa.concat_tables(ray.get(hot.to_arrow_refs()))
+        key_ref = ray.put(pc.unique(key64_of(combined)))
+
+        class HotFilter:
+            def __init__(self):
+                self.keys = ray.get(key_ref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_in(key64_of(t), value_set=self.keys))
+
+        return band_rows.map_batches(
+            HotFilter, batch_format="pyarrow", concurrency=(1, 8)
+        ).materialize()
+    # dup-heavy corpus: distributed hash join on the composite key
+    return band_rows.join(
+        hot, "inner", _join_partitions(num_partitions), on=("band", "band_hash")
+    ).materialize()
 
 
 def _join_partitions(requested: int | None) -> int:
@@ -357,12 +461,13 @@ def _minhash_small(
         sig = minhash_signatures(texts, n_perm, shingle_k, seed)
         bh = _band_hashes(sig, bands)
         n = len(texts)
+        sig_bytes = [row.tobytes() for row in sig]  # binary: join-compatible
         return pa.table(
             {
                 "band": pa.array(np.repeat(np.arange(bands), n).astype(np.int32)),
-                "band_hash": pa.array(bh.T.reshape(-1)),
+                "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
                 id_col: pa.array(np.tile(ids, bands)),
-                "sig": pa.array(list(np.tile(sig, (bands, 1)))),
+                "sig": pa.array(sig_bytes * bands, pa.binary()),
             }
         )
 
@@ -374,7 +479,7 @@ def _minhash_small(
                  "jaccard_est": pd.Series(dtype="float64")}
             )
         ids = g[id_col].to_numpy()
-        sigs = np.stack(g["sig"].to_numpy())
+        sigs = np.stack([np.frombuffer(b, dtype=np.uint64) for b in g["sig"]])
         out_a, out_b, out_j = [], [], []
         for i in range(len(ids)):
             agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
@@ -386,7 +491,9 @@ def _minhash_small(
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard_est": out_j})
 
     pairs = (
-        ds.map_batches(to_band_rows, batch_format="pyarrow")
+        _prune_singleton_buckets(
+            ds.map_batches(to_band_rows, batch_format="pyarrow")
+        )
         .groupby(["band", "band_hash"])
         .map_groups(verify, batch_format="pandas")
         .to_pandas()
