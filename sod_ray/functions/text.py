@@ -86,6 +86,24 @@ def extract_text_arrow(html_col, out_null_on_error: bool = True):
                 except UnicodeDecodeError:
                     dec.append(None)
         s = pa.array(dec, pa.string())
+    if not pc.any(pc.match_substring(s, "&")).as_py():
+        # entity-free fast path: ONE fused rewrite — any run of
+        # script/style blocks, bare tags and whitespace collapses to a
+        # single space (a tag-then-space-then-tag run is one match, so
+        # no second collapse pass is needed). Byte-identical to the
+        # sequential passes because each tag and each ws-run would have
+        # become " " and then collapsed anyway; only entity decode
+        # (absent here) is order-sensitive. Halves the full-array
+        # rewrites in the flagship's memory-bandwidth-bound hot loop.
+        s = pc.replace_substring_regex(
+            s,
+            r"(?is)(?:<script\b[^>]*>.*?</script\s*>"
+            r"|<style\b[^>]*>.*?</style\s*>"
+            r"|<[^>]*>"
+            r"|[ \t\r\n\f\v])+",
+            " ",
+        )
+        return pc.utf8_trim(s, " \t\r\n\f\v")
     # one alternation pass: script-block | style-block | bare tag
     # (leftmost-first matching makes this equivalent to the reference's
     # sequential passes; pinned by the parity test)
@@ -94,11 +112,8 @@ def extract_text_arrow(html_col, out_null_on_error: bool = True):
         r"(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<[^>]*>",
         " ",
     )
-    # entity decode only when any '&' exists — saves 6 full-array passes
-    # on entity-free corpora (each pass is a full memory rewrite)
-    if pc.any(pc.match_substring(s, "&")).as_py():
-        for ent, ch in _ENTITIES.items():
-            s = pc.replace_substring(s, ent.decode(), ch.decode())
+    for ent, ch in _ENTITIES.items():
+        s = pc.replace_substring(s, ent.decode(), ch.decode())
     s = pc.replace_substring_regex(s, r"[ \t\r\n\f\v]+", " ")
     return pc.utf8_trim(s, " \t\r\n\f\v")
 

@@ -266,6 +266,8 @@ def _broadcast_membership(child_ds, parent_keys, fk: str, keep_present: bool):
     batch probes it with pyarrow's vectorized ``is_in`` hash set.
     Zero shuffle; right side must fit in object-store memory
     (strings ~50 B/key → the 5M-key broadcast threshold ≈ 250 MB)."""
+    import pandas as pd
+
     if isinstance(parent_keys, pa.ChunkedArray):
         parent_keys = parent_keys.combine_chunks()
     if not isinstance(parent_keys, pa.Array):
@@ -276,21 +278,26 @@ def _broadcast_membership(child_ds, parent_keys, fk: str, keep_present: bool):
 
     class Probe:
         def __init__(self):
-            self.keys = ray.get(ref)  # fetched once per actor
+            # hash index over ACTUAL key values, built ONCE per actor —
+            # pc.is_in would rebuild its lookup table on every batch
+            # (the whole parent set re-hashed per call)
+            self.index = pd.Index(ray.get(ref).to_pandas())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             col = batch[fk]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            keys = self.keys
-            if keys.type != col.type:
-                keys = keys.cast(col.type)
-            present = pc.is_in(col, value_set=keys)
+            # nullable extension dtypes: a null in a plain int64 column
+            # would otherwise cast the whole batch to float64 and alias
+            # ids beyond 2^53
+            vals = col.to_pandas(types_mapper=pd.ArrowDtype)
+            present = self.index.get_indexer(vals) >= 0
             # null FK matches only if the parent key set contains null
-            present = pc.fill_null(present, parent_has_null)
+            if col.null_count:
+                present = np.where(vals.isna(), parent_has_null, present)
             if not keep_present:
-                present = pc.invert(present)
-            return batch.filter(present)
+                present = ~present
+            return batch.filter(pa.array(present))
 
     return child_ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
 
@@ -367,14 +374,22 @@ def referential_check(
     join (both-sides-large shuffle). Returns (violations_ds, verdict)."""
     parent_count = parent_ds.count()
     if parent_count <= broadcast_threshold:
-        keys = pa.chunked_array(
-            [
-                b[pk]
-                for b in parent_ds.select_columns([pk]).iter_batches(
-                    batch_format="pyarrow"
-                )
-            ]
-            or [pa.array([], pa.string())]
+        # distributed per-block unique, then collect only the deduped
+        # key blocks — the workers scan the parent in parallel instead
+        # of a serial iter_batches pull through the driver
+        refs = (
+            parent_ds.select_columns([pk])
+            .map_batches(
+                lambda t: pa.table({pk: pc.unique(t[pk])}),
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs()
+        )
+        blocks = [t for t in ray.get(refs) if t.num_rows]
+        keys = (
+            pa.concat_tables(blocks)[pk]
+            if blocks
+            else pa.array([], pa.string())
         )
         violations = broadcast_anti_join(child_ds, keys, fk)
         return violations, {

@@ -97,3 +97,32 @@ def test_extract_text_arrow_parity():
     ]
     arr = pa.array(cases, pa.binary())
     assert extract_text_arrow(arr).to_pylist() == [extract_text(c) for c in cases]
+
+
+def test_extract_arrow_fused_and_entity_paths_parity():
+    """Both extract_text_arrow paths (entity-free fused single-pass and
+    the sequential entity path) must match extract_text byte-for-byte."""
+    import pyarrow as pa
+
+    from sod_ray.functions.text import extract_text, extract_text_arrow
+
+    entity_free = [
+        b"<html><body>hello <b>world</b>\n\n  spaced</body></html>",
+        b"<script>var x = '<div>';</script>plain <style>a{}</style>tail",
+        b"a<br/>b<br />c",
+        b"   leading <p>mid</p> trailing   ",
+        b"no tags at all",
+        b"",
+        None,
+        "unicode é中文 <i>tags</i>".encode(),
+    ]
+    with_entities = [
+        b"a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39; x&nbsp;y",
+        b"<p>&nbsp;  spaced&nbsp;&nbsp;entities</p>",
+        b"&amp;&amp;&amp;",
+        b"mixed <b>&lt;literal&gt;</b> \t tags",
+    ]
+    for batch in (entity_free, with_entities, entity_free + with_entities):
+        got = extract_text_arrow(pa.array(batch, pa.binary())).to_pylist()
+        want = [extract_text(h) for h in batch]
+        assert got == want, (got, want)
