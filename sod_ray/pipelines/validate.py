@@ -394,14 +394,21 @@ def run_validation(
     all_verdicts = []
     all_stats = []
     total_rows_all = 0
+    # fresh full runs can reuse the fused pass's url column as the
+    # referential parent side — no second parquet scan of the corpus
+    collect_urls = bool(cfg.refs_path) and not done
+    url_blocks = []
     for w0 in range(0, len(remaining), wave_size):
         wave = remaining[w0 : w0 + wave_size]
-        vt, st, nrows = _run_wave(
-            input_path, wave, cfg, manifest, out_dir, w0 + len(done), _mark
+        vt, st, nrows, wave_urls = _run_wave(
+            input_path, wave, cfg, manifest, out_dir, w0 + len(done), _mark,
+            collect_urls=collect_urls,
         )
         all_verdicts.append(vt)
         all_stats.append(st)
         total_rows_all += nrows
+        if wave_urls is not None:
+            url_blocks.extend(wave_urls)
         # persist this wave's merged sketches immediately (save_baseline
         # merges, so a kill after N waves keeps those N waves' sketches
         # for the next run's drift check — matching the manifest commits)
@@ -426,7 +433,18 @@ def run_validation(
     ) if all_stats else pa.table({})
     result.rows_scanned = total_rows_all
 
-    _ensure_referential(result, input_path, cfg, manifest, out_dir, resume)
+    parent_keys = (
+        pa.concat_arrays(
+            [c for b in url_blocks for c in (b.chunks if isinstance(b, pa.ChunkedArray) else [b])]
+        )
+        if collect_urls and url_blocks
+        else None
+    )
+    _ensure_referential(
+        result, input_path, cfg, manifest, out_dir, resume,
+        parent_keys=parent_keys,
+    )
+    _mark("referential")
     return result
 
 
@@ -454,7 +472,9 @@ def _verdicts_from_manifest(manifest: Manifest, partitions) -> pa.Table:
     return pa.Table.from_pylist(rows) if rows else pa.table({})
 
 
-def _ensure_referential(result, input_path, cfg, manifest, out_dir, resume):
+def _ensure_referential(
+    result, input_path, cfg, manifest, out_dir, resume, parent_keys=None
+):
     """Run-level referential constraint (north_star: url foreign-key
     containment). Runs once per run; its own manifest record makes it
     resume-safe like any partition."""
@@ -467,7 +487,9 @@ def _ensure_referential(result, input_path, cfg, manifest, out_dir, resume):
             {**rec.constraint_outcomes, **rec.evidence} if rec else None
         )
     else:
-        result.referential = _run_referential(input_path, cfg, manifest, out_dir)
+        result.referential = _run_referential(
+            input_path, cfg, manifest, out_dir, parent_keys=parent_keys
+        )
 
 
 def save_baseline(stats_pdf, path: str) -> None:
@@ -507,17 +529,22 @@ def load_baseline(path: str) -> dict:
     }
 
 
-def _run_referential(input_path, cfg, manifest, out_dir):
+def _run_referential(input_path, cfg, manifest, out_dir, parent_keys=None):
     """dst_url ⊆ webpages.url: HLL containment estimate first; exact
-    violations via the broadcast/bucketed anti-join (the parent side is
-    a single thin column scan — columnar pruning keeps it cheap)."""
+    violations via the broadcast/bucketed anti-join. ``parent_keys``
+    (deduped url blocks harvested from the fused pass of a fresh full
+    run) skips the second parquet scan of the corpus entirely."""
     import ray.data as rd
 
-    from ..stages.constraints import referential_check
+    from ..stages.constraints import broadcast_anti_join, referential_check
 
     refs = rd.read_parquet(cfg.refs_path)
-    parent = rd.read_parquet(input_path, columns=["url"])
-    violations, est = referential_check(refs, parent, "dst_url", "url")
+    if parent_keys is not None and len(parent_keys) <= 5_000_000:
+        violations = broadcast_anti_join(refs, parent_keys, "dst_url")
+        est = {"dangling_est": float("nan"), "exact_path": "broadcast_fused"}
+    else:
+        parent = rd.read_parquet(input_path, columns=["url"])
+        violations, est = referential_check(refs, parent, "dst_url", "url")
     vdir = os.path.join(out_dir, "violations", "referential")
     shutil.rmtree(vdir, ignore_errors=True)
     # violations are a tiny fraction by construction — materialize once,
@@ -548,9 +575,14 @@ def _run_referential(input_path, cfg, manifest, out_dir):
     return {"referential": "pass" if passed else "fail", **evidence}
 
 
-def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
+def _run_wave(
+    input_path, remaining, cfg, manifest, out_dir, wave_id, _mark,
+    collect_urls: bool = False,
+):
     """One DAG over one wave of partitions; commits each partition's
-    manifest record when the wave's outputs land."""
+    manifest record when the wave's outputs land. With ``collect_urls``
+    the wave also returns its deduped url blocks (referential parent
+    side, harvested from the already-landed slim table)."""
     import ray.data as rd
 
     ds = rd.read_parquet(
@@ -770,7 +802,24 @@ def _run_wave(input_path, remaining, cfg, manifest, out_dir, wave_id, _mark):
     _mark(f"verdict-loop wave={wave_id}")
     verdicts = pa.Table.from_pylist(verdict_rows) if verdict_rows else pa.table({})
     pq.write_table(verdicts, os.path.join(out_dir, f"verdicts-{wave_id}.parquet"))
-    return verdicts, stats_tbl, total_rows
+    wave_urls = None
+    if collect_urls:
+        # harvest the referential parent side from the slim table —
+        # per-block unique, only deduped url blocks reach the driver
+        import ray
+
+        refs_blocks = (
+            featured.select_columns(["url"])
+            .map_batches(
+                lambda t: pa.table({"url": pc.unique(t["url"]).drop_null()}),
+                batch_format="pyarrow",
+            )
+            .to_arrow_refs()
+        )
+        wave_urls = [
+            t["url"] for t in ray.get(refs_blocks) if t.num_rows
+        ]
+    return verdicts, stats_tbl, total_rows, wave_urls
 
 
 def _load_verdicts(out_dir: str):
