@@ -645,6 +645,158 @@ WHERE event_type = 'error' GROUP BY user_id
 """
 
 
+def events_asof_prior_click(sf_dir: str):
+    """As-of join (custom operator — SURVEY.md §2.5 G6 notes the
+    reference has NO relational joins; this is the training-pipeline
+    extension): for each 'error' event, the most recent 'click' by the
+    same user at ts <= error ts. Tagged-union + one groupby shuffle +
+    per-group merge_asof (sod_ray.stages.joins.asof_join)."""
+    from ..stages.joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    errors = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("error"))).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], pa.scalar("click"))).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        on="ts",
+        by="user_id",
+        right_cols=["event_id", "ts"],
+        suffix="_click",
+    )
+    return joined.select_columns(
+        ["event_id", "user_id", "event_id_click", "ts_click"]
+    )
+
+
+EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id,
+       c.event_id AS event_id_click, c.ts AS ts_click
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+ASOF LEFT JOIN
+     (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id AND c.ts <= e.ts
+"""
+
+
+def events_value_bands(sf_dir: str):
+    """Range (inequality) join against a small broadcast ranges table:
+    each event joins every band with lo <= value < hi, then a per-band
+    count/sum. The ranges side ships once via ray.put
+    (sod_ray.stages.joins.range_join_broadcast)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import range_join_broadcast
+
+    bands = pd.DataFrame(
+        {
+            "band": ["low", "mid", "high", "mid_wide"],
+            "lo": [0.0, 50.0, 150.0, 25.0],
+            "hi": [50.0, 150.0, 1000.0, 200.0],  # mid_wide OVERLAPS low/mid/high
+        }
+    )
+    ds = _read(sf_dir, "events", ["event_id", "value"])
+    joined = range_join_broadcast(ds, bands, "value")
+    out = joined.groupby("band").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return out.map_batches(
+        lambda t: _round_cols(t, {"sum_value": 4}), batch_format="pyarrow"
+    )
+
+
+EVENTS_BANDS_SQL = """
+SELECT b.band, COUNT(*) AS n, ROUND(SUM(e.value), 4) AS sum_value
+FROM events e
+JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+             ('high', 150.0, 1000.0), ('mid_wide', 25.0, 200.0))
+     AS b(band, lo, hi)
+  ON e.value >= b.lo AND e.value < b.hi
+GROUP BY b.band
+"""
+
+
+def events_hourly_tumbling(sf_dir: str):
+    """Tumbling event-time window aggregate: floor ts to the hour
+    inside map_batches (Arrow temporal kernel), then a grouped
+    count/sum — the windowed-aggregate custom operator expressed as
+    derive + groupby (no per-row Python)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def hour_bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "event_type": t["event_type"],
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(hour_bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        # the groupby round-trip downgrades the bucket to timestamp[s];
+        # restore the table's native microsecond unit for the oracle
+        i = t.schema.get_field_index("hour")
+        t = t.set_column(i, "hour", pc.cast(t["hour"], pa.timestamp("us")))
+        return _round_cols(t, {"sum_value": 4})
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+EVENTS_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_rolling_mean(sf_dir: str):
+    """Trailing 8-row rolling mean per user over (ts, event_id) order —
+    the sorted-overlap scan (hot-key-parallel, exact) applied to a
+    plain windowed aggregate (sod_ray.stages.window.
+    windowed_rolling_sorted)."""
+    from ..stages.window import windowed_rolling_sorted
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = windowed_rolling_sorted(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        value_col="value",
+        id_cols=["event_id"],
+        window=8,
+        out_col="rolling_mean",
+        round_to=6,
+    )
+    return out.select_columns(["event_id", "user_id", "rolling_mean"])
+
+
+EVENTS_ROLLING_SQL = """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+             6) AS rolling_mean
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -978,6 +1130,10 @@ QUERIES = {
     "events_top10_value": events_top10_value,
     "events_sessionize": events_sessionize,
     "events_errors_by_user": events_errors_by_user,
+    "events_asof_prior_click": events_asof_prior_click,
+    "events_value_bands": events_value_bands,
+    "events_hourly_tumbling": events_hourly_tumbling,
+    "events_rolling_mean": events_rolling_mean,
     "orders_sorted_top100": orders_sorted_top100,
     "events_systematic_sample": events_systematic_sample,
     "doc_token_counts": doc_token_counts,
@@ -1017,6 +1173,10 @@ ORACLES = {
     "events_top10_value": EVENTS_TOP10_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_errors_by_user": EVENTS_ERRORS_SQL,
+    "events_asof_prior_click": EVENTS_ASOF_SQL,
+    "events_value_bands": EVENTS_BANDS_SQL,
+    "events_hourly_tumbling": EVENTS_TUMBLING_SQL,
+    "events_rolling_mean": EVENTS_ROLLING_SQL,
     "orders_sorted_top100": ORDERS_SORT_SQL,
     "events_systematic_sample": EVENTS_SAMPLE_SQL,
     "doc_token_counts": DOC_TOKENS_SQL,

@@ -1,0 +1,187 @@
+"""Temporal / range join operators the Dataset API lacks, composed
+from Ray Data primitives (the brief's custom-operator tier: as-of
+join, range join — the reference has no relational joins at all, see
+SURVEY.md §2.5 G6, so these extend the engine's join surface for
+training-data pipelines).
+
+Partitioning assumptions (documented per the brief):
+
+- ``asof_join``: both sides are hash-partitioned by ``by`` via one
+  ``groupby`` shuffle over a TAGGED UNION of the two inputs (one
+  shuffle, not two); one key's rows from both sides must fit in one
+  worker — same per-entity contract as the reference's window store
+  (/root/reference/internal/dispatcher/manager.go:222-235). For a
+  skewed ``by`` key, pre-salt by a coarse time bucket (each salt
+  bucket needs only the previous bucket's last right-row, so the
+  salted variant stays exact — not implemented until a fixture needs
+  it).
+- ``range_join_broadcast``: the ranges side is SMALL (≤ ~10^5 rows)
+  and is shipped once via ``ray.put``; each batch task probes it
+  vectorized. Overlapping ranges produce one output row per match
+  (SQL inequality-join semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def asof_join(
+    left,
+    right,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    suffix: str = "_right",
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+):
+    """As-of join: for each left row, the single right row with the
+    largest ``on`` ≤ left's ``on`` (direction="backward"; "forward" =
+    smallest ≥), matching on ``by``. LEFT-join semantics: unmatched
+    left rows keep nulls in the right columns.
+
+    Implementation: tag each side, align schemas (missing columns are
+    null), union → ONE ``groupby(by)`` shuffle → per-group
+    ``pd.merge_asof`` over the ts-sorted sides. The tagged-union trick
+    makes the co-group a single Dataset groupby instead of a two-sided
+    join the API doesn't have.
+
+    Returns a Dataset with the left columns plus ``right_cols``
+    (renamed with ``suffix`` when they collide with left names).
+    """
+    left_schema = left.schema()
+    left_names = list(left_schema.names)
+    right_keep = [by, on] + [c for c in right_cols if c not in (by, on)]
+    right_slim = right.select_columns(right_keep)
+    right_schema = right_slim.schema()
+
+    out_names = {
+        c: (c + suffix if c in left_names else c)
+        for c in right_cols
+        if c not in (by,)
+    }
+    rtypes = {
+        n: t for n, t in zip(right_schema.names, right_schema.types)
+    }
+    ltypes = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in left_names}
+        for c in right_cols:
+            if c == by:
+                continue
+            cols["__r_" + c] = pa.nulls(len(t), rtypes[c])
+        cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8))
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_names:
+            if c == by:
+                cols[c] = t[by]
+            elif c == on:
+                cols[c] = t[on]
+            else:
+                cols[c] = pa.nulls(len(t), ltypes[c])
+        for c in right_cols:
+            if c == by:
+                continue
+            cols["__r_" + c] = t[c]
+        cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8))
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right_slim.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    final_cols = left_names + list(out_names.values())
+    int_left = [
+        n
+        for n, t in zip(left_schema.names, left_schema.types)
+        if pa.types.is_integer(t)
+    ]
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 1]
+        rg = g[g["__side"] == 0]
+        lg = lg[left_names].sort_values(on, kind="stable")
+        for c in int_left:
+            # the null-padded union floats left int columns; left rows
+            # themselves are never null there — restore the dtype
+            lg[c] = lg[c].astype("int64")
+        r_proj = [on] + ["__r_" + c for c in right_cols if c != by]
+        rg = rg[r_proj].sort_values(on, kind="stable")
+        merged = pd.merge_asof(
+            lg,
+            rg,
+            on=on,
+            direction=direction,
+            allow_exact_matches=allow_exact_matches,
+            suffixes=("", "__rr"),
+        )
+        # the matched right `on` value rides along as __r_<on> (tag_right
+        # duplicates it), so merge_asof consuming the join column is fine
+        rename = {}
+        for c in right_cols:
+            if c == by:
+                continue
+            rename["__r_" + c] = out_names[c]
+        merged = merged.rename(columns=rename)
+        return merged[[c for c in final_cols if c in merged.columns]]
+
+    return tagged.groupby(by).map_groups(per_group, batch_format="pandas")
+
+
+def range_join_broadcast(ds, ranges: pd.DataFrame, value_col: str, lo_col: str = "lo", hi_col: str = "hi"):
+    """Inequality (range) join of a big Dataset against a SMALL ranges
+    table: output one row per (row, range) pair with
+    ``lo <= value < hi``. The ranges frame is broadcast once via
+    ``ray.put`` (never re-shipped per batch); each batch probes all
+    ranges vectorized — O(n_rows × n_ranges) masks, fine for the
+    small-side contract. Range attribute columns are appended to each
+    matched row."""
+    import ray
+
+    ranges_ref = ray.put(ranges.reset_index(drop=True))
+
+    class RangeProbe:
+        def __init__(self):
+            self.ranges = ray.get(ranges_ref)
+            self.lo = self.ranges[lo_col].to_numpy()
+            self.hi = self.ranges[hi_col].to_numpy()
+            self.attrs = self.ranges.drop(columns=[lo_col, hi_col])
+            self.attr_schema = pa.Table.from_pandas(
+                self.attrs.iloc[:0], preserve_index=False
+            ).schema
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = t[value_col].to_numpy(zero_copy_only=False)
+            row_idx = []
+            rng_idx = []
+            for j in range(len(self.lo)):
+                hit = np.flatnonzero((v >= self.lo[j]) & (v < self.hi[j]))
+                if hit.size:
+                    row_idx.append(hit)
+                    rng_idx.append(np.full(hit.size, j, dtype=np.int64))
+            if not row_idx:
+                base = t.slice(0, 0)
+                for c in self.attrs.columns:
+                    base = base.append_column(
+                        c, pa.array([], self.attr_schema.field(c).type)
+                    )
+                return base
+            rows = np.concatenate(row_idx)
+            rngs = np.concatenate(rng_idx)
+            out = t.take(pa.array(rows))
+            for c in self.attrs.columns:
+                out = out.append_column(
+                    c, pa.Array.from_pandas(self.attrs[c].iloc[rngs])
+                )
+            return out
+
+    # actor pool: the broadcast ranges are fetched + columnized ONCE per
+    # actor in __init__, probed per batch in __call__ (guide pattern)
+    return ds.map_batches(RangeProbe, batch_format="pyarrow", concurrency=4)

@@ -369,6 +369,98 @@ def windowed_zscore_sorted(
     return out
 
 
+def windowed_rolling_sorted(
+    ds,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    id_cols: list[str] | None = None,
+    window: int = 8,
+    out_col: str = "rolling_mean",
+    round_to: int | None = None,
+):
+    """Trailing rolling MEAN per key over the (ts, ids) order — the
+    sorted-overlap scan of ``windowed_zscore_sorted`` applied to a
+    plain windowed aggregate (SQL ``AVG(v) OVER (PARTITION BY key
+    ORDER BY ts ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW)``).
+
+    EXACT and parallel within a hot key: after the distributed sort,
+    each block scores independently using at most ``window-1`` context
+    rows accumulated from preceding blocks' tails. Emits EVERY row
+    (unlike the flag-filtered z-score variant) with ``out_col``
+    appended. Returns a Dataset (from per-block pandas results)."""
+    import ray
+    import ray.data as rd
+
+    cols = [key, ts_col, value_col] + [
+        c for c in (id_cols or []) if c not in (key, ts_col, value_col)
+    ]
+    slim = ds.select_columns(cols)
+    sort_keys = [key, ts_col] + [c for c in (id_cols or []) if c not in (key, ts_col)]
+    sorted_ds = slim.sort(sort_keys)
+    block_refs = sorted_ds.to_arrow_refs()
+    if not block_refs:
+        return rd.from_pandas(pd.DataFrame(columns=cols + [out_col]))
+
+    @ray.remote
+    def nrows_of(block: pa.Table) -> int:
+        return block.num_rows
+
+    @ray.remote
+    def tail_of(block: pa.Table):
+        n = block.num_rows
+        return block.slice(max(0, n - (window - 1)), min(n, window - 1))
+
+    @ray.remote
+    def score_block(block: pa.Table, *ctx_tails):
+        prev_tail = None
+        if ctx_tails:
+            cat = pa.concat_tables([t for t in ctx_tails if t.num_rows])
+            if cat.num_rows:
+                prev_tail = cat.slice(max(0, cat.num_rows - (window - 1)))
+        ctx_len = 0
+        if block.num_rows == 0:
+            return pd.DataFrame(columns=cols + [out_col])
+        if prev_tail is not None and prev_tail.num_rows:
+            first_key = block[key][0].as_py()
+            ctx = prev_tail.filter(pc.equal(prev_tail[key], pa.scalar(first_key)))
+            ctx_len = ctx.num_rows
+            g = pa.concat_tables([ctx, block]).to_pandas()
+        else:
+            g = block.to_pandas()
+        values = g[value_col].to_numpy(dtype=np.float64)
+        keys_arr = g[key].to_numpy()
+        change = np.flatnonzero(keys_arr[1:] != keys_arr[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(g)]))
+        out = np.empty(len(g), dtype=np.float64)
+        for s, e in zip(starts, ends):
+            v = values[s:e]
+            csum = np.concatenate(([0.0], np.cumsum(v)))
+            n = len(v)
+            idx = np.arange(1, n + 1)
+            lo = np.maximum(0, idx - window)
+            out[s:e] = (csum[idx] - csum[lo]) / (idx - lo)
+        g[out_col] = np.round(out, round_to) if round_to is not None else out
+        return g.iloc[ctx_len:]  # context rows belong to the previous block
+
+    tails = [tail_of.remote(r) for r in block_refs]
+    counts_per_block = ray.get([nrows_of.remote(r) for r in block_refs])
+    futures = []
+    for i, r in enumerate(block_refs):
+        js, acc, j = [], 0, i - 1
+        while j >= 0 and acc < window - 1:
+            js.append(j)
+            acc += counts_per_block[j]
+            j -= 1
+        ctx = [tails[j2] for j2 in reversed(js)]
+        futures.append(score_block.remote(r, *ctx))
+    frames = [f for f in ray.get(futures) if len(f)]
+    if not frames:
+        return rd.from_pandas(pd.DataFrame(columns=cols + [out_col]))
+    return rd.from_pandas(pd.concat(frames, ignore_index=True))
+
+
 def windowed_lof_chunked(
     ds,
     key: str,

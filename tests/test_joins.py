@@ -1,0 +1,194 @@
+"""asof_join / range_join_broadcast / windowed_rolling_sorted parity
+tests (pandas reference implementations on deterministic synthetic
+frames)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _mk_frames(seed=7, n_left=400, n_right=300, n_keys=6):
+    rng = np.random.default_rng(seed)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_left),
+            "k": rng.integers(0, n_keys, n_left),
+            "ts": rng.integers(0, 10_000, n_left).astype("datetime64[us]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(n_right) + 10_000,
+            "k": rng.integers(0, n_keys + 2, n_right),  # some keys missing
+            "ts": rng.integers(0, 10_000, n_right).astype("datetime64[us]"),
+            "payload": rng.normal(size=n_right),
+        }
+    )
+    # unique (k, ts) per side so the as-of match is deterministic
+    left = left.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+    right = right.drop_duplicates(["k", "ts"]).reset_index(drop=True)
+    return left, right
+
+
+def _expected_asof(left, right, direction="backward"):
+    out = []
+    for k, lg in left.groupby("k"):
+        rg = right[right["k"] == k].sort_values("ts")
+        merged = pd.merge_asof(
+            lg.sort_values("ts"),
+            rg[["ts", "rid", "payload"]].rename(columns={"ts": "rts"}),
+            left_on="ts",
+            right_on="rts",
+            direction=direction,
+        )
+        out.append(merged)
+    return (
+        pd.concat(out, ignore_index=True)
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+
+
+def test_asof_join_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.joins import asof_join
+
+    left, right = _mk_frames()
+    got = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="ts",
+            by="k",
+            right_cols=["rid", "ts", "payload"],
+            suffix="_r",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = _expected_asof(left, right)
+    assert len(got) == len(left)
+    assert got["lid"].tolist() == exp["lid"].tolist()
+    assert got["lid"].dtype == np.int64  # null-padding must not float left ints
+    pd.testing.assert_series_equal(
+        got["rid"].astype("float64"), exp["rid"].astype("float64"), check_names=False
+    )
+    pd.testing.assert_series_equal(
+        got["payload"], exp["payload"], check_names=False
+    )
+    # matched right timestamp rides along
+    matched = got[got["rid"].notna()]
+    exp_m = exp[exp["rid"].notna()]
+    assert (
+        matched["ts_r"].astype("int64").tolist()
+        == exp_m["rts"].astype("int64").tolist()
+    )
+    # as-of contract: matched right ts <= left ts
+    assert (matched["ts_r"] <= matched["ts"]).all()
+
+
+def test_asof_join_forward(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.joins import asof_join
+
+    left, right = _mk_frames(seed=11)
+    got = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            on="ts",
+            by="k",
+            right_cols=["rid"],
+            direction="forward",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = []
+    for k, lg in left.groupby("k"):
+        rg = right[right["k"] == k].sort_values("ts")
+        exp.append(
+            pd.merge_asof(
+                lg.sort_values("ts"),
+                rg[["ts", "rid"]],
+                on="ts",
+                direction="forward",
+            )
+        )
+    exp = pd.concat(exp).sort_values("lid").reset_index(drop=True)
+    pd.testing.assert_series_equal(
+        got["rid"].astype("float64"), exp["rid"].astype("float64"), check_names=False
+    )
+
+
+def test_range_join_broadcast_overlapping(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.joins import range_join_broadcast
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"id": np.arange(500), "v": rng.uniform(0, 100, 500)})
+    ranges = pd.DataFrame(
+        {
+            "band": ["a", "b", "overlap"],
+            "lo": [0.0, 50.0, 25.0],
+            "hi": [50.0, 100.0, 75.0],
+        }
+    )
+    got = (
+        range_join_broadcast(rd.from_pandas(df), ranges, "v")
+        .to_pandas()
+        .sort_values(["id", "band"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for _, r in ranges.iterrows():
+        sub = df[(df["v"] >= r["lo"]) & (df["v"] < r["hi"])].copy()
+        sub["band"] = r["band"]
+        exp_rows.append(sub)
+    exp = (
+        pd.concat(exp_rows).sort_values(["id", "band"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got["id"].tolist() == exp["id"].tolist()
+    assert got["band"].tolist() == exp["band"].tolist()
+
+
+def test_windowed_rolling_sorted_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.window import windowed_rolling_sorted
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "eid": np.arange(n),
+            "k": rng.integers(0, 3, n).astype(str),  # few hot keys → multi-block runs
+            "ts": rng.integers(0, 10_000_000, n).astype("datetime64[us]"),
+            "v": rng.normal(size=n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)
+    got = (
+        windowed_rolling_sorted(
+            ds, key="k", ts_col="ts", value_col="v", id_cols=["eid"], window=8
+        )
+        .to_pandas()
+        .sort_values("eid")
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "ts", "eid"]).copy()
+    exp["rolling_mean"] = exp.groupby("k")["v"].transform(
+        lambda s: s.rolling(8, min_periods=1).mean()
+    )
+    exp = exp.sort_values("eid").reset_index(drop=True)
+    assert len(got) == n
+    np.testing.assert_allclose(
+        got["rolling_mean"].to_numpy(), exp["rolling_mean"].to_numpy(), rtol=1e-9
+    )
