@@ -397,18 +397,28 @@ def run_validation(
     # fresh full runs can reuse the fused pass's url column as the
     # referential parent side — no second parquet scan of the corpus
     collect_urls = bool(cfg.refs_path) and not done
+    # single-wave fresh run: the referential check runs INSIDE the
+    # wave's consumer pool (4th thread), overlapping its fixed
+    # overhead (refs read, anti-join spin-up, violation write) with
+    # the sketch-merge / mismatch / peak consumers instead of paying
+    # it serially after the wave
+    inline_ref = collect_urls and wave_size >= len(remaining)
     url_blocks = []
+    inline_ref_result = None
     for w0 in range(0, len(remaining), wave_size):
         wave = remaining[w0 : w0 + wave_size]
-        vt, st, nrows, wave_urls = _run_wave(
+        vt, st, nrows, wave_urls, ref_res = _run_wave(
             input_path, wave, cfg, manifest, out_dir, w0 + len(done), _mark,
-            collect_urls=collect_urls,
+            collect_urls=collect_urls and not inline_ref,
+            inline_referential=inline_ref,
         )
         all_verdicts.append(vt)
         all_stats.append(st)
         total_rows_all += nrows
         if wave_urls is not None:
             url_blocks.extend(wave_urls)
+        if ref_res is not None:
+            inline_ref_result = ref_res
         # persist this wave's merged sketches immediately (save_baseline
         # merges, so a kill after N waves keeps those N waves' sketches
         # for the next run's drift check — matching the manifest commits)
@@ -433,17 +443,20 @@ def run_validation(
     ) if all_stats else pa.table({})
     result.rows_scanned = total_rows_all
 
-    parent_keys = (
-        pa.concat_arrays(
-            [c for b in url_blocks for c in (b.chunks if isinstance(b, pa.ChunkedArray) else [b])]
+    if inline_ref_result is not None:
+        result.referential = inline_ref_result
+    else:
+        parent_keys = (
+            pa.concat_arrays(
+                [c for b in url_blocks for c in (b.chunks if isinstance(b, pa.ChunkedArray) else [b])]
+            )
+            if collect_urls and url_blocks
+            else None
         )
-        if collect_urls and url_blocks
-        else None
-    )
-    _ensure_referential(
-        result, input_path, cfg, manifest, out_dir, resume,
-        parent_keys=parent_keys,
-    )
+        _ensure_referential(
+            result, input_path, cfg, manifest, out_dir, resume,
+            parent_keys=parent_keys,
+        )
     _mark("referential")
     return result
 
@@ -578,11 +591,15 @@ def _run_referential(input_path, cfg, manifest, out_dir, parent_keys=None):
 def _run_wave(
     input_path, remaining, cfg, manifest, out_dir, wave_id, _mark,
     collect_urls: bool = False,
+    inline_referential: bool = False,
 ):
     """One DAG over one wave of partitions; commits each partition's
     manifest record when the wave's outputs land. With ``collect_urls``
     the wave also returns its deduped url blocks (referential parent
-    side, harvested from the already-landed slim table)."""
+    side, harvested from the already-landed slim table). With
+    ``inline_referential`` (single-wave fresh runs) the referential
+    check itself runs as a 4th concurrent consumer of the slim table
+    and its result is returned instead of the url blocks."""
     import ray.data as rd
 
     ds = rd.read_parquet(
@@ -686,16 +703,42 @@ def _run_wave(
         )
         return counts.set_index(cfg.part_key)
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    def _referential_inline():
+        # row count of the materialized slim table is metadata-only;
+        # above the broadcast bound, skip the driver-side url harvest
+        # entirely and let _run_referential take the two-sided path
+        if featured.count() > 5_000_000:
+            return _run_referential(input_path, cfg, manifest, out_dir)
+        urls = _harvest_urls(featured)
+        keys = (
+            pa.concat_arrays(
+                [
+                    c
+                    for b in urls
+                    for c in (b.chunks if isinstance(b, pa.ChunkedArray) else [b])
+                ]
+            )
+            if urls
+            else pa.array([], pa.string())
+        )
+        return _run_referential(
+            input_path, cfg, manifest, out_dir, parent_keys=keys
+        )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
         f_merged = pool.submit(_merged)
         f_mismatch = pool.submit(_mismatches)
         f_peaks = pool.submit(_peaks)
+        f_ref = pool.submit(_referential_inline) if inline_referential else None
         merged = f_merged.result()
         _mark("combined-merge")
         mismatch_counts = f_mismatch.result()
         _mark("mismatches")
         peak_counts = f_peaks.result()
         _mark("peaks")
+        ref_result = f_ref.result() if f_ref is not None else None
+        if f_ref is not None:
+            _mark("referential-inline")
 
     stats_tbl = merged  # per (part_key, column) sketch stats
     flags = (
@@ -802,24 +845,24 @@ def _run_wave(
     _mark(f"verdict-loop wave={wave_id}")
     verdicts = pa.Table.from_pylist(verdict_rows) if verdict_rows else pa.table({})
     pq.write_table(verdicts, os.path.join(out_dir, f"verdicts-{wave_id}.parquet"))
-    wave_urls = None
-    if collect_urls:
-        # harvest the referential parent side from the slim table —
-        # per-block unique, only deduped url blocks reach the driver
-        import ray
+    wave_urls = _harvest_urls(featured) if collect_urls else None
+    return verdicts, stats_tbl, total_rows, wave_urls, ref_result
 
-        refs_blocks = (
-            featured.select_columns(["url"])
-            .map_batches(
-                lambda t: pa.table({"url": pc.unique(t["url"]).drop_null()}),
-                batch_format="pyarrow",
-            )
-            .to_arrow_refs()
+
+def _harvest_urls(featured):
+    """Referential parent side from the slim table: per-block unique,
+    only deduped url blocks reach the driver."""
+    import ray
+
+    refs_blocks = (
+        featured.select_columns(["url"])
+        .map_batches(
+            lambda t: pa.table({"url": pc.unique(t["url"]).drop_null()}),
+            batch_format="pyarrow",
         )
-        wave_urls = [
-            t["url"] for t in ray.get(refs_blocks) if t.num_rows
-        ]
-    return verdicts, stats_tbl, total_rows, wave_urls
+        .to_arrow_refs()
+    )
+    return [t["url"] for t in ray.get(refs_blocks) if t.num_rows]
 
 
 def _load_verdicts(out_dir: str):
