@@ -23,6 +23,11 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True, help="output/checkpoint dir")
     p.add_argument("--refs", default=None, help="webpage_refs parquet dir")
     p.add_argument("--part-key", default="lang")
+    p.add_argument(
+        "--part-key-expr", default=None, choices=["host"],
+        help="derive the partition key from url (e.g. host) instead of "
+        "reading a physical column",
+    )
     p.add_argument("--waves", type=int, default=None, help="partitions per wave")
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--intermediate-dir", default=None)
@@ -45,6 +50,7 @@ def main(argv=None) -> int:
 
     cfg = ValidateConfig(
         part_key=args.part_key,
+        part_key_expr=args.part_key_expr,
         partitions_per_wave=args.waves,
         refs_path=args.refs,
         intermediate_dir=args.intermediate_dir,

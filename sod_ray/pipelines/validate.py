@@ -57,13 +57,38 @@ WEBPAGE_SCHEMA = {
 }
 
 
+def host_of(urls) -> pa.Array:
+    """Vectorized host(url) — Arrow RE2 extract, null-safe (non-URL
+    and null rows yield null). The derived entity key of the host
+    partitioning profile (SURVEY.md §1.1 Entity: "lang (or
+    host(url))")."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    m = pc.extract_regex(urls, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/]+)")
+    return pc.struct_field(m, "host")
+
+
+def derive_part_key(batch: pa.Table, part_key: str, expr: str) -> pa.Table:
+    """Append the derived partition-key column. Only ``expr="host"``
+    is wired; new derivations slot in here."""
+    if expr != "host":
+        raise ValueError(f"unknown part_key_expr: {expr!r}")
+    if part_key in batch.column_names:
+        return batch
+    return batch.append_column(part_key, host_of(batch["url"]))
+
+
 class FusedFeatures:
     """One pass per batch: extraction invariant + null flags + text
     features — ALL in pyarrow compute kernels (C++/RE2), zero Python
     objects per row. This matters beyond elegance: per-row Python
     (to_pylist + re) is allocator/memory-bound and stops scaling past
     ~10 cores on commodity VMs, while the Arrow kernels scale linearly.
-    Output is the slim feature table — html and text are dropped here."""
+    Output is the slim feature table — html and text are dropped here.
+    ``extra_cols`` (e.g. a derived host partition key) pass through."""
+
+    def __init__(self, extra_cols: tuple = ()):
+        self.extra_cols = tuple(extra_cols)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.text import extract_text_arrow
@@ -77,18 +102,20 @@ class FusedFeatures:
         text_null = pc.is_null(text)
         n_chars = pc.fill_null(pc.utf8_length(text), 0)
         n_tokens = pc.fill_null(pc.count_substring_regex(text, r"\S+"), 0)
-        return pa.table(
-            {
-                "url": batch["url"],
-                "warc_ts": batch["warc_ts"],
-                "lang": batch["lang"],
-                "n_chars": pc.cast(n_chars, pa.int64()),
-                "n_tokens": pc.cast(n_tokens, pa.int64()),
-                "extract_match": match,
-                "html_null": html_null,
-                "text_null": text_null,
-            }
-        )
+        out = {
+            "url": batch["url"],
+            "warc_ts": batch["warc_ts"],
+            "lang": batch["lang"],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "extract_match": match,
+            "html_null": html_null,
+            "text_null": text_null,
+        }
+        for c in self.extra_cols:
+            if c not in out and c in batch.column_names:
+                out[c] = batch[c]
+        return pa.table(out)
 
 
 def _combined_partials_merge(featured, cfg: "ValidateConfig"):
@@ -267,6 +294,15 @@ def fused_features_batch(batch: pa.Table) -> pa.Table:
 @dataclass
 class ValidateConfig:
     part_key: str = "lang"
+    # derived-key profile: when set (only "host" wired), part_key is
+    # COMPUTED from url per batch instead of read from storage —
+    # e.g. part_key="host", part_key_expr="host" partitions by
+    # host(url) (~10^3-10^6 skewed keys). Resume still works, but the
+    # committed-partition filter applies AFTER the scan (no parquet
+    # row-group pruning for derived keys) — at 100 TB, write the
+    # derived key as a physical partition column at ingest (the
+    # landing-zone source does) to get pushdown back.
+    part_key_expr: str | None = None
     stat_columns: tuple = ("n_chars", "n_tokens")
     zscore_value: str = "n_chars"
     zscore_window: int = 64
@@ -317,20 +353,32 @@ class ValidationResult:
 
 
 def list_partitions(
-    input_path: str, part_key: str, distributed_over_files: int = 64
+    input_path: str,
+    part_key: str,
+    distributed_over_files: int = 64,
+    part_key_expr: str | None = None,
 ) -> list[str]:
     """Distinct partition keys, column-pruned. Few files → a local
     pyarrow scan of just the key column. Many files (the 100 TB case,
     or a fine key like host) → a distributed per-batch-unique pass;
-    only the deduped key values return to the driver."""
+    only the deduped key values return to the driver. Derived keys
+    (``part_key_expr``) compute the key from ``url`` per batch on
+    either path."""
     dataset = pads.dataset(input_path, format="parquet")
+    scan_col = "url" if part_key_expr else part_key
+
+    def keys_of(t: pa.Table) -> pa.Array:
+        if part_key_expr:
+            t = derive_part_key(t, part_key, part_key_expr)
+        return pc.unique(t[part_key])
+
     if len(dataset.files) > distributed_over_files:
         import ray.data as rd
 
         uniq = (
-            rd.read_parquet(input_path, columns=[part_key])
+            rd.read_parquet(input_path, columns=[scan_col])
             .map_batches(
-                lambda t: pa.table({part_key: pc.unique(t[part_key])}),
+                lambda t: pa.table({part_key: keys_of(t)}),
                 batch_format="pyarrow",
             )
             .to_pandas()[part_key]
@@ -339,8 +387,8 @@ def list_partitions(
         )
         return sorted(uniq.tolist())
     vals = set()
-    for batch in dataset.to_batches(columns=[part_key]):
-        vals.update(pc.unique(batch.column(0)).to_pylist())
+    for batch in dataset.to_batches(columns=[scan_col]):
+        vals.update(keys_of(pa.Table.from_batches([batch])).to_pylist())
     return sorted(v for v in vals if v is not None)
 
 
@@ -367,7 +415,9 @@ def run_validation(
     os.makedirs(out_dir, exist_ok=True)
     manifest = Manifest(os.path.join(out_dir, "manifest"))
 
-    all_parts = list_partitions(input_path, cfg.part_key)
+    all_parts = list_partitions(
+        input_path, cfg.part_key, part_key_expr=cfg.part_key_expr
+    )
     done = manifest.committed_partitions() if resume else set()
     remaining = [p for p in all_parts if p not in done]
     result = ValidationResult(
@@ -602,18 +652,34 @@ def _run_wave(
     and its result is returned instead of the url blocks."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
-        input_path,
-        filter=pc.field(cfg.part_key).isin(remaining),
-    )
-    schema_verdict = schema_check(ds, WEBPAGE_SCHEMA)
+    if cfg.part_key_expr:
+        # derived key: no storage-level pushdown possible — read all,
+        # derive the key per batch, drop committed partitions' rows at
+        # the first stage (see ValidateConfig.part_key_expr note)
+        raw = rd.read_parquet(input_path)
+        schema_verdict = schema_check(raw, WEBPAGE_SCHEMA)
+        keep = pa.array(remaining, pa.string())
+
+        def derive_filter(t: pa.Table) -> pa.Table:
+            t = derive_part_key(t, cfg.part_key, cfg.part_key_expr)
+            return t.filter(pc.is_in(t[cfg.part_key], value_set=keep))
+
+        ds = raw.map_batches(derive_filter, batch_format="pyarrow")
+        fused_fn = FusedFeatures(extra_cols=(cfg.part_key,))
+    else:
+        ds = rd.read_parquet(
+            input_path,
+            filter=pc.field(cfg.part_key).isin(remaining),
+        )
+        schema_verdict = schema_check(ds, WEBPAGE_SCHEMA)
+        fused_fn = fused_features_batch
     _mark("schema")
 
     # ONE scan: fused extraction + features; html dropped inside the
     # stage. Stateless tasks (cheap per-worker setup) — elastic, no
     # actor-pool startup; see fused_features_batch.
     featured_stream = ds.map_batches(
-        fused_features_batch,
+        fused_fn,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
     )

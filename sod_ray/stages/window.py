@@ -291,10 +291,10 @@ def windowed_zscore_sorted(
         # window — a single predecessor tail would truncate the history
         # and mis-score rows near the boundary)
         prev_tail = None
-        if ctx_tails:
-            cat = pa.concat_tables([t for t in ctx_tails if t.num_rows])
-            if cat.num_rows:
-                prev_tail = cat.slice(max(0, cat.num_rows - (window - 1)))
+        nonempty_tails = [t for t in ctx_tails if t.num_rows]
+        if nonempty_tails:
+            cat = pa.concat_tables(nonempty_tails)
+            prev_tail = cat.slice(max(0, cat.num_rows - (window - 1)))
         if block.num_rows == 0 and prev_tail is None:
             g = pd.DataFrame(columns=cols)
         else:
@@ -414,10 +414,10 @@ def windowed_rolling_sorted(
     @ray.remote
     def score_block(block: pa.Table, *ctx_tails):
         prev_tail = None
-        if ctx_tails:
-            cat = pa.concat_tables([t for t in ctx_tails if t.num_rows])
-            if cat.num_rows:
-                prev_tail = cat.slice(max(0, cat.num_rows - (window - 1)))
+        nonempty_tails = [t for t in ctx_tails if t.num_rows]
+        if nonempty_tails:
+            cat = pa.concat_tables(nonempty_tails)
+            prev_tail = cat.slice(max(0, cat.num_rows - (window - 1)))
         ctx_len = 0
         if block.num_rows == 0:
             return pd.DataFrame(columns=cols + [out_col])

@@ -228,3 +228,41 @@ def test_baseline_survives_partial_resume(ray_session, web_dir, tmp_path):
         map(tuple, pq.read_table(bpath).to_pandas()[["part_key", "column"]].values)
     )
     assert after_keys == full_keys
+
+
+def test_host_derived_part_key(ray_session, web_dir, tmp_path):
+    """host(url) partitioning profile: derived key, many skewed
+    partitions, resume without pushdown."""
+    import pyarrow as pa
+
+    from sod_ray.pipelines.validate import (
+        ValidateConfig,
+        host_of,
+        run_validation,
+    )
+
+    assert host_of(
+        pa.array(
+            ["https://a.example.com/x/y", "http://b.co/", None, "garbage"]
+        )
+    ).to_pylist() == ["a.example.com", "b.co", None, None]
+
+    src, truth = web_dir
+    out = str(tmp_path / "outh")
+    cfg = ValidateConfig(part_key="host", part_key_expr="host")
+    res = run_validation(f"{src}/webpages", out, cfg)
+    v = res.verdicts.to_pandas().set_index("partition")
+    assert v["rows"].sum() == truth["n_rows"]
+    assert all(p.endswith(".example.com") for p in v.index)
+    assert len(v) > 100  # zipf host key space is wide
+    # hot host (zipf mass at host1) dominates
+    assert v.loc["host1.example.com", "rows"] > v["rows"].median() * 10
+
+    # resume: drop one host's commit -> only it reruns, same rows
+    victim = "host1.example.com"
+    os.unlink(os.path.join(out, "manifest", f"part-{victim}.json"))
+    res2 = run_validation(f"{src}/webpages", out, cfg)
+    assert res2.partitions_run == [victim]
+    v2 = res2.verdicts.to_pandas().set_index("partition")
+    assert v2.loc[victim, "rows"] == v.loc[victim, "rows"]
+    assert set(v2.index) == set(v.index)
