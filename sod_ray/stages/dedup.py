@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..state.sketches import hash64
 
@@ -734,111 +735,26 @@ def connected_components(pairs_df: pd.DataFrame, id_a="id_a", id_b="id_b") -> di
     return {x: find(x) for x in set(pairs_df[id_a]) | set(pairs_df[id_b])}
 
 
-def _cc_lookup(labels, probes, num_partitions: int | None = None):
-    """(key, node) probe rows pick up ``label[key]`` from the (node,
-    label) table via a native hash join. Returns a Dataset of (node,
-    label) candidate rows."""
-    keyed_labels = labels.map_batches(
-        lambda t: pa.table({"key": t["node"], "label": t["label"]}),
-        batch_format="pyarrow",
-    )
-    joined = probes.join(
-        keyed_labels, "inner", _join_partitions(num_partitions), on=("key",)
-    )
-    return joined.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t["node"].cast(pa.int64()),
-                "label": t["label"].cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-
-
 def connected_components_distributed(
-    pairs_ds, id_a: str = "id_a", id_b: str = "id_b", max_rounds: int = 30
+    pairs_ds,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 30,
+    driver_finish_edges: int = 2_000_000,
 ):
-    """Distributed connected components over a pair Dataset: iterative
-    min-label propagation with pointer jumping, entirely as Dataset
-    ops — the driver holds only a per-round convergence scalar.
+    """Distributed connected components over a pair Dataset — thin
+    wrapper over ``sod_ray.stages.cc.connected_components_bucketed``
+    (contraction levels on explicit hash-bucket exchanges + a bounded
+    driver union-find finish; see that module for the algorithm and
+    its partitioning assumptions). Returns a Dataset of (node, label)
+    with label = min node id of the component — the same contract as
+    the driver ``connected_components`` oracle."""
+    from .cc import connected_components_bucketed
 
-    Each round: (1) edge relax — every node receives its neighbors'
-    labels; (2) pointer jump — label(node) := label(label(node)),
-    halving chain depth so max-bucket CHAINS from the LSH path
-    converge in O(log diameter) rounds, not O(diameter). New labels =
-    per-node min over {current, relaxed, jumped}. Fixpoint detected by
-    the (monotonically decreasing) global label sum.
-
-    Returns a Dataset of (node, label) with label = min node id of the
-    component."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Min, Sum
-
-    def sym(batch: pa.Table) -> pa.Table:
-        a = batch[id_a].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        b = batch[id_b].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "key": pa.array(np.concatenate([a, b])),
-                "node": pa.array(np.concatenate([b, a])),
-            }
-        )
-
-    edges = pairs_ds.map_batches(sym, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(
-            pa.table({"node": pa.array([], pa.int64()),
-                      "label": pa.array([], pa.int64())})
-        )
-
-    # init: label(node) = min(node, min neighbor) — one free relax round
-    labels = (
-        edges.groupby("key")
-        .aggregate(Min("node", alias_name="label"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t["key"],
-                    "label": pc.min_element_wise(t["key"], t["label"]),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .materialize()
+    return connected_components_bucketed(
+        pairs_ds,
+        id_a=id_a,
+        id_b=id_b,
+        max_levels=max_rounds,
+        driver_finish_edges=driver_finish_edges,
     )
-    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
-
-    for _ in range(max_rounds):
-        # materialize each hop: three sort-shuffles fused into one DAG
-        # stall the streaming executor; the intermediate label/probe
-        # datasets are node-count-sized (16 B/row, spillable)
-        relaxed = _cc_lookup(labels, edges).materialize()
-        jump_probes = labels.map_batches(
-            lambda t: pa.table({"key": t["label"], "node": t["node"]}),
-            batch_format="pyarrow",
-        ).materialize()
-        jumped = _cc_lookup(labels, jump_probes).materialize()
-        labels = (
-            labels.union(relaxed)
-            .union(jumped)
-            .groupby("node")
-            .aggregate(Min("label", alias_name="label"))
-            .map_batches(  # aggregate emits pandas blocks; re-normalize
-                lambda t: pa.table(
-                    {
-                        "node": t["node"].cast(pa.int64()),
-                        "label": t["label"].cast(pa.int64()),
-                    }
-                ),
-                batch_format="pyarrow",
-            )
-            .materialize()
-        )
-        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    return labels

@@ -173,3 +173,33 @@ def test_connected_components_distributed(ray_session):
     )
     assert labels == truth
     assert labels[1300] == 1000 and labels[6000] == 5000
+
+
+def test_connected_components_contraction_path(ray_session):
+    """Force the multi-level contraction path (driver_finish_edges
+    tiny) and check it matches the driver union-find exactly."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+
+    rng = np.random.default_rng(9)
+    chain = [(i, i + 1) for i in range(2000, 2150)]  # diameter 150
+    stars = [(3000 + 50 * s, 3000 + 50 * s + j) for s in range(4) for j in range(1, 50)]
+    clump = [
+        tuple(sorted(rng.choice(40, size=2, replace=False))) for _ in range(60)
+    ]
+    clump = [(a, b) for a, b in clump if a != b]
+    pairs = pd.DataFrame(chain + stars + clump, columns=["id_a", "id_b"])
+    truth = connected_components(pairs)
+    labels = (
+        connected_components_distributed(
+            rd.from_pandas(pairs), driver_finish_edges=64
+        )
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert labels == truth
