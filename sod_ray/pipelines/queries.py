@@ -343,6 +343,84 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
 """
 
 
+def dup_cluster_ids(sf_dir: str):
+    """Cluster id per document = min doc_id of its exact-duplicate
+    component, computed THROUGH the distributed connected-components
+    operator (stages/cc.py): same-md5 groups emit star pairs, CC
+    labels them, singletons keep their own id. Oracle-checked end to
+    end (the SQL twin is a window-min over the text partition)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from ..stages.dedup import connected_components_distributed
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(t.encode()).hexdigest() if t else ""
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "text_md5": pa.array(h)})
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def star_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
+            )
+        ids = np.sort(g["doc_id"].to_numpy())
+        return pd.DataFrame({"id_a": ids[:1].repeat(len(ids) - 1), "id_b": ids[1:]})
+
+    pairs = hashed.groupby("text_md5").map_groups(star_pairs, batch_format="pandas")
+    labels = connected_components_distributed(pairs)
+
+    # left-join docs to CC labels (docs without dup pairs keep their id):
+    # broadcast the label mapping — it is dup-count-sized, tiny by
+    # construction (dup rate <= a few %), never the corpus
+    import ray
+
+    lab_df = labels.to_pandas()
+    if "node" not in lab_df.columns:  # empty Datasets drop the schema
+        lab_df = pd.DataFrame(
+            {"node": pd.Series(dtype="int64"), "label": pd.Series(dtype="int64")}
+        )
+    lab_ref = ray.put(lab_df)
+
+    class ApplyLabels:
+        def __init__(self):
+            m = ray.get(lab_ref)
+            self.nodes = m["node"].to_numpy()
+            self.labels = m["label"].to_numpy()
+            order = np.argsort(self.nodes)
+            self.nodes, self.labels = self.nodes[order], self.labels[order]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            if self.nodes.shape[0] == 0:  # no dup pairs anywhere
+                cluster = ids
+            else:
+                pos = np.searchsorted(self.nodes, ids)
+                pos_c = np.minimum(pos, self.nodes.shape[0] - 1)
+                found = self.nodes[pos_c] == ids
+                cluster = np.where(found, self.labels[pos_c], ids)
+            return pa.table(
+                {"doc_id": t["doc_id"], "cluster_id": pa.array(cluster)}
+            )
+
+    return ds.select_columns(["doc_id"]).map_batches(
+        ApplyLabels, batch_format="pyarrow", concurrency=2
+    )
+
+
+DUP_CLUSTER_SQL = """
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS cluster_id
+FROM documents
+"""
+
+
 def q3_join(sf_dir: str):
     """TPC-H Q3 shape: broadcast semi-filter on the small dimension
     (customer segment), NATIVE Ray hash join (``Dataset.join``,
@@ -1124,6 +1202,7 @@ QUERIES = {
     "doc_md5": doc_md5,
     "dedup_first_doc": dedup_first_doc,
     "dup_text_groups": dup_text_groups,
+    "dup_cluster_ids": dup_cluster_ids,
     "ref_orphan_counts": ref_orphan_counts,
     "events_zscore_flags": events_zscore_flags,
     "events_retention_top3": events_retention_top3,
@@ -1167,6 +1246,7 @@ ORACLES = {
     "doc_md5": DOC_MD5_SQL,
     "dedup_first_doc": DEDUP_FIRST_SQL,
     "dup_text_groups": DUP_TEXT_SQL,
+    "dup_cluster_ids": DUP_CLUSTER_SQL,
     "ref_orphan_counts": REF_ORPHANS_SQL,
     "events_zscore_flags": EVENTS_ZSCORE_SQL,
     "events_retention_top3": EVENTS_RETENTION_SQL,

@@ -203,3 +203,37 @@ def test_connected_components_contraction_path(ray_session):
         .to_dict()
     )
     assert labels == truth
+
+
+def test_dup_cluster_ids_planted(ray_session, tmp_path):
+    """dup_cluster_ids (CC-backed) == SQL window-min oracle on a table
+    with planted exact-duplicate groups."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sod_ray.pipelines.queries import DUP_CLUSTER_SQL, dup_cluster_ids
+
+    d = str(tmp_path)
+    texts = [f"doc text {i // 4}" for i in range(200)]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(range(200), pa.int64()), "text": pa.array(texts)}
+        ),
+        f"{d}/documents.parquet",
+    )
+    got = (
+        dup_cluster_ids(d).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    exp = (
+        con.execute(DUP_CLUSTER_SQL)
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["cluster_id"].tolist() == exp["cluster_id"].tolist()
+    assert (got["cluster_id"] == (got["doc_id"] // 4) * 4).all()
