@@ -30,6 +30,11 @@ def main(argv=None) -> int:
     )
     p.add_argument("--waves", type=int, default=None, help="partitions per wave")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument(
+        "--object-store-gb", type=float, default=None,
+        help="cap Ray's object store (GiB) — exercises the auto-spill "
+        "path (slim table lands on disk instead of pinning the store)",
+    )
     p.add_argument("--intermediate-dir", default=None)
     p.add_argument(
         "--baseline", default=None,
@@ -44,6 +49,10 @@ def main(argv=None) -> int:
         kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
         if args.num_cpus:
             kwargs.update(address="local", num_cpus=args.num_cpus)
+        if args.object_store_gb:
+            kwargs.update(
+                object_store_memory=int(args.object_store_gb * (1 << 30))
+            )
         ray.init(**kwargs)
 
     from sod_ray.pipelines.validate import ValidateConfig, run_validation

@@ -44,6 +44,35 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
+try:
+    # ray.data's read path lazily imports this inside
+    # _is_http_filesystem on EVERY read_parquet call; in this
+    # container the import always fails (no aiohttp), Python does not
+    # cache failed imports, and two reader threads racing the failing
+    # import can observe a half-initialized module — surfacing as a
+    # plain ImportError that ray's ModuleNotFoundError guard does not
+    # catch (observed killing the concurrent referential thread).
+    import fsspec.implementations.http  # noqa: F401
+except Exception:  # pragma: no cover - aiohttp absent in container
+    # register a stub with a never-matching HTTPFileSystem class: the
+    # import becomes deterministic and isinstance() stays False, which
+    # is semantically identical (no aiohttp → no HTTP filesystems)
+    import sys as _sys
+    import types as _types
+
+    try:
+        import fsspec  # noqa: F401
+
+        _m = _types.ModuleType("fsspec.implementations.http")
+
+        class _NoHTTPFileSystem:  # pragma: no cover - sentinel only
+            pass
+
+        _m.HTTPFileSystem = _NoHTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = _m
+    except Exception:
+        pass
+
 from ..state.manifest import Manifest, PartitionRecord, _is_flag
 from ..stages.constraints import schema_check
 from ..stages.stats import column_stats

@@ -315,47 +315,103 @@ def broadcast_semi_join(child_ds, parent_keys, fk: str):
 def bucketed_anti_join(
     child_ds, parent_ds, fk: str, pk: str, num_buckets: int = 64
 ):
-    """Both-sides-large anti-join: explicit partitioned hash join.
+    """Both-sides-large anti-join: EXPLICIT hash-bucket exchange with
+    raw Ray tasks (the documented Dataset-API escape hatch).
 
-    Adds bucket = hash(key) % B to both sides, unions the (tagged,
-    key-only + child payload) rows, groups by bucket, and anti-joins
-    inside each group with pandas. Child payload columns survive;
-    parent contributes only its key. One shuffle, B-way parallel."""
-    child_cols = child_ds.schema().names
+    Each side's blocks split into B pieces by hash(key) % B
+    (num_returns fan-out — pieces flow worker-to-worker, never the
+    driver); one task per bucket builds a hash index over its parent
+    keys and filters its child pieces (actual values compared, not
+    hashes — collision-proof). Child payload columns survive; parent
+    contributes only deduped keys.
 
-    def tag_child(batch: pa.Table) -> pa.Table:
-        b = (hash64(batch[fk]) % np.uint64(num_buckets)).astype(np.int64)
-        out = batch.append_column("__bucket", pa.array(b))
-        out = out.append_column("__side", pa.array(np.zeros(len(batch), dtype=np.int8)))
-        out = out.append_column("__key", batch[fk].cast(pa.string()))
-        return out
+    Why not union + groupby(bucket): that formulation funnels both
+    sides through a global sort-based shuffle, which stalls outright
+    when the object store is much smaller than the shuffle data
+    (observed: 11M-row referential join, 2 GiB store). The bucket
+    exchange touches each block once and each piece independently —
+    spillable, no global barrier."""
+    import pandas as pd
 
-    def tag_parent(batch: pa.Table) -> pa.Table:
-        b = (hash64(batch[pk]) % np.uint64(num_buckets)).astype(np.int64)
-        cols = {
-            "__bucket": pa.array(b),
-            "__side": pa.array(np.ones(len(batch), dtype=np.int8)),
-            "__key": batch[pk].cast(pa.string()),
-        }
-        # null-fill the child payload columns so schemas align for union
-        for c in child_cols:
-            cols[c] = pa.nulls(len(batch), child_ds.schema().base_schema.field(c).type)
-        t = pa.table(cols)
-        return t.select(child_cols + ["__bucket", "__side", "__key"])
+    child_schema = child_ds.schema().base_schema
+    P = num_buckets
 
-    child_tagged = child_ds.map_batches(tag_child, batch_format="pyarrow").select_columns(
-        child_cols + ["__bucket", "__side", "__key"]
-    )
-    parent_tagged = parent_ds.map_batches(tag_parent, batch_format="pyarrow")
-    both = child_tagged.union(parent_tagged)
+    @ray.remote
+    def split_parent(t: pa.Table):
+        keys = t[pk]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        keys = pc.unique(keys.cast(pa.string()).drop_null())
+        h = (hash64(keys) % np.uint64(P)).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        bounds = np.searchsorted(h[order], np.arange(P + 1))
+        return tuple(
+            keys.take(pa.array(order[bounds[p] : bounds[p + 1]]))
+            for p in range(P)
+        )
 
-    def anti(group):
-        parent_keys = set(group.loc[group["__side"] == 1, "__key"])
-        child = group[group["__side"] == 0]
-        out = child[~child["__key"].isin(parent_keys)]
-        return out.drop(columns=["__bucket", "__side", "__key"])
+    @ray.remote
+    def split_child(t: pa.Table):
+        keys = t[fk]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        keys = keys.cast(pa.string())
+        # null FKs hash via a sentinel; they compare not-present below
+        # (parent nulls are dropped), so they surface as dangling —
+        # same outcome as the broadcast path with a non-null parent
+        h = (hash64(pc.fill_null(keys, "\x00__null__")) % np.uint64(P)).astype(
+            np.int64
+        )
+        order = np.argsort(h, kind="stable")
+        bounds = np.searchsorted(h[order], np.arange(P + 1))
+        out = []
+        for p in range(P):
+            rows = order[bounds[p] : bounds[p + 1]]
+            piece = t.take(pa.array(rows))
+            out.append(piece.append_column("__key", keys.take(pa.array(rows))))
+        return tuple(out)
 
-    return both.groupby("__bucket").map_groups(anti, batch_format="pandas")
+    @ray.remote
+    def anti_bucket(n_parent: int, *pieces) -> pa.Table:
+        parent_pieces = pieces[:n_parent]
+        child_pieces = [p for p in pieces[n_parent:] if p.num_rows]
+        if not child_pieces:
+            return child_schema.empty_table()
+        child = pa.concat_tables(child_pieces)
+        parent_keys = [p for p in parent_pieces if len(p)]
+        if parent_keys:
+            # per-block unique still leaves cross-block duplicates; a
+            # non-unique pd.Index rejects get_indexer
+            index = pd.Index(
+                pc.unique(pa.concat_arrays(parent_keys)).to_pandas()
+            )
+            keys = child["__key"].to_pandas()
+            present = index.get_indexer(keys) >= 0
+            # null keys: get_indexer matches NaN against the index; a
+            # dropped-null parent never contains them → force absent
+            present = np.where(keys.isna(), False, present)
+            child = child.filter(pa.array(~present))
+        return child.drop_columns(["__key"])
+
+    parent_splits = [
+        split_parent.options(num_returns=P).remote(r)
+        for r in parent_ds.to_arrow_refs()
+    ]
+    child_splits = [
+        split_child.options(num_returns=P).remote(r)
+        for r in child_ds.to_arrow_refs()
+    ]
+    buckets = [
+        anti_bucket.remote(
+            len(parent_splits),
+            *[s[p] for s in parent_splits],
+            *[s[p] for s in child_splits],
+        )
+        for p in range(P)
+    ]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(buckets)
 
 
 def referential_check(
