@@ -99,3 +99,46 @@ def test_webhook_push_retry_and_records(ray_session):
     assert not bool(recs.loc["de", "ok"]) and recs.loc["de", "attempts"] == 2
     assert not bool(recs.loc["xx", "ok"])  # no target configured
     assert recs.loc["xx", "error"] == "no target for entity"
+
+
+def test_incremental_landing_validate_loop(ray_session, tmp_path):
+    """Landing zone → flagship loop: each arrival batch validates into
+    its own (retry-stable) run dir; sketches roll into a cross-run
+    drift baseline; an empty zone processes nothing."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from sod_ray.pipelines.incremental import run_incremental
+    from sod_ray.pipelines.validate import _load_verdicts
+    from sod_ray.sources.webpages import synth_shard
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    t0, _ = synth_shard(1500, shard=0, seed=5)
+    pq.write_table(t0, os.path.join(landing, "shard-0.parquet"))
+    out = str(tmp_path / "incr")
+
+    r1 = run_incremental(landing, out, max_empty_polls=1)
+    assert r1["shards_processed"] == 1 and len(r1["runs"]) == 1
+    assert r1["baseline_path"] and os.path.exists(r1["baseline_path"])
+    v1 = _load_verdicts(r1["runs"][0]["out_dir"]).to_pandas()
+    assert v1["rows"].sum() == 1500
+    assert "c_drift" not in v1.columns  # no baseline on the first run
+
+    # second arrival → second run, drift-scored against run 1
+    t1, _ = synth_shard(1500, shard=1, seed=5)
+    pq.write_table(t1, os.path.join(landing, "shard-1.parquet"))
+    r2 = run_incremental(landing, out, max_empty_polls=1)
+    assert r2["shards_processed"] == 1 and len(r2["runs"]) == 1
+    assert r2["runs"][0]["out_dir"] != r1["runs"][0]["out_dir"]
+    v2 = _load_verdicts(r2["runs"][0]["out_dir"]).to_pandas()
+    assert v2["rows"].sum() == 1500
+    assert "c_drift" in v2.columns  # baseline from run 1 applied
+    # same generator, same distribution → the well-sampled partition
+    # shows no drift (tiny langs can trip KS on 30-row samples)
+    assert v2.set_index("partition").loc["en", "c_drift"] == "pass"
+
+    # nothing new → nothing processed
+    r3 = run_incremental(landing, out, max_empty_polls=1)
+    assert r3["shards_processed"] == 0 and r3["runs"] == []
