@@ -135,6 +135,169 @@ def asof_join(
     return tagged.groupby(by).map_groups(per_group, batch_format="pandas")
 
 
+def asof_join_salted(
+    left,
+    right,
+    on: str,
+    by: str,
+    right_cols: list[str],
+    bucket_us: int,
+    suffix: str = "_right",
+    allow_exact_matches: bool = True,
+):
+    """Hot-key-parallel as-of join (backward direction): salt the
+    group key with a coarse time bucket (``floor(on / bucket_us)``) so
+    one hot ``by`` key spreads across many merge tasks instead of
+    serializing on one.
+
+    EXACT despite the salt: a left row in bucket t can only match
+    right rows inside bucket t (merge_asof handles those) or the
+    single latest right row from any earlier bucket — the "carry" row.
+    Carries come from the per-(by, bucket) latest-right summary (one
+    tiny row per group), cumulated per key on the driver and broadcast
+    back via ``ray.put``; each salted group prepends its carry before
+    the merge. Driver-side state is #(by, bucket) summary rows — fine
+    for any realistic bucket count; for extreme key×bucket
+    cardinality, pick a coarser bucket.
+
+    Semantics and output match ``asof_join(direction="backward")``."""
+    import ray
+
+    left_schema = left.schema()
+    left_names = list(left_schema.names)
+    right_keep = [by, on] + [c for c in right_cols if c not in (by, on)]
+    right_slim = right.select_columns(right_keep)
+    right_schema = right_slim.schema()
+    rtypes = {n: t for n, t in zip(right_schema.names, right_schema.types)}
+    ltypes = {n: t for n, t in zip(left_schema.names, left_schema.types)}
+    out_names = {
+        c: (c + suffix if c in left_names else c)
+        for c in right_cols
+        if c not in (by,)
+    }
+    int_left = [
+        n
+        for n, t in zip(left_schema.names, left_schema.types)
+        if pa.types.is_integer(t)
+    ]
+    r_payload = ["__r_" + c for c in right_cols if c != by]
+
+    def bucket_of(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.array(us // bucket_us)
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in left_names}
+        for c in right_cols:
+            if c == by:
+                continue
+            cols["__r_" + c] = pa.nulls(len(t), rtypes[c])
+        cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8))
+        cols["__bucket"] = bucket_of(t[on])
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_names:
+            if c == by:
+                cols[c] = t[by]
+            elif c == on:
+                cols[c] = t[on]
+            else:
+                cols[c] = pa.nulls(len(t), ltypes[c])
+        for c in right_cols:
+            if c == by:
+                continue
+            cols["__r_" + c] = t[c]
+        cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8))
+        cols["__bucket"] = bucket_of(t[on])
+        return pa.table(cols)
+
+    # --- carry rows: per (by, bucket) latest right row, cumulated ---
+    def latest_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(on, kind="stable").tail(1)
+
+    summaries = (
+        right_slim.map_batches(
+            lambda t: pa.table(
+                {
+                    by: t[by],
+                    on: t[on],
+                    **{"__r_" + c: t[c] for c in right_cols if c != by},
+                    "__bucket": bucket_of(t[on]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby([by, "__bucket"])
+        .map_groups(latest_per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    # carry for bucket t = latest summary from any bucket < t (per by);
+    # iloc slices keep dtypes (dict round-trips would drop the us unit)
+    carry_frames: dict = {}
+    by_summaries: dict = {}
+    if len(summaries):
+        summaries = summaries.sort_values([by, "__bucket", on], kind="stable")
+        for key_val, grp in summaries.groupby(by):
+            grp = grp.reset_index(drop=True)
+            by_summaries[key_val] = grp.drop(columns=["__bucket"])
+            bkts = grp["__bucket"].tolist()
+            for i in range(1, len(grp)):
+                carry_frames[(key_val, bkts[i])] = grp.iloc[[i - 1]].drop(
+                    columns=["__bucket"]
+                )
+        # carry_frames covers buckets PRESENT in right; left-only
+        # buckets resolve at merge time via the key's summary scan
+    carry_ref = ray.put((carry_frames, by_summaries))
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right_slim.map_batches(tag_right, batch_format="pyarrow")
+    )
+    final_cols = left_names + list(out_names.values())
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        carry_frames_l, by_summaries_l = ray.get(carry_ref)
+        key_val = g[by].iloc[0]
+        bkt = g["__bucket"].iloc[0]
+        lg = g[g["__side"] == 1][left_names].sort_values(on, kind="stable")
+        if lg.empty:
+            return pd.DataFrame(columns=final_cols)
+        for c in int_left:
+            lg[c] = lg[c].astype("int64")
+        rg = g[g["__side"] == 0][[on] + r_payload].sort_values(on, kind="stable")
+        carry = carry_frames_l.get((key_val, bkt))
+        if carry is None:
+            # left-only bucket (no right rows in it): latest right row
+            # of this key from any earlier bucket, via the summary scan
+            summ = by_summaries_l.get(key_val)
+            if summ is not None:
+                lo = bkt * bucket_us
+                earlier = summ[summ[on].astype("int64") < lo]
+                if len(earlier):
+                    carry = earlier.tail(1)
+        if carry is not None:
+            rg = pd.concat([carry[[on] + r_payload], rg], ignore_index=True)
+            rg = rg.sort_values(on, kind="stable")
+        merged = pd.merge_asof(
+            lg,
+            rg,
+            on=on,
+            direction="backward",
+            allow_exact_matches=allow_exact_matches,
+            suffixes=("", "__rr"),
+        )
+        rename = {"__r_" + c: out_names[c] for c in right_cols if c != by}
+        merged = merged.rename(columns=rename)
+        return merged[[c for c in final_cols if c in merged.columns]]
+
+    return tagged.groupby([by, "__bucket"]).map_groups(
+        per_group, batch_format="pandas"
+    )
+
+
 def range_join_broadcast(ds, ranges: pd.DataFrame, value_col: str, lo_col: str = "lo", hi_col: str = "hi"):
     """Inequality (range) join of a big Dataset against a SMALL ranges
     table: output one row per (row, range) pair with

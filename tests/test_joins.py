@@ -192,3 +192,69 @@ def test_windowed_rolling_sorted_matches_pandas(ray_session):
     np.testing.assert_allclose(
         got["rolling_mean"].to_numpy(), exp["rolling_mean"].to_numpy(), rtol=1e-9
     )
+
+
+def test_asof_join_salted_parity(ray_session):
+    """Salted (time-bucketed) as-of join must produce EXACTLY the
+    unsalted join's output, including across bucket boundaries and on
+    a skewed hot key."""
+    import ray.data as rd
+
+    from sod_ray.stages.joins import asof_join, asof_join_salted
+
+    rng = np.random.default_rng(21)
+    n_l, n_r = 800, 600
+    # one hot key (0) holds ~70% of rows — the salting target
+    hot = rng.uniform(size=n_l) < 0.7
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(n_l),
+            "k": np.where(hot, 0, rng.integers(1, 5, n_l)),
+            "ts": rng.integers(0, 1_000_000, n_l).astype("datetime64[us]"),
+        }
+    ).drop_duplicates(["k", "ts"]).reset_index(drop=True)
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(n_r) + 10_000,
+            "k": np.where(
+                rng.uniform(size=n_r) < 0.7, 0, rng.integers(1, 6, n_r)
+            ),
+            "ts": rng.integers(0, 1_000_000, n_r).astype("datetime64[us]"),
+            "payload": rng.normal(size=n_r),
+        }
+    ).drop_duplicates(["k", "ts"]).reset_index(drop=True)
+
+    base = (
+        asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="ts", by="k", right_cols=["rid", "ts", "payload"],
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # ~20 buckets: plenty of boundary crossings and left-only buckets
+    salted = (
+        asof_join_salted(
+            rd.from_pandas(left), rd.from_pandas(right),
+            on="ts", by="k", right_cols=["rid", "ts", "payload"],
+            bucket_us=50_000,
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert len(salted) == len(base) == len(left)
+    for col in ["lid", "k"]:
+        assert salted[col].tolist() == base[col].tolist()
+    pd.testing.assert_series_equal(
+        salted["rid"].astype("float64"), base["rid"].astype("float64"),
+        check_names=False,
+    )
+    pd.testing.assert_series_equal(
+        salted["payload"], base["payload"], check_names=False
+    )
+    assert (
+        salted["ts_right"].astype("int64").tolist()
+        == base["ts_right"].astype("int64").tolist()
+    )
