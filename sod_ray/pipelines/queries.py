@@ -916,6 +916,71 @@ FROM documents GROUP BY lang
 """
 
 
+def top50_tokens(sf_dir: str):
+    """Corpus vocabulary top-k: Arrow whitespace split + flatten per
+    batch, PARTIAL per-batch token counts (the combiner — only
+    (token, n) partials cross the shuffle, never token instances),
+    then a small groupby-sum and a driver top-k over the merged
+    counts. The vocab-building primitive of a training-data pipeline."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(t["text"].combine_chunks())
+        )
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    top = merged.sort_values(["n", "token"], ascending=[False, True]).head(50)
+    top["n"] = top["n"].astype("int64")
+    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+TOP_TOKENS_SQL = r"""
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
+def docs_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: first 20 docs per lang by
+    doc_id order — per-group sort + head inside map_groups (the
+    audit-subset primitive; exact SQL twin via ROW_NUMBER)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def first_k(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id", kind="stable").head(20)
+
+    return ds.groupby("lang").map_groups(first_k, batch_format="pandas")
+
+
+DOCS_STRATIFIED_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn <= 20
+"""
+
+
 def doc_quality_scores(sf_dir: str):
     """Quality gate (rows-only check: heuristic not SQL-expressible)."""
     from ..stages.textstage import TextFeatures
@@ -1217,6 +1282,8 @@ QUERIES = {
     "events_systematic_sample": events_systematic_sample,
     "doc_token_counts": doc_token_counts,
     "token_totals_by_lang": token_totals_by_lang,
+    "top50_tokens": top50_tokens,
+    "docs_stratified_sample": docs_stratified_sample,
     "embedding_norms": embedding_norms,
     "knn_cosine_top5": knn_cosine_top5,
     # rows-only (non-SQL-expressible / approximate / stateful):
@@ -1261,6 +1328,8 @@ ORACLES = {
     "events_systematic_sample": EVENTS_SAMPLE_SQL,
     "doc_token_counts": DOC_TOKENS_SQL,
     "token_totals_by_lang": TOKEN_TOTALS_SQL,
+    "top50_tokens": TOP_TOKENS_SQL,
+    "docs_stratified_sample": DOCS_STRATIFIED_SQL,
     "embedding_norms": EMBED_NORMS_SQL,
     "knn_cosine_top5": KNN_SQL,
 }
