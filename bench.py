@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "doc_token_counts",
     "minhash_pairs_documents",
     "knn_cosine_top5",
+    "events_asof_prior_click",
+    "dup_cluster_ids",
+    "top50_tokens",
 ]
 
 
