@@ -30,6 +30,10 @@ import ray
 
 from ..state.sketches import HyperLogLog, hash64
 
+# per-worker-process cache of broadcast-probe hash indexes, keyed by
+# the parent key set's object ref (see _broadcast_membership)
+_PROBE_INDEX_CACHE: dict = {}
+
 # ---------------------------------------------------------------------------
 # Schema / null / type checks
 # ---------------------------------------------------------------------------
@@ -275,31 +279,37 @@ def _broadcast_membership(child_ds, parent_keys, fk: str, keep_present: bool):
     uniq = pc.unique(parent_keys)
     parent_has_null = uniq.null_count > 0
     ref = ray.put(uniq.drop_null())
+    ref_key = ref.hex()
 
-    class Probe:
-        def __init__(self):
-            # hash index over ACTUAL key values, built ONCE per actor —
-            # pc.is_in would rebuild its lookup table on every batch
-            # (the whole parent set re-hashed per call)
-            self.index = pd.Index(ray.get(ref).to_pandas())
+    def probe(batch: pa.Table) -> pa.Table:
+        # plain tasks, not an actor pool: index build is cheap relative
+        # to a model load, and Ray reuses worker processes — the hash
+        # index over ACTUAL key values is cached per (worker, key set),
+        # so pc.is_in's per-batch lookup-table rebuild is still avoided
+        # without paying actor-pool startup per join (5 joins per
+        # referential suite made that the dominant fixed cost)
+        index = _PROBE_INDEX_CACHE.get(ref_key)
+        if index is None:
+            index = pd.Index(ray.get(ref).to_pandas())
+            if len(_PROBE_INDEX_CACHE) >= 8:  # bound worker-side memory
+                _PROBE_INDEX_CACHE.pop(next(iter(_PROBE_INDEX_CACHE)))
+            _PROBE_INDEX_CACHE[ref_key] = index
+        col = batch[fk]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # nullable extension dtypes: a null in a plain int64 column
+        # would otherwise cast the whole batch to float64 and alias
+        # ids beyond 2^53
+        vals = col.to_pandas(types_mapper=pd.ArrowDtype)
+        present = index.get_indexer(vals) >= 0
+        # null FK matches only if the parent key set contains null
+        if col.null_count:
+            present = np.where(vals.isna(), parent_has_null, present)
+        if not keep_present:
+            present = ~present
+        return batch.filter(pa.array(present))
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            col = batch[fk]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            # nullable extension dtypes: a null in a plain int64 column
-            # would otherwise cast the whole batch to float64 and alias
-            # ids beyond 2^53
-            vals = col.to_pandas(types_mapper=pd.ArrowDtype)
-            present = self.index.get_indexer(vals) >= 0
-            # null FK matches only if the parent key set contains null
-            if col.null_count:
-                present = np.where(vals.isna(), parent_has_null, present)
-            if not keep_present:
-                present = ~present
-            return batch.filter(pa.array(present))
-
-    return child_ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+    return child_ds.map_batches(probe, batch_format="pyarrow")
 
 
 def broadcast_anti_join(child_ds, parent_keys, fk: str):
