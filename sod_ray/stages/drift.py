@@ -90,6 +90,33 @@ class DriftScorer:
             td_base = TDigest.from_bytes(base["tdigest"])
             td_cur = TDigest.from_bytes(row["tdigest"])
             ks = ks_statistic(td_base, td_cur)
+            # noise floor on the KS cut: the two-sample critical value
+            # at alpha~0.001 (1.95*sqrt((n+m)/nm)) plus each digest's
+            # mid-quantile centroid width (pi/delta — merged digests of
+            # DISCRETE columns develop step-CDF interpolation spikes of
+            # this size even for identical distributions; measured 3x
+            # inflation on 1k-row same-distribution shards). Both terms
+            # vanish as n grows, so the fixed threshold governs at the
+            # 10^12-row design scale.
+            import math
+
+            na, nb = max(td_base.n, 1), max(td_cur.n, 1)
+            noise = (
+                1.95 * math.sqrt((na + nb) / (na * nb))
+                + math.pi / (2 * td_base.delta)
+                + math.pi / (2 * td_cur.delta)
+            )
+            ks_cut = max(self.ks_threshold, noise)
+            # PSI's null expectation over B bins is ~(B-1)(1/na+1/nb)
+            # (symmetrized-KL chi-square limit) — ~0.4 for identical
+            # 90-row samples at 20 bins, far above the conventional 0.2
+            # cut. Flag only well above the null mean; at design scale
+            # the term vanishes and the fixed threshold governs. True
+            # shifts still flag through KS (disjoint supports give
+            # KS→1, above any floor at n≥~10).
+            psi_cut = max(
+                self.psi_threshold, 4.0 * (self.bins - 1) * (1 / na + 1 / nb)
+            )
             lo = min(td_base.quantile(0.0), td_cur.quantile(0.0))
             hi = max(td_base.quantile(1.0), td_cur.quantile(1.0))
             if hi <= lo:
@@ -100,9 +127,7 @@ class DriftScorer:
             )
             out["psi"].append(p)
             out["ks"].append(ks)
-            out["drifted"].append(
-                bool(p > self.psi_threshold or ks > self.ks_threshold)
-            )
+            out["drifted"].append(bool(p > psi_cut or ks > ks_cut))
             out["has_baseline"].append(True)
         return pa.table(
             {

@@ -451,3 +451,36 @@ def test_windowed_lof_chunked_matches_monolithic(ray_session, webpages):
     pd.testing.assert_series_equal(a["url"], b["url"], check_names=False)
     np.testing.assert_allclose(a["lof"].to_numpy(), b["lof"].to_numpy(), rtol=1e-12)
     assert a["norm_vec"].tolist() == b["norm_vec"].tolist()
+
+
+def test_drift_noise_floor_same_distribution_shards(ray_session):
+    """Two INDEPENDENT same-distribution samples (different rng draws,
+    block-wise merged digests — the shape that inflated KS ~3x over
+    exact on discrete columns) must NOT flag drift at ~1k rows; a real
+    shift still must."""
+    import ray.data as rd
+
+    from sod_ray.stages.drift import build_baseline, drift_check
+    from sod_ray.sources.webpages import synth_shard
+    from sod_ray.stages.stats import column_stats
+    from sod_ray.stages.textstage import TextFeatures
+
+    t0, _ = synth_shard(1500, shard=0, seed=5)
+    t1, _ = synth_shard(1500, shard=1, seed=5)  # same generator, new draw
+    feats = lambda t: rd.from_arrow(t).map_batches(
+        TextFeatures, batch_format="pandas", concurrency=2
+    )
+    baseline = build_baseline(column_stats(feats(t0), ["n_chars"], key="lang"))
+    same = drift_check(
+        column_stats(feats(t1), ["n_chars"], key="lang"), baseline
+    ).to_pandas()
+    assert not same[same["has_baseline"]]["drifted"].any()
+    # genuine shift still flags despite the noise floor
+    shifted = feats(t1).map_batches(
+        lambda df: df.assign(n_chars=df["n_chars"] * 5 + 1000),
+        batch_format="pandas",
+    )
+    moved = drift_check(
+        column_stats(shifted, ["n_chars"], key="lang"), baseline
+    ).to_pandas()
+    assert moved[moved["has_baseline"]]["drifted"].all()
