@@ -387,31 +387,29 @@ def dup_cluster_ids(sf_dir: str):
         lab_df = pd.DataFrame(
             {"node": pd.Series(dtype="int64"), "label": pd.Series(dtype="int64")}
         )
-    lab_ref = ray.put(lab_df)
+    # sort ONCE driver-side so the broadcast payload is probe-ready;
+    # tasks then just ray.get (zero-copy numpy) + searchsorted — no
+    # actor pool, no per-task prep
+    nodes_np = lab_df["node"].to_numpy()
+    order = np.argsort(nodes_np)
+    lab_ref = ray.put((nodes_np[order], lab_df["label"].to_numpy()[order]))
 
-    class ApplyLabels:
-        def __init__(self):
-            m = ray.get(lab_ref)
-            self.nodes = m["node"].to_numpy()
-            self.labels = m["label"].to_numpy()
-            order = np.argsort(self.nodes)
-            self.nodes, self.labels = self.nodes[order], self.labels[order]
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            if self.nodes.shape[0] == 0:  # no dup pairs anywhere
-                cluster = ids
-            else:
-                pos = np.searchsorted(self.nodes, ids)
-                pos_c = np.minimum(pos, self.nodes.shape[0] - 1)
-                found = self.nodes[pos_c] == ids
-                cluster = np.where(found, self.labels[pos_c], ids)
-            return pa.table(
-                {"doc_id": t["doc_id"], "cluster_id": pa.array(cluster)}
-            )
+    def apply_labels(t: pa.Table) -> pa.Table:
+        nodes, labs = ray.get(lab_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if nodes.shape[0] == 0:  # no dup pairs anywhere
+            cluster = ids
+        else:
+            pos = np.searchsorted(nodes, ids)
+            pos_c = np.minimum(pos, nodes.shape[0] - 1)
+            found = nodes[pos_c] == ids
+            cluster = np.where(found, labs[pos_c], ids)
+        return pa.table(
+            {"doc_id": t["doc_id"], "cluster_id": pa.array(cluster)}
+        )
 
     return ds.select_columns(["doc_id"]).map_batches(
-        ApplyLabels, batch_format="pyarrow", concurrency=2
+        apply_labels, batch_format="pyarrow"
     )
 
 

@@ -331,15 +331,14 @@ def _prune_singleton_buckets(band_rows, num_partitions: int | None = None):
         hot_np = pdf.loc[pdf["c"] >= 2, "key"].to_numpy()
         key_ref = ray.put(pa.array(hot_np, pa.int64()))
 
-        class HotFilter:
-            def __init__(self):
-                self.keys = ray.get(key_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                return t.filter(pc.is_in(key64_of(t), value_set=self.keys))
+        # plain task, not an actor pool: ray.get of an arrow array from
+        # the local store is zero-copy, so nothing is worth caching and
+        # tasks skip the actor-startup latency
+        def hot_filter(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(key64_of(t), value_set=ray.get(key_ref)))
 
         return band_rows.map_batches(
-            HotFilter, batch_format="pyarrow", concurrency=(1, 8)
+            hot_filter, batch_format="pyarrow"
         ).materialize()
 
     counts = band_rows.groupby(["band", "band_hash"]).aggregate(
@@ -370,15 +369,12 @@ def _prune_singleton_buckets(band_rows, num_partitions: int | None = None):
         combined = pa.concat_tables(ray.get(hot.to_arrow_refs()))
         key_ref = ray.put(pc.unique(key64_of(combined)))
 
-        class HotFilter:
-            def __init__(self):
-                self.keys = ray.get(key_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                return t.filter(pc.is_in(key64_of(t), value_set=self.keys))
+        def hot_filter(t: pa.Table) -> pa.Table:
+            # plain task: broadcast key array is a zero-copy local read
+            return t.filter(pc.is_in(key64_of(t), value_set=ray.get(key_ref)))
 
         return band_rows.map_batches(
-            HotFilter, batch_format="pyarrow", concurrency=(1, 8)
+            hot_filter, batch_format="pyarrow"
         ).materialize()
     # dup-heavy corpus: distributed hash join on the composite key
     return band_rows.join(

@@ -308,43 +308,37 @@ def range_join_broadcast(ds, ranges: pd.DataFrame, value_col: str, lo_col: str =
     matched row."""
     import ray
 
-    ranges_ref = ray.put(ranges.reset_index(drop=True))
+    # columnize ONCE driver-side so the broadcast payload is probe-ready
+    # (numpy bounds + an arrow attrs table — both zero-copy reads from
+    # the local object store); tasks then probe with no per-task prep
+    # and no actor-pool startup
+    r = ranges.reset_index(drop=True)
+    attrs_tbl = pa.Table.from_pandas(r.drop(columns=[lo_col, hi_col]), preserve_index=False)
+    ranges_ref = ray.put((r[lo_col].to_numpy(), r[hi_col].to_numpy(), attrs_tbl))
 
-    class RangeProbe:
-        def __init__(self):
-            self.ranges = ray.get(ranges_ref)
-            self.lo = self.ranges[lo_col].to_numpy()
-            self.hi = self.ranges[hi_col].to_numpy()
-            self.attrs = self.ranges.drop(columns=[lo_col, hi_col])
-            self.attr_schema = pa.Table.from_pandas(
-                self.attrs.iloc[:0], preserve_index=False
-            ).schema
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            v = t[value_col].to_numpy(zero_copy_only=False)
-            row_idx = []
-            rng_idx = []
-            for j in range(len(self.lo)):
-                hit = np.flatnonzero((v >= self.lo[j]) & (v < self.hi[j]))
-                if hit.size:
-                    row_idx.append(hit)
-                    rng_idx.append(np.full(hit.size, j, dtype=np.int64))
-            if not row_idx:
-                base = t.slice(0, 0)
-                for c in self.attrs.columns:
-                    base = base.append_column(
-                        c, pa.array([], self.attr_schema.field(c).type)
-                    )
-                return base
-            rows = np.concatenate(row_idx)
-            rngs = np.concatenate(rng_idx)
-            out = t.take(pa.array(rows))
-            for c in self.attrs.columns:
-                out = out.append_column(
-                    c, pa.Array.from_pandas(self.attrs[c].iloc[rngs])
+    def range_probe(t: pa.Table) -> pa.Table:
+        lo, hi, attrs = ray.get(ranges_ref)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        row_idx = []
+        rng_idx = []
+        for j in range(len(lo)):
+            hit = np.flatnonzero((v >= lo[j]) & (v < hi[j]))
+            if hit.size:
+                row_idx.append(hit)
+                rng_idx.append(np.full(hit.size, j, dtype=np.int64))
+        if not row_idx:
+            base = t.slice(0, 0)
+            for name in attrs.column_names:
+                base = base.append_column(
+                    name, pa.array([], attrs.schema.field(name).type)
                 )
-            return out
+            return base
+        rows = np.concatenate(row_idx)
+        rngs = np.concatenate(rng_idx)
+        out = t.take(pa.array(rows))
+        take_idx = pa.array(rngs)
+        for name in attrs.column_names:
+            out = out.append_column(name, attrs[name].take(take_idx))
+        return out
 
-    # actor pool: the broadcast ranges are fetched + columnized ONCE per
-    # actor in __init__, probed per batch in __call__ (guide pattern)
-    return ds.map_batches(RangeProbe, batch_format="pyarrow", concurrency=4)
+    return ds.map_batches(range_probe, batch_format="pyarrow")

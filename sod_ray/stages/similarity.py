@@ -55,34 +55,33 @@ def brute_force_topk(
     q_ref = ray.put(Q)
     qids = query_ids if query_ids is not None else list(range(Q.shape[0]))
 
-    class BatchTopK:
-        def __init__(self):
-            self.Q = ray.get(q_ref)  # fetched once per actor
+    def batch_topk(batch: pa.Table) -> pa.Table:
+        # plain task, not an actor pool: ray.get of a numpy matrix from
+        # the local object store is zero-copy, so there is no per-task
+        # deserialization worth caching — and task pools skip the
+        # actor-startup latency entirely
+        Q = ray.get(q_ref)
+        V = _normalize(_to_matrix(batch[vec_col], dtype))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        S = Q @ V.T  # (n_q, n_batch)
+        kk = min(k, S.shape[1])
+        # per-query top-k within the batch (argpartition = pqueue cap)
+        part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+        rows = {"query_idx": [], "cand_id": [], "cosine": []}
+        for qi in range(S.shape[0]):
+            sel = part[qi]
+            rows["query_idx"].extend([qi] * kk)
+            rows["cand_id"].extend(ids[sel])
+            rows["cosine"].extend(S[qi, sel].astype(np.float64))
+        return pa.table(
+            {
+                "query_idx": pa.array(rows["query_idx"], pa.int64()),
+                "cand_id": pa.array(rows["cand_id"]),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            V = _normalize(_to_matrix(batch[vec_col], dtype))
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            S = self.Q @ V.T  # (n_q, n_batch)
-            kk = min(k, S.shape[1])
-            # per-query top-k within the batch (argpartition = pqueue cap)
-            part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
-            rows = {"query_idx": [], "cand_id": [], "cosine": []}
-            for qi in range(S.shape[0]):
-                sel = part[qi]
-                rows["query_idx"].extend([qi] * kk)
-                rows["cand_id"].extend(ids[sel])
-                rows["cosine"].extend(S[qi, sel].astype(np.float64))
-            return pa.table(
-                {
-                    "query_idx": pa.array(rows["query_idx"], pa.int64()),
-                    "cand_id": pa.array(rows["cand_id"]),
-                    "cosine": pa.array(rows["cosine"], pa.float64()),
-                }
-            )
-
-    partials = ds.map_batches(
-        BatchTopK, batch_format="pyarrow", concurrency=(1, 8)
-    ).to_pandas()
+    partials = ds.map_batches(batch_topk, batch_format="pyarrow").to_pandas()
     out = []
     for qi, g in partials.groupby("query_idx"):
         g = g.sort_values(["cosine", "cand_id"], ascending=[False, True], kind="stable")
@@ -143,38 +142,35 @@ def ivf_topk(
     q_ref = ray.put((Q, centroids, probe))
     qids = query_ids if query_ids is not None else list(range(Q.shape[0]))
 
-    class IVFTopK:
-        def __init__(self):
-            self.Q, self.C, self.probe = ray.get(q_ref)
+    def ivf_batch_topk(batch: pa.Table) -> pa.Table:
+        # plain task (see batch_topk): broadcast numpy payloads are
+        # zero-copy reads from the local object store
+        Q, C, probe = ray.get(q_ref)
+        V = _normalize(_to_matrix(batch[vec_col]))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        assign = np.argmax(V @ C.T, axis=1)
+        rows = {"query_idx": [], "cand_id": [], "cosine": []}
+        for qi in range(Q.shape[0]):
+            mask = np.isin(assign, probe[qi])
+            if not mask.any():
+                continue
+            sub = V[mask]
+            sub_ids = ids[mask]
+            s = sub @ Q[qi]
+            kk = min(k, s.shape[0])
+            sel = np.argpartition(-s, kk - 1)[:kk]
+            rows["query_idx"].extend([qi] * kk)
+            rows["cand_id"].extend(sub_ids[sel])
+            rows["cosine"].extend(s[sel].astype(np.float64))
+        return pa.table(
+            {
+                "query_idx": pa.array(rows["query_idx"], pa.int64()),
+                "cand_id": pa.array(rows["cand_id"]),
+                "cosine": pa.array(rows["cosine"], pa.float64()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            V = _normalize(_to_matrix(batch[vec_col]))
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            assign = np.argmax(V @ self.C.T, axis=1)
-            rows = {"query_idx": [], "cand_id": [], "cosine": []}
-            for qi in range(self.Q.shape[0]):
-                mask = np.isin(assign, self.probe[qi])
-                if not mask.any():
-                    continue
-                sub = V[mask]
-                sub_ids = ids[mask]
-                s = sub @ self.Q[qi]
-                kk = min(k, s.shape[0])
-                sel = np.argpartition(-s, kk - 1)[:kk]
-                rows["query_idx"].extend([qi] * kk)
-                rows["cand_id"].extend(sub_ids[sel])
-                rows["cosine"].extend(s[sel].astype(np.float64))
-            return pa.table(
-                {
-                    "query_idx": pa.array(rows["query_idx"], pa.int64()),
-                    "cand_id": pa.array(rows["cand_id"]),
-                    "cosine": pa.array(rows["cosine"], pa.float64()),
-                }
-            )
-
-    partials = ds.map_batches(
-        IVFTopK, batch_format="pyarrow", concurrency=(1, 8)
-    ).to_pandas()
+    partials = ds.map_batches(ivf_batch_topk, batch_format="pyarrow").to_pandas()
     out = []
     for qi, g in partials.groupby("query_idx"):
         g = g.sort_values(["cosine", "cand_id"], ascending=[False, True], kind="stable")
