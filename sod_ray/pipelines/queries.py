@@ -721,6 +721,58 @@ WHERE event_type = 'error' GROUP BY user_id
 """
 
 
+def events_entropy_by_type(sf_dir: str):
+    """Shannon entropy (nats) of the per-user event distribution within
+    each event_type — the distributed twin of the reference's Entropy
+    (/root/reference/internal/geom/point.go:169-179, −Σ p·ln p after
+    Norm): H = ln(n) − (Σ c·ln c)/n over the per-(type,user) counts,
+    so both shuffles move only counts (partial+final — never rows)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    counts = ds.groupby(["event_type", "user_id"]).count()
+
+    def add_clnc(t: pa.Table) -> pa.Table:
+        c = t["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "c": pa.array(c),
+                "clnc": pa.array(c * np.log(c)),
+            }
+        )
+
+    agg = (
+        counts.map_batches(add_clnc, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("c", alias_name="n"), Sum("clnc", alias_name="sum_clnc"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        clnc = t["sum_clnc"].to_numpy(zero_copy_only=False)
+        ent = np.where(n > 0, np.log(n) - clnc / n, 0.0)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "n": pa.array(n.astype(np.int64)),
+                "entropy": pa.array(np.round(ent, 6)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_ENTROPY_SQL = """
+SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+       ROUND(LN(SUM(c)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+FROM (
+  SELECT event_type, user_id, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY event_type, user_id
+) GROUP BY event_type
+"""
+
+
 def events_asof_prior_click(sf_dir: str):
     """As-of join (custom operator — SURVEY.md §2.5 G6 notes the
     reference has NO relational joins; this is the training-pipeline
@@ -1272,6 +1324,7 @@ QUERIES = {
     "events_top10_value": events_top10_value,
     "events_sessionize": events_sessionize,
     "events_errors_by_user": events_errors_by_user,
+    "events_entropy_by_type": events_entropy_by_type,
     "events_asof_prior_click": events_asof_prior_click,
     "events_value_bands": events_value_bands,
     "events_hourly_tumbling": events_hourly_tumbling,
@@ -1318,6 +1371,7 @@ ORACLES = {
     "events_top10_value": EVENTS_TOP10_SQL,
     "events_sessionize": EVENTS_SESSIONIZE_SQL,
     "events_errors_by_user": EVENTS_ERRORS_SQL,
+    "events_entropy_by_type": EVENTS_ENTROPY_SQL,
     "events_asof_prior_click": EVENTS_ASOF_SQL,
     "events_value_bands": EVENTS_BANDS_SQL,
     "events_hourly_tumbling": EVENTS_TUMBLING_SQL,

@@ -43,26 +43,32 @@ def _np_i64(col) -> np.ndarray:
 
 def _split_by_mod(k: np.ndarray, v: np.ndarray, P: int):
     """(k, v) rows → tuple of P (k, v) pieces, piece p = rows with
-    k % P == p."""
+    k % P == p. Per-bucket boolean masks, not an argsort: O(nP) simple
+    compares beat the O(n log n) int64 sort ~2.5x at P=32, and boolean
+    take preserves order exactly like the stable sort did."""
     b = k % P
-    order = np.argsort(b, kind="stable")
-    sb = b[order]
-    bounds = np.searchsorted(sb, np.arange(P + 1))
-    return tuple(
-        (k[order[bounds[p] : bounds[p + 1]]], v[order[bounds[p] : bounds[p + 1]]])
-        for p in range(P)
-    )
+    pieces = []
+    for p in range(P):
+        m = b == p
+        pieces.append((k[m], v[m]))
+    return tuple(pieces)
 
 
 def _norm_edges(a: np.ndarray, b: np.ndarray):
-    """Canonical edge set: loops dropped, a<b, deduped."""
+    """Canonical edge set: loops dropped, a<b, deduped. Lexsort + run
+    dedupe, NOT ``np.unique(..., axis=0)`` — the axis-0 path sorts
+    void-typed row views and measures ~6x slower on edge blocks."""
     keep = a != b
     a, b = a[keep], b[keep]
     if a.shape[0] == 0:
         return a, b
     lo, hi = np.minimum(a, b), np.maximum(a, b)
-    uniq = np.unique(np.stack([lo, hi], axis=1), axis=0)
-    return uniq[:, 0], uniq[:, 1]
+    order = np.lexsort((hi, lo))
+    lo, hi = lo[order], hi[order]
+    uniq = np.concatenate(
+        ([True], (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1]))
+    )
+    return lo[uniq], hi[uniq]
 
 
 @ray.remote
@@ -91,7 +97,11 @@ def _init_reduce(*pieces):
         return k, v
     order = np.argsort(k, kind="stable")
     k, v = k[order], v[order]
-    nodes, starts = np.unique(k, return_index=True)
+    # k is sorted — derive group starts from run boundaries instead of
+    # paying np.unique's second sort
+    flags = np.concatenate(([True], k[1:] != k[:-1]))
+    nodes = k[flags]
+    starts = np.flatnonzero(flags)
     min_nb = np.minimum.reduceat(v, starts)
     return nodes, np.minimum(nodes, min_nb)
 
@@ -173,6 +183,11 @@ def _edge_count(edges) -> int:
 
 
 @ray.remote
+def _piece_equal(p1, p2) -> bool:
+    return np.array_equal(p1[0], p2[0]) and np.array_equal(p1[1], p2[1])
+
+
+@ray.remote
 def _mapping_to_table(labels_p) -> pa.Table:
     nodes, labels = labels_p
     return pa.table({"node": pa.array(nodes), "label": pa.array(labels)})
@@ -211,7 +226,7 @@ def connected_components_bucketed(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_levels: int = 30,
-    driver_finish_edges: int = 2_000_000,
+    driver_finish_edges: int = 5_000_000,
     num_partitions: int | None = None,
 ):
     """See module docstring. Returns a Dataset of (node, label)."""
@@ -237,10 +252,21 @@ def connected_components_bucketed(
 
     levels = []  # each: list of P label-piece refs, bucketed by node % P
     top = None  # final mapping of the highest level, bucketed by node % P
+    jump = False  # stall-triggered (see below)
+    prev_edges = None
     for level in range(max_levels):
         n_edges = sum(ray.get([_edge_count.remote(r) for r in edge_refs]))
         if n_edges == 0:
             break
+        # single-hop contraction stalling (< 2x shrink) means the id
+        # layout is adversarial for min-neighbor labels (e.g. an
+        # ascending chain shifts by one edge per level) — switch to
+        # pointer-jumped levels from here on. Graphs that contract
+        # geometrically (stars, clumps, random layouts) never pay the
+        # jump exchanges.
+        if prev_edges is not None and n_edges > prev_edges // 2:
+            jump = True
+        prev_edges = n_edges
         if n_edges <= driver_finish_edges or level == max_levels - 1:
             got = ray.get(edge_refs)
             a = np.concatenate([g[0] for g in got])
@@ -257,6 +283,40 @@ def connected_components_bucketed(
         labels_k = [
             _init_reduce.remote(*[s[p] for s in sym_split]) for p in range(P)
         ]
+        # ---- pointer-jump the mapping to idempotence BEFORE
+        # contracting (only once a stall was detected, see above).
+        # min-neighbor labels form a pseudo-forest (parent(v) =
+        # min(v, min neighbor)); composing the mapping with itself
+        # doubles the pointer shift per jump, so each tree collapses
+        # to its root in O(log diameter) cheap node-count exchanges.
+        # Without this, an ascending-id chain contracts by ONE edge
+        # per level (label(v)=v-1 just shifts the chain) and a
+        # 1024-long chain needs 1023 levels — measured as the 100M-
+        # edge bench stalling at ~33M edges until the forced driver
+        # finish ate 300+ s. With it, every tree contracts fully each
+        # level and edge counts collapse geometrically on any id
+        # layout. Jump = the same compose exchange used on the way
+        # down (mapping stays bucketed by node throughout).
+        for _ in range(64 if jump else 0):
+            jp = [
+                _split_mapping_probes.options(num_returns=P).remote(lp, P)
+                for lp in labels_k
+            ]
+            jc = [
+                _compose_reduce.options(num_returns=P).remote(
+                    labels_k[p], P, *[s[p] for s in jp]
+                )
+                for p in range(P)
+            ]
+            jumped = [
+                _init_reduce.remote(*[tp[q] for tp in jc]) for q in range(P)
+            ]
+            same = ray.get(
+                [_piece_equal.remote(labels_k[q], jumped[q]) for q in range(P)]
+            )
+            labels_k = jumped
+            if all(same):
+                break
         levels.append(labels_k)
         # ---- contract: (a,b) -> (L(a), b) -> (L(a), L(b)) ----
         probe_split = [

@@ -736,7 +736,7 @@ def connected_components_distributed(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 30,
-    driver_finish_edges: int = 2_000_000,
+    driver_finish_edges: int = 5_000_000,
 ):
     """Distributed connected components over a pair Dataset — thin
     wrapper over ``sod_ray.stages.cc.connected_components_bucketed``
