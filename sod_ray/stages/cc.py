@@ -116,8 +116,8 @@ def _split_probes(edges, P: int, swap: bool):
 def _bucket_lookup(labels_p, pk: np.ndarray):
     """label[pk] with fallback pk (absent keys are already-final).
     REQUIRES the label piece sorted by key (every producer emits
-    sorted pieces: np.unique in the reducers, stable mod-split of
-    sorted arrays elsewhere)."""
+    sorted pieces: the reducers sort then dedupe by run boundaries,
+    and the mod-split preserves order)."""
     lk, lv = labels_p
     if lk.shape[0] == 0 or pk.shape[0] == 0:
         return pk.copy()
