@@ -846,6 +846,29 @@ def _run_wave(
         .copy()
     )
 
+    # HLL-noise-aware exact fallback (SURVEY.md §7.3.4): with 2^14
+    # registers the distinct estimate carries ~0.81% relative error, so
+    # a 0.1%-dup partition vs a 0.5% threshold is noise — the verdict
+    # would flip per run. When |dup_est − threshold·rows| is inside the
+    # 3σ band, count that partition's dups EXACTLY via an 8-byte-hash
+    # bucket exchange (only ambiguous partitions' hashes move; values
+    # never do). Unambiguous partitions still pay zero data shuffle.
+    _hll_sigma = 1.04 / (2 ** 7)  # 1.04/sqrt(2^14)
+    ambiguous = [
+        str(r["part_key"])
+        for _, r in uniq_tbl.iterrows()
+        if r["rows"] > 0
+        and abs(r["dup_est"] - cfg.max_dup_rate * r["rows"])
+        <= 3 * _hll_sigma * r["rows"]
+    ]
+    if ambiguous:
+        from ..stages.constraints import exact_dup_counts
+
+        exact = exact_dup_counts(featured, "url", cfg.part_key, ambiguous)
+        for pk, nd in exact.items():
+            uniq_tbl.loc[uniq_tbl["part_key"] == pk, "dup_est"] = float(nd)
+        _mark(f"uniqueness-exact-fallback n={len(ambiguous)}")
+
     drift_tbl = None
     baseline = cfg.baseline
     if baseline is None and cfg.baseline_path and os.path.exists(cfg.baseline_path):

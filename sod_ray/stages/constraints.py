@@ -223,6 +223,61 @@ def exact_duplicates(ds, column: str, keep_columns: list[str] | None = None):
     return slim.groupby(column).map_groups(dups, batch_format="pandas")
 
 
+def exact_dup_counts(
+    ds,
+    column: str,
+    key: str,
+    keys: list[str],
+    n_buckets: int = 1024,
+) -> dict[str, int]:
+    """Exact per-partition duplicate-ROW counts for the given partition
+    keys, hash-only: each surviving row ships an 8-byte ``hash64``
+    of ``column`` into a bucket exchange (the column's values never
+    move), per-bucket dups are counted vectorized (size − nunique per
+    partition), and only tiny (bucket, key, n_dup) count rows reach the
+    driver. Equal values always share a bucket, so summing per-bucket
+    excesses is exact: Σ_b (n_b − u_b) = n − u.
+
+    64-bit hash collisions inflate a partition's count by ~n²/2⁻⁶⁴
+    expected rows — negligible below ~10⁹ rows/partition; beyond that
+    verify colliding candidates against values (referential pattern).
+    """
+    import pandas as pd
+
+    value_set = pa.array(sorted(set(keys)), pa.string())
+
+    def to_hashes(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.is_in(t[key], value_set=value_set))
+        h = hash64(sub[column])
+        return pa.table(
+            {
+                key: sub[key],
+                "h": pa.array(h),
+                "bucket": pa.array((h % np.uint64(n_buckets)).astype(np.int64)),
+            }
+        )
+
+    hashed = ds.select_columns([key, column]).map_batches(
+        to_hashes, batch_format="pyarrow"
+    )
+
+    def count_dups(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby(key)["h"].agg(n="size", u="nunique")
+        out = (g["n"] - g["u"]).astype("int64").reset_index(name="n_dup")
+        out = out[out["n_dup"] > 0][[key, "n_dup"]]
+        return out
+
+    counts = hashed.groupby("bucket").map_groups(
+        count_dups, batch_format="pandas"
+    )
+    pdf = counts.to_pandas()
+    totals = {k: 0 for k in keys}
+    if len(pdf):
+        for k, v in pdf.groupby(key)["n_dup"].sum().items():
+            totals[str(k)] = int(v)
+    return totals
+
+
 # ---------------------------------------------------------------------------
 # Referential containment
 # ---------------------------------------------------------------------------

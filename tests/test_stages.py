@@ -80,6 +80,29 @@ def test_uniqueness(ray_session, webpages):
     assert (dups["dup_count"] >= 2).all()
 
 
+def test_exact_dup_counts(ray_session):
+    """Bucket-exchange dup counter matches a pandas exact count per
+    partition, including keys absent from the filter set."""
+    import ray.data as rd
+
+    from sod_ray.stages.constraints import exact_dup_counts
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, n)]
+    # ~2% dup urls inside each partition
+    urls = np.array([f"https://x.test/{i}" for i in rng.integers(0, int(n * 0.6), n)])
+    t = pa.table({"lang": pa.array(langs), "url": pa.array(urls)})
+    got = exact_dup_counts(
+        rd.from_arrow(t), "url", "lang", ["en", "fr"], n_buckets=16
+    )
+    df = pd.DataFrame({"lang": langs, "url": urls})
+    for k in ("en", "fr"):
+        sub = df[df["lang"] == k]
+        assert got[k] == len(sub) - sub["url"].nunique(), k
+    assert set(got) == {"en", "fr"}  # "de" not requested, not counted
+
+
 def test_referential(ray_session, webpages):
     import ray.data as rd
 
