@@ -820,13 +820,60 @@ def _run_wave(
             input_path, cfg, manifest, out_dir, parent_keys=keys
         )
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    def _uniq_exact_override(uniq_tbl, ambiguous):
+        """HLL-noise-aware exact uniqueness fallback (SURVEY.md
+        §7.3.4): count ambiguous partitions' dups EXACTLY via an
+        8-byte-hash bucket exchange (only those partitions' hashes
+        move; url values never do). Bucket count sized to ~64 MB of
+        (key, hash) rows per group — 32 buckets at bench scale where
+        group overhead dominates, ~250k at 10^12 rows. Runs inside the
+        wave's thread pool, overlapped with the peak/mismatch/
+        referential consumers."""
+        from ..stages.constraints import exact_dup_counts
+
+        amb_rows = int(
+            uniq_tbl[uniq_tbl["part_key"].isin(ambiguous)]["rows"].sum()
+        )
+        exact = exact_dup_counts(
+            featured,
+            "url",
+            cfg.part_key,
+            ambiguous,
+            n_buckets=max(32, amb_rows // 4_000_000),
+        )
+        for pk, nd in exact.items():
+            uniq_tbl.loc[uniq_tbl["part_key"] == pk, "dup_est"] = float(nd)
+        return uniq_tbl
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
         f_merged = pool.submit(_merged)
         f_mismatch = pool.submit(_mismatches)
         f_peaks = pool.submit(_peaks)
         f_ref = pool.submit(_referential_inline) if inline_referential else None
         merged = f_merged.result()
         _mark("combined-merge")
+        # with 2^14 registers the distinct estimate carries ~0.81%
+        # relative error, so a 0.1%-dup partition vs a 0.5% threshold
+        # is noise — the verdict would flip per run. Inside the 3σ band
+        # → exact fallback; unambiguous partitions pay zero shuffle.
+        uniq_tbl = (
+            merged[merged["column"] == cfg.stat_columns[0]]
+            [["part_key", "rows", "distinct_est", "dup_est"]]
+            .copy()
+        )
+        _hll_sigma = 1.04 / (2 ** 7)  # 1.04/sqrt(2^14)
+        ambiguous = [
+            str(r["part_key"])
+            for _, r in uniq_tbl.iterrows()
+            if r["rows"] > 0
+            and abs(r["dup_est"] - cfg.max_dup_rate * r["rows"])
+            <= 3 * _hll_sigma * r["rows"]
+        ]
+        f_uniq = (
+            pool.submit(_uniq_exact_override, uniq_tbl, ambiguous)
+            if ambiguous
+            else None
+        )
         mismatch_counts = f_mismatch.result()
         _mark("mismatches")
         peak_counts = f_peaks.result()
@@ -834,40 +881,15 @@ def _run_wave(
         ref_result = f_ref.result() if f_ref is not None else None
         if f_ref is not None:
             _mark("referential-inline")
+        if f_uniq is not None:
+            uniq_tbl = f_uniq.result()
+            _mark(f"uniqueness-exact-fallback n={len(ambiguous)}")
 
     stats_tbl = merged  # per (part_key, column) sketch stats
     flags = (
         merged[merged["column"] == cfg.stat_columns[0]]
         .set_index("part_key")[["rows", "html_nulls", "text_nulls", "extract_matches"]]
     )
-    uniq_tbl = (
-        merged[merged["column"] == cfg.stat_columns[0]]
-        [["part_key", "rows", "distinct_est", "dup_est"]]
-        .copy()
-    )
-
-    # HLL-noise-aware exact fallback (SURVEY.md §7.3.4): with 2^14
-    # registers the distinct estimate carries ~0.81% relative error, so
-    # a 0.1%-dup partition vs a 0.5% threshold is noise — the verdict
-    # would flip per run. When |dup_est − threshold·rows| is inside the
-    # 3σ band, count that partition's dups EXACTLY via an 8-byte-hash
-    # bucket exchange (only ambiguous partitions' hashes move; values
-    # never do). Unambiguous partitions still pay zero data shuffle.
-    _hll_sigma = 1.04 / (2 ** 7)  # 1.04/sqrt(2^14)
-    ambiguous = [
-        str(r["part_key"])
-        for _, r in uniq_tbl.iterrows()
-        if r["rows"] > 0
-        and abs(r["dup_est"] - cfg.max_dup_rate * r["rows"])
-        <= 3 * _hll_sigma * r["rows"]
-    ]
-    if ambiguous:
-        from ..stages.constraints import exact_dup_counts
-
-        exact = exact_dup_counts(featured, "url", cfg.part_key, ambiguous)
-        for pk, nd in exact.items():
-            uniq_tbl.loc[uniq_tbl["part_key"] == pk, "dup_est"] = float(nd)
-        _mark(f"uniqueness-exact-fallback n={len(ambiguous)}")
 
     drift_tbl = None
     baseline = cfg.baseline
