@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from ..state.sketches import hash64
 
@@ -284,38 +285,67 @@ def minhash_lsh_dedup(
     )
 
 
+def _bucket_key64(t: pa.Table):
+    """Composite 8-byte bucket key: band<<56 | band_hash[:56].
+    Truncation can only FALSELY KEEP a singleton (same-band 56-bit
+    collision), which the verify step discards — never drops a real
+    dup bucket."""
+    import pyarrow.compute as pc
+
+    k = pc.bit_wise_or(
+        pc.shift_left(t["band"].cast(pa.int64()), pa.scalar(56, pa.int64())),
+        pc.bit_wise_and(
+            t["band_hash"].cast(pa.int64()),
+            pa.scalar((1 << 56) - 1, pa.int64()),
+        ),
+    )
+    return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+
+
+@ray.remote
+def _bucket_keys_split(t: pa.Table, P: int):
+    """Band-row block → P pieces of its composite keys (key % P)."""
+    k = _bucket_key64(t).to_numpy(zero_copy_only=False)
+    b = k % P  # keys are non-negative by construction
+    return tuple(k[b == p] for p in range(P))
+
+
+@ray.remote
+def _bucket_hot_keys(*pieces) -> np.ndarray:
+    """Keys appearing ≥2 times in this bucket (sort + run compare)."""
+    if not pieces:
+        return np.empty(0, np.int64)
+    k = np.concatenate(pieces)
+    if k.shape[0] == 0:
+        return k
+    k.sort(kind="stable")
+    dup = k[np.concatenate(([False], k[1:] == k[:-1]))]
+    if dup.shape[0] == 0:
+        return dup
+    return dup[np.concatenate(([True], dup[1:] != dup[:-1]))]
+
+
 def _prune_singleton_buckets(band_rows, num_partitions: int | None = None):
     """Drop band buckets holding a single doc BEFORE the per-bucket
     group pass: nearly every bucket is a singleton (no candidate pair
     can come out of it), and `groupby().map_groups` pays a Python call
     per group — pruning turns ~N·bands tiny groups into only the dup
-    buckets. One vectorized count-aggregate + one hash join, both
-    distributed."""
+    buckets. Hot keys come from per-batch value_counts (small inputs)
+    or a raw-task key exchange (large), then one broadcast filter —
+    all distributed."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
     # land the band rows once: the count pass, the filter pass and the
     # downstream groupby would otherwise each re-execute the signature
     # scan through lineage
     band_rows = band_rows.materialize()
     n_rows = band_rows.count()
-
-    def key64_of(t: pa.Table):
-        k = pc.bit_wise_or(
-            pc.shift_left(t["band"].cast(pa.int64()), pa.scalar(56, pa.int64())),
-            pc.bit_wise_and(
-                t["band_hash"].cast(pa.int64()),
-                pa.scalar((1 << 56) - 1, pa.int64()),
-            ),
-        )
-        return k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+    key64_of = _bucket_key64
 
     if n_rows <= 5_000_000:
         # partial-counts shortcut: per-batch value_counts of the
         # composite key merge on the driver (≤5M 16-B rows) — skips
         # the sort-based count shuffle entirely
-        import ray
-
         def batch_counts(t: pa.Table) -> pa.Table:
             vc = pc.value_counts(key64_of(t))
             return pa.table(
@@ -341,33 +371,28 @@ def _prune_singleton_buckets(band_rows, num_partitions: int | None = None):
             hot_filter, batch_format="pyarrow"
         ).materialize()
 
-    counts = band_rows.groupby(["band", "band_hash"]).aggregate(
-        Count(alias_name="__c")
+    # >5M band rows: sharded hot-key detection via a raw-task hash-
+    # bucket exchange of ONLY the 8-byte composite keys (the
+    # sort-based count groupby measured 80+ s on 16M rows; this moves
+    # the same bytes in one O(n) pass — same pattern as stages/cc.py)
+    P = 32
+    refs = band_rows.to_arrow_refs()
+    splits = [
+        _bucket_keys_split.options(num_returns=P).remote(r, P) for r in refs
+    ]
+    if P == 1:  # options(num_returns=1) would unwrap the tuple
+        splits = [[s] for s in splits]
+    hot_parts = ray.get(
+        [_bucket_hot_keys.remote(*[s[p] for s in splits]) for p in range(P)]
     )
-    def hot_keys(t: pa.Table) -> pa.Table:
-        keep = t.filter(pc.greater_equal(t["__c"], pa.scalar(2)))
-        # aggregate output may widen the key dtypes; restore them so
-        # downstream key comparisons see matching field types
-        return pa.table(
-            {
-                "band": keep["band"].cast(pa.int32()),
-                "band_hash": keep["band_hash"].cast(pa.int64()),
-            }
-        )
-
-    hot = counts.map_batches(hot_keys, batch_format="pyarrow").materialize()
-    n_hot = hot.count()
-    if n_hot <= 2_000_000:
-        # dup buckets are few: broadcast their composite keys once and
-        # filter with a vectorized is_in — cheaper than spinning up a
-        # hash-join aggregator pool. 16 B/key → ≤32 MB broadcast.
-        # key = band<<56 | band_hash[:56]: truncation can only FALSELY
-        # KEEP a singleton (same-band 56-bit collision) which the
-        # verify step discards — never drops a real dup bucket.
-        import ray
-
-        combined = pa.concat_tables(ray.get(hot.to_arrow_refs()))
-        key_ref = ray.put(pc.unique(key64_of(combined)))
+    hot_np = (
+        np.concatenate(hot_parts) if hot_parts else np.empty(0, np.int64)
+    )
+    if hot_np.shape[0] <= 20_000_000:
+        # dup buckets are few (the common case — planted-dup corpora
+        # measure <1% of docs in dup buckets): broadcast the composite
+        # keys once, filter with a vectorized is_in. 8 B/key → ≤160 MB.
+        key_ref = ray.put(pa.array(hot_np, pa.int64()))
 
         def hot_filter(t: pa.Table) -> pa.Table:
             # plain task: broadcast key array is a zero-copy local read
@@ -376,18 +401,29 @@ def _prune_singleton_buckets(band_rows, num_partitions: int | None = None):
         return band_rows.map_batches(
             hot_filter, batch_format="pyarrow"
         ).materialize()
-    # dup-heavy corpus: distributed hash join on the composite key
-    return band_rows.join(
-        hot, "inner", _join_partitions(num_partitions), on=("band", "band_hash")
-    ).materialize()
+    # dup-heavy corpus (>20M dup buckets): broadcast would pin too
+    # much worker heap — distributed hash join against the hot-key
+    # table instead
+    import ray.data as _rd
+
+    hot = _rd.from_numpy(hot_np).map_batches(
+        lambda t: pa.table({"__key64": t["data"]}), batch_format="pyarrow"
+    )
+    keyed = band_rows.map_batches(
+        lambda t: t.append_column("__key64", key64_of(t)),
+        batch_format="pyarrow",
+    )
+    return (
+        keyed.join(hot, "inner", _join_partitions(num_partitions), on=("__key64",))
+        .drop_columns(["__key64"])
+        .materialize()
+    )
 
 
 def _join_partitions(requested: int | None) -> int:
     """Join aggregator-actor count sized to the cluster: each hash join
     spawns `num_partitions` aggregator actors, and oversubscribing CPUs
     (e.g. two chained 16-way joins on 4 cores) deadlocks the pool."""
-    import ray
-
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     auto = max(2, cpus // 2)
     return min(requested, auto) if requested else auto
