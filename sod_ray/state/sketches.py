@@ -15,8 +15,9 @@ binary columns and the manifest can persist them for drift baselines.
 
 - Welford: mean/M2 variance, plus min/max/count/null/NaN — the exact
   merge formula of Chan et al. (parallel variance).
-- HyperLogLog: dense 2^p registers, 64-bit hashing (blake2b, stable
-  across processes — never Python hash()).
+- HyperLogLog: 2^p registers, sparse pair-list below ~20% occupancy
+  (fine-partition-key sketches stay ~100s of bytes, not 16 KB),
+  64-bit hashing stable across processes — never Python hash().
 - TDigest: simplified merging t-digest (Dunning & Ertl) for quantiles.
 - Histogram: fixed bins over a reference range — the PSI drift input.
 """
@@ -214,19 +215,63 @@ def hash64(values) -> np.ndarray:
 
 @dataclass
 class HyperLogLog(_Serializable):
-    """Dense HLL with 2^p registers (p=14 default → ~0.8% error)."""
+    """HLL with 2^p registers (p=14 default → ~0.8% error).
+
+    Representation is adaptive: a sketch starts as a SPARSE list of
+    (register index, rank) pairs — ~5 B per touched register — and
+    densifies to the uint8[2^p] array only once the pair list would
+    rival the dense size. Per-(partition-key, column) sketches at
+    fine keys (e.g. ~10^7 hosts, most holding a handful of rows)
+    stay a few hundred bytes instead of 16 KB each, so the sketch
+    merge shuffle scales with data volume, not key count × 16 KB.
+    Estimates are identical in both forms (an untouched register is
+    an implicit zero); merges may mix forms freely."""
 
     p: int = 14
-    registers: np.ndarray = field(default=None)  # uint8[2^p]
+    registers: np.ndarray = field(default=None)  # uint8[2^p]; None = sparse
+    sparse_idx: np.ndarray = field(default=None)  # int32[], sorted unique
+    sparse_rank: np.ndarray = field(default=None)  # uint8[], aligned
 
     def __post_init__(self):
-        if self.registers is None:
-            self.registers = np.zeros(1 << self.p, dtype=np.uint8)
+        if self.registers is None and self.sparse_idx is None:
+            self.sparse_idx = np.empty(0, dtype=np.int32)
+            self.sparse_rank = np.empty(0, dtype=np.uint8)
 
-    def update_hashes(self, h: np.ndarray) -> "HyperLogLog":
-        """Vectorized register update from 64-bit hashes."""
-        if h.size == 0:
-            return self
+    def __setstate__(self, state):
+        # pickles from the dense-only era lack the sparse fields
+        self.__dict__.update(state)
+        self.__dict__.setdefault("sparse_idx", None)
+        self.__dict__.setdefault("sparse_rank", None)
+
+    def _dense_cutoff(self) -> int:
+        # past this many touched registers the pair list (~5 B each)
+        # stops being smaller than the 1-B/register dense array
+        return (1 << self.p) // 5
+
+    def _densify(self) -> "HyperLogLog":
+        if self.registers is None:
+            regs = np.zeros(1 << self.p, dtype=np.uint8)
+            if self.sparse_idx is not None and self.sparse_idx.size:
+                regs[self.sparse_idx] = self.sparse_rank
+            self.registers = regs
+            self.sparse_idx = None
+            self.sparse_rank = None
+        return self
+
+    def _sparse_accumulate(self, idx: np.ndarray, rank: np.ndarray):
+        """Fold (idx, rank) pairs (duplicates allowed) into the sorted
+        unique pair list, keeping the max rank per register."""
+        cat_idx = np.concatenate([self.sparse_idx, idx.astype(np.int32)])
+        cat_rank = np.concatenate([self.sparse_rank, rank.astype(np.uint8)])
+        order = np.lexsort((cat_rank, cat_idx))
+        cat_idx, cat_rank = cat_idx[order], cat_rank[order]
+        last = np.concatenate([cat_idx[1:] != cat_idx[:-1], [True]])
+        self.sparse_idx = cat_idx[last]
+        self.sparse_rank = cat_rank[last]
+        if self.sparse_idx.size > self._dense_cutoff():
+            self._densify()
+
+    def _idx_rank(self, h: np.ndarray):
         h = h.astype(np.uint64)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         w = (h << np.uint64(self.p)) | (np.uint64(1) << np.uint64(self.p - 1))
@@ -242,8 +287,26 @@ class HyperLogLog(_Serializable):
             if not alive.any():
                 break
             w_work = w_work << np.uint64(1)
-        rank = lz + 1
-        np.maximum.at(self.registers, idx, rank)
+        return idx, lz + 1
+
+    def update_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        """Vectorized register update from 64-bit hashes."""
+        if h.size == 0:
+            return self
+        if (
+            self.registers is None
+            and h.size + self.sparse_idx.size > self._dense_cutoff()
+        ):
+            # big batch: maximum.at on the dense array is cheaper than
+            # a pair-list sort, and the result would likely densify
+            # anyway — global column sketches take this path on their
+            # first batch, keeping the hot fused-scan cost unchanged
+            self._densify()
+        idx, rank = self._idx_rank(h)
+        if self.registers is not None:
+            np.maximum.at(self.registers, idx, rank)
+        else:
+            self._sparse_accumulate(idx, rank)
         return self
 
     def update_array(self, arr) -> "HyperLogLog":
@@ -252,14 +315,34 @@ class HyperLogLog(_Serializable):
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         if other.p != self.p:
             raise ValueError("HLL precision mismatch")
-        np.maximum(self.registers, other.registers, out=self.registers)
+        other_sparse_idx = getattr(other, "sparse_idx", None)
+        if self.registers is not None:
+            if other.registers is not None:
+                np.maximum(self.registers, other.registers, out=self.registers)
+            elif other_sparse_idx is not None and other_sparse_idx.size:
+                np.maximum.at(self.registers, other_sparse_idx, other.sparse_rank)
+            return self
+        if other.registers is not None:
+            self._densify()
+            np.maximum(self.registers, other.registers, out=self.registers)
+            return self
+        if other_sparse_idx is not None and other_sparse_idx.size:
+            self._sparse_accumulate(other_sparse_idx, other.sparse_rank)
         return self
 
     def cardinality(self) -> float:
         m = float(1 << self.p)
-        regs = self.registers.astype(np.float64)
-        est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(np.exp2(-regs))
-        zeros = int(np.count_nonzero(self.registers == 0))
+        if self.registers is not None:
+            regs = self.registers.astype(np.float64)
+            sum_exp = float(np.sum(np.exp2(-regs)))
+            zeros = int(np.count_nonzero(self.registers == 0))
+        else:
+            nnz = self.sparse_idx.size
+            sum_exp = (m - nnz) + float(
+                np.sum(np.exp2(-self.sparse_rank.astype(np.float64)))
+            )
+            zeros = int(m) - nnz
+        est = (0.7213 / (1 + 1.079 / m)) * m * m / sum_exp
         if est <= 2.5 * m and zeros:
             est = m * math.log(m / zeros)  # linear counting
         return float(est)

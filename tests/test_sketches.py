@@ -236,3 +236,70 @@ def test_hash64_hll_large_ints():
     h = HyperLogLog()
     h.update_hashes(hash64(ids))
     assert abs(h.cardinality() - 5000) / 5000 < 0.05
+
+
+def test_hll_sparse_matches_dense():
+    # small-cardinality sketches stay sparse and estimate identically
+    # to a forced-dense twin under every update/merge mix
+    vals = pa.array([f"host-{i}" for i in range(200)])
+    sparse = HyperLogLog().update_array(vals)
+    dense = HyperLogLog()._densify().update_array(vals)
+    assert sparse.registers is None  # still sparse
+    assert sparse.cardinality() == dense.cardinality()
+
+    # sparse+sparse merge == dense+dense merge
+    other = pa.array([f"other-{i}" for i in range(150)])
+    s2 = HyperLogLog().update_array(other)
+    d2 = HyperLogLog()._densify().update_array(other)
+    assert (
+        HyperLogLog().update_array(vals).merge(s2).cardinality()
+        == dense.merge(d2).cardinality()
+    )
+
+    # mixed-form merges agree both directions
+    s3 = HyperLogLog().update_array(vals)
+    d3 = HyperLogLog()._densify().update_array(other)
+    a = s3.merge(d3).cardinality()
+    s4 = HyperLogLog().update_array(other)
+    d4 = HyperLogLog()._densify().update_array(vals)
+    assert d4.merge(s4).cardinality() == a
+
+
+def test_hll_sparse_serialized_size():
+    # the point of the sparse form: a 10-distinct sketch is a few
+    # hundred bytes, not 16 KB
+    small = HyperLogLog().update_array(pa.array([f"k{i}" for i in range(10)]))
+    assert len(small.to_bytes()) < 1_000
+    big = HyperLogLog().update_array(
+        pa.array([f"u-{i}" for i in range(100_000)])
+    )
+    assert big.registers is not None  # densified
+    assert big.cardinality() == pytest.approx(100_000, rel=0.03)
+
+
+def test_hll_densify_threshold_crossing():
+    # incremental sparse updates crossing the cutoff densify without
+    # losing registers: estimate equals a from-scratch dense sketch
+    h = HyperLogLog(p=10)  # cutoff = 204 registers
+    chunks = [
+        pa.array([f"v-{i}" for i in range(s, s + 60)]) for s in range(0, 600, 60)
+    ]
+    for c in chunks:
+        h.update_array(c)
+    assert h.registers is not None
+    ref = HyperLogLog(p=10)._densify()
+    for c in chunks:
+        ref.update_array(c)
+    assert h.cardinality() == ref.cardinality()
+
+
+def test_hll_dense_era_pickle_loads():
+    # pickles written before the sparse fields existed must deserialize
+    h = HyperLogLog().update_array(pa.array(["a", "b"]))._densify()
+    state = dict(h.__dict__)
+    state.pop("sparse_idx")
+    state.pop("sparse_rank")
+    old = HyperLogLog.__new__(HyperLogLog)
+    old.__setstate__(state)
+    assert old.cardinality() == h.cardinality()
+    assert old.merge(HyperLogLog().update_array(pa.array(["c"]))).cardinality() >= 2
