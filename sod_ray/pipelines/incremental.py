@@ -35,13 +35,22 @@ def run_incremental(
     interval_s: float = 0.2,
     max_polls: int | None = None,
     max_empty_polls: int | None = 1,
+    quarantine_grace_s: float = 5.0,
 ) -> dict:
     """Poll the landing zone until ``max_empty_polls`` consecutive
     empty polls (or ``max_polls``); validate each arrival batch;
     roll the drift baseline forward. Returns a summary with per-run
-    results."""
+    results. Shards that are unreadable or missing flagship columns
+    are quarantined by the landing zone (reported in the summary)
+    rather than wedging the loop."""
+    from .validate import WEBPAGE_SCHEMA
+
     os.makedirs(out_root, exist_ok=True)
-    lz = LandingZone(landing_dir)
+    lz = LandingZone(
+        landing_dir,
+        expected_columns=list(WEBPAGE_SCHEMA),
+        quarantine_grace_s=quarantine_grace_s,
+    )
     baseline_path = os.path.join(out_root, "baseline.parquet")
     runs: list[dict] = []
 
@@ -71,6 +80,7 @@ def run_incremental(
                 "files": files,
                 "rows": res.rows_scanned,
                 "partitions": len(res.partitions_run) + len(res.partitions_skipped),
+                "partitions_resumed": len(res.partitions_skipped),
                 "all_passed": res.all_passed(),
                 "out_dir": out_dir,
             }
@@ -85,5 +95,6 @@ def run_incremental(
     return {
         "shards_processed": n,
         "runs": runs,
+        "quarantined": lz.quarantined(),
         "baseline_path": baseline_path if os.path.exists(baseline_path) else None,
     }

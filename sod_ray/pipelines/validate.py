@@ -467,6 +467,7 @@ def run_validation(
             os.path.join(out_dir, "violations", f"{cfg.part_key}={p}"),
             ignore_errors=True,
         )
+    _scrub_verdict_files(out_dir, remaining)
 
     _mark("setup")
     wave_size = cfg.partitions_per_wave or len(remaining)
@@ -498,10 +499,8 @@ def run_validation(
             url_blocks.extend(wave_urls)
         if ref_res is not None:
             inline_ref_result = ref_res
-        # persist this wave's merged sketches immediately (save_baseline
-        # merges, so a kill after N waves keeps those N waves' sketches
-        # for the next run's drift check — matching the manifest commits)
-        save_baseline(st, os.path.join(out_dir, "baseline.parquet"))
+        # (this wave's sketches were already folded into baseline.parquet
+        # inside _run_wave, BEFORE its manifest commits)
 
     # previously committed partitions keep their verdicts (from the
     # manifest outcomes) so all_passed()/the CLI exit code cover the
@@ -538,6 +537,40 @@ def run_validation(
         )
     _mark("referential")
     return result
+
+
+def _scrub_verdict_files(out_dir: str, uncommitted) -> None:
+    """Drop uncommitted partitions' rows from on-disk verdict files
+    before re-running them — a kill between a wave's verdict write and
+    its manifest commits would otherwise leave rows that the resumed
+    wave duplicates. A torn verdict file (kill mid-write under an
+    older build) implies its wave never committed, so it is deleted
+    whole; current writes are tmp+rename and cannot tear."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    uncommitted = set(uncommitted)
+    for f in sorted(glob.glob(os.path.join(out_dir, "verdicts-*.parquet"))):
+        try:
+            t = pq.read_table(f)
+        except Exception:
+            os.remove(f)
+            continue
+        if t.num_rows == 0 or "partition" not in t.column_names:
+            continue
+        mask = pc.is_in(
+            t["partition"], value_set=pa.array(sorted(uncommitted), pa.string())
+        )
+        if not pc.any(mask).as_py():
+            continue
+        keep = t.filter(pc.invert(mask))
+        if keep.num_rows:
+            tmp = f + ".tmp"
+            pq.write_table(keep, tmp)
+            os.replace(tmp, f)
+        else:
+            os.remove(f)
 
 
 def _verdicts_from_manifest(manifest: Manifest, partitions) -> pa.Table:
@@ -909,10 +942,17 @@ def _run_wave(
 
     # --- per-partition verdicts + manifest commit (violation rows are
     # already ON DISK, written by the distributed sinks; only counts
-    # flow through here) ---
+    # flow through here). Durability order within the wave: verdict
+    # file and baseline sketches land (atomically) BEFORE the first
+    # manifest commit — a kill can then never strand a committed
+    # partition without its on-disk verdict/baseline rows; the
+    # opposite kill (verdicts written, commit missed) is healed at
+    # resume setup, which scrubs uncommitted partitions' rows from
+    # existing verdict files before re-running them. ---
     import pyarrow.parquet as pq
 
     verdict_rows = []
+    records = []
     total_rows = 0
     for p in remaining:
         p_stats = stats_tbl[stats_tbl["part_key"] == p]
@@ -962,7 +1002,7 @@ def _run_wave(
         sketch_bytes = (
             int(p_stats["sketch_bytes"].sum()) if "sketch_bytes" in p_stats else 0
         )
-        manifest.commit(
+        records.append(
             PartitionRecord(
                 partition=p,
                 rows_scanned=rows,
@@ -984,7 +1024,13 @@ def _run_wave(
 
     _mark(f"verdict-loop wave={wave_id}")
     verdicts = pa.Table.from_pylist(verdict_rows) if verdict_rows else pa.table({})
-    pq.write_table(verdicts, os.path.join(out_dir, f"verdicts-{wave_id}.parquet"))
+    vpath = os.path.join(out_dir, f"verdicts-{wave_id}.parquet")
+    vtmp = vpath + ".tmp"
+    pq.write_table(verdicts, vtmp)
+    os.replace(vtmp, vpath)
+    save_baseline(stats_tbl, os.path.join(out_dir, "baseline.parquet"))
+    for rec in records:
+        manifest.commit(rec)
     wave_urls = _harvest_urls(featured) if collect_urls else None
     return verdicts, stats_tbl, total_rows, wave_urls, ref_result
 

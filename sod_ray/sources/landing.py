@@ -30,11 +30,30 @@ from collections.abc import Callable
 
 
 class LandingZone:
-    """A directory of arriving parquet shards + a committed-file ledger."""
+    """A directory of arriving parquet shards + a committed-file ledger.
 
-    def __init__(self, landing_dir: str, ledger_dir: str | None = None):
+    Poison-shard safety: a shard whose parquet footer is unreadable or
+    whose schema is missing ``expected_columns`` is QUARANTINED (a
+    ``.quarantine`` ledger record with the reason) instead of being
+    delivered — otherwise one torn or schema-drifted file would crash
+    the consumer's ``read_parquet`` on every poll forever, wedging the
+    whole loop (the reference's per-response decode errors are typed
+    and non-fatal; this is the file-level analog). A file younger than
+    ``quarantine_grace_s`` is skipped-but-not-quarantined, so a
+    producer writing directly (no write-then-rename) gets one grace
+    window to finish."""
+
+    def __init__(
+        self,
+        landing_dir: str,
+        ledger_dir: str | None = None,
+        expected_columns: list[str] | None = None,
+        quarantine_grace_s: float = 5.0,
+    ):
         self.landing_dir = landing_dir
         self.ledger_dir = ledger_dir or os.path.join(landing_dir, "_ledger")
+        self.expected_columns = list(expected_columns) if expected_columns else None
+        self.quarantine_grace_s = quarantine_grace_s
         os.makedirs(self.ledger_dir, exist_ok=True)
 
     # -- ledger ---------------------------------------------------------
@@ -69,17 +88,79 @@ class LandingZone:
                 if os.path.exists(tmp):
                     os.unlink(tmp)
 
+    def _quarantine_path(self, fname: str) -> str:
+        return os.path.join(
+            self.ledger_dir, fname.replace("/", "_") + ".quarantine"
+        )
+
+    def quarantined(self) -> dict[str, str]:
+        """Quarantined shard filename → reason."""
+        out = {}
+        for name in os.listdir(self.ledger_dir):
+            if not name.endswith(".quarantine"):
+                continue
+            try:
+                with open(os.path.join(self.ledger_dir, name)) as f:
+                    rec = json.load(f)
+                    out[rec["file"]] = rec.get("reason", "")
+            except (json.JSONDecodeError, KeyError, OSError):
+                continue
+        return out
+
+    def _write_quarantine(self, fname: str, reason: str) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.ledger_dir, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"file": fname, "reason": reason, "at": time.time()}, f
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._quarantine_path(fname))
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
     # -- polling --------------------------------------------------------
 
     def pending(self) -> list[str]:
-        """New (uncommitted) shard filenames, sorted for determinism."""
+        """New (uncommitted, readable) shard filenames, sorted for
+        determinism. Unreadable / schema-drifted shards past the grace
+        window are quarantined as a side effect."""
+        import pyarrow.parquet as pq
+
         done = self.committed()
-        files = [
-            f
-            for f in os.listdir(self.landing_dir)
-            if f.endswith(".parquet") and not f.startswith("_") and f not in done
-        ]
-        return sorted(files)
+        bad = set(self.quarantined())
+        out = []
+        for f in sorted(os.listdir(self.landing_dir)):
+            if (
+                not f.endswith(".parquet")
+                or f.startswith("_")
+                or f in done
+                or f in bad
+            ):
+                continue
+            path = os.path.join(self.landing_dir, f)
+            reason = None
+            try:
+                names = set(pq.read_schema(path).names)
+                if self.expected_columns:
+                    missing = [c for c in self.expected_columns if c not in names]
+                    if missing:
+                        reason = f"missing columns: {missing}"
+            except Exception as e:  # torn footer, not parquet, IO error
+                reason = f"unreadable: {type(e).__name__}: {e}"
+            if reason is None:
+                out.append(f)
+                continue
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue  # vanished between listdir and stat
+            if age >= self.quarantine_grace_s:
+                self._write_quarantine(f, reason)
+            # inside the grace window: skip this poll, retry next one
+        return out
 
     def poll(self, columns: list[str] | None = None):
         """Dataset over the new shards only (None when nothing new).

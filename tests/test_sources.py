@@ -212,3 +212,58 @@ def test_collect_json_ingest(ray_session, tmp_path):
     a = out[out["parse_error"] == ""].sort_values("row_id")["row_id"].tolist()
     b = out2[out2["parse_error"] == ""].sort_values("row_id")["row_id"].tolist()
     assert a == b
+
+
+def test_landing_zone_quarantines_poison_shards(ray_session, tmp_path):
+    """A torn file or schema-drifted shard must not wedge the loop:
+    it is quarantined (with reason) once past the grace window, and
+    healthy shards keep flowing."""
+    from sod_ray.sources.landing import LandingZone
+
+    d = str(tmp_path / "landing3")
+    os.makedirs(d)
+    _write_shard(d, "good-0.parquet", [1, 2])
+    # torn file: not a parquet footer
+    with open(os.path.join(d, "torn.parquet"), "wb") as f:
+        f.write(b"PAR1\x00\x00garbage")
+    # schema drift: missing the doc_id column the consumer expects
+    pq.write_table(
+        pa.table({"lang": pa.array(["en"])}),
+        os.path.join(d, "drifted.parquet"),
+    )
+    old = os.path.join(d, "torn.parquet")
+    past = os.path.getmtime(old) - 60
+    os.utime(old, (past, past))
+    os.utime(os.path.join(d, "drifted.parquet"), (past, past))
+
+    lz = LandingZone(d, expected_columns=["doc_id", "lang"],
+                     quarantine_grace_s=5.0)
+    ds, files = lz.poll()
+    assert files == ["good-0.parquet"] and ds.count() == 2
+    lz.commit(files)
+    q = lz.quarantined()
+    assert set(q) == {"torn.parquet", "drifted.parquet"}
+    assert "unreadable" in q["torn.parquet"]
+    assert "doc_id" in q["drifted.parquet"]
+    # quarantined files never come back
+    ds2, files2 = lz.poll()
+    assert ds2 is None and files2 == []
+
+
+def test_landing_zone_grace_window(ray_session, tmp_path):
+    """A fresh unreadable file (producer mid-write) is skipped but NOT
+    quarantined inside the grace window; it is delivered once complete."""
+    from sod_ray.sources.landing import LandingZone
+
+    d = str(tmp_path / "landing4")
+    os.makedirs(d)
+    partial = os.path.join(d, "inflight.parquet")
+    with open(partial, "wb") as f:
+        f.write(b"PAR1")  # producer still writing
+    lz = LandingZone(d, quarantine_grace_s=60.0)
+    ds, files = lz.poll()
+    assert ds is None and files == [] and lz.quarantined() == {}
+    # producer finishes the write; next poll delivers it
+    pq.write_table(pa.table({"doc_id": pa.array([7], pa.int64())}), partial)
+    ds2, files2 = lz.poll()
+    assert files2 == ["inflight.parquet"] and ds2.count() == 1
