@@ -28,7 +28,33 @@ import ray
 
 
 def _to_matrix(col, dtype=np.float32) -> np.ndarray:
-    vals = col.to_pylist() if isinstance(col, (pa.Array, pa.ChunkedArray)) else list(col)
+    """(n, d) matrix from a list<float> / fixed_size_list column.
+
+    Zero-copy fast path: when every row has the same length (the
+    embedding contract), reshape the flat Arrow values buffer directly
+    — no per-row Python. Ragged or null rows fall back to the slow
+    stack (only reachable from malformed inputs)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.Array):
+        if pa.types.is_fixed_size_list(col.type) and col.null_count == 0:
+            d = col.type.list_size
+            # flatten() (not .values) honors any slice offset
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(col), d).astype(dtype, copy=False)
+        if (
+            pa.types.is_list(col.type) or pa.types.is_large_list(col.type)
+        ) and col.null_count == 0:
+            offsets = col.offsets.to_numpy(zero_copy_only=False)
+            lens = np.diff(offsets)
+            if lens.size and (lens == lens[0]).all():
+                flat = col.flatten().to_numpy(zero_copy_only=False)
+                return flat.reshape(len(col), int(lens[0])).astype(
+                    dtype, copy=False
+                )
+        vals = col.to_pylist()
+    else:
+        vals = list(col)
     return np.stack([np.asarray(v, dtype=dtype) for v in vals])
 
 
@@ -110,16 +136,39 @@ def train_centroids(
     X = _normalize(_to_matrix(sample[vec_col].tolist()))
     rng = np.random.default_rng(seed)
     n_centroids = min(n_centroids, X.shape[0])
-    C = X[rng.choice(X.shape[0], n_centroids, replace=False)].copy()
+
+    # k-means++ seeding (spherical): each next seed drawn ∝ (1 - max
+    # cosine to the chosen set) — spreads seeds across the data and
+    # beats uniform choice on clustered corpora
+    seeds = np.empty(n_centroids, dtype=np.int64)
+    seeds[0] = rng.integers(X.shape[0])
+    best = X @ X[seeds[0]]
+    for j in range(1, n_centroids):
+        d = np.maximum(1.0 - best, 0.0)
+        tot = d.sum()
+        if tot <= 0:
+            seeds[j:] = rng.choice(X.shape[0], n_centroids - j, replace=False)
+            break
+        seeds[j] = rng.choice(X.shape[0], p=d / tot)
+        np.maximum(best, X @ X[seeds[j]], out=best)
+    C = X[seeds].copy()
+
     for _ in range(10):
         assign = np.argmax(X @ C.T, axis=1)
-        for c in range(n_centroids):
-            members = X[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                norm = np.linalg.norm(v)
-                if norm > 0:
-                    C[c] = v / norm
+        # vectorized Lloyd update: scatter-add members per centroid
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=n_centroids)
+        norms = np.linalg.norm(sums, axis=1)
+        ok = (counts > 0) & (norms > 0)
+        C[ok] = sums[ok] / norms[ok, None]
+        # reseed empty clusters to the points farthest from their
+        # assigned centroid (classic empty-cluster repair)
+        n_empty = int((~ok).sum())
+        if n_empty:
+            sim_own = (X * C[assign]).sum(axis=1)
+            far = np.argsort(sim_own)[:n_empty]
+            C[~ok] = X[far]
     return C
 
 
