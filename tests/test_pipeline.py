@@ -266,3 +266,58 @@ def test_host_derived_part_key(ray_session, web_dir, tmp_path):
     v2 = res2.verdicts.to_pandas().set_index("partition")
     assert v2.loc[victim, "rows"] == v.loc[victim, "rows"]
     assert set(v2.index) == set(v.index)
+
+
+def test_verdict_files_consistent_across_kill_windows(ray_session, web_dir, tmp_path):
+    """Both kill windows around the wave commit leave the on-disk
+    verdict files exactly covering the committed partitions once:
+
+    - verdicts written, commit missed (old window A): the resume scrub
+      drops the uncommitted partitions' rows before they re-run, so
+      _load_verdicts never double-counts;
+    - commit written, verdicts missed (old window B): impossible now —
+      the wave writes verdicts+baseline BEFORE its first commit — but
+      simulate the legacy state and confirm the in-memory result still
+      rebuilds those rows from the manifest."""
+    import pyarrow.parquet as pq
+
+    from sod_ray.pipelines.validate import (
+        ValidateConfig,
+        _load_verdicts,
+        run_validation,
+    )
+
+    src, truth = web_dir
+    out = str(tmp_path / "killwin")
+    res = run_validation(f"{src}/webpages", out, ValidateConfig())
+    clean = _load_verdicts(out).to_pandas().set_index("partition").sort_index()
+    n_rows_total = clean["rows"].sum()
+
+    # window A: a partition's verdict rows exist on disk but its
+    # manifest record is gone (kill between verdict write and commit)
+    os.unlink(os.path.join(out, "manifest", "part-en.json"))
+    res_a = run_validation(f"{src}/webpages", out, ValidateConfig())
+    assert res_a.partitions_run == ["en"]
+    after_a = _load_verdicts(out).to_pandas()
+    # exactly one row per partition — the stale 'en' row was scrubbed
+    assert after_a["partition"].value_counts().max() == 1
+    after_a = after_a.set_index("partition").sort_index()
+    assert after_a["rows"].sum() == n_rows_total
+    assert (after_a["rows"] == clean["rows"]).all()
+
+    # window B (legacy): manifest committed but verdict file lost
+    for f in os.listdir(out):
+        if f.startswith("verdicts-"):
+            t = pq.read_table(os.path.join(out, f))
+            import pyarrow.compute as pc
+
+            keep = t.filter(pc.invert(pc.equal(t["partition"], "de")))
+            if keep.num_rows:
+                pq.write_table(keep, os.path.join(out, f))
+            else:
+                os.remove(os.path.join(out, f))
+    res_b = run_validation(f"{src}/webpages", out, ValidateConfig())
+    assert res_b.partitions_run == []  # fully committed → nothing reruns
+    vb = res_b.verdicts.to_pandas().set_index("partition")
+    assert "de" in vb.index  # rebuilt from the manifest record
+    assert vb.loc["de", "rows"] == clean.loc["de", "rows"]
