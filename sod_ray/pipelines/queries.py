@@ -1301,6 +1301,143 @@ def embedding_neardup_pairs(sf_dir: str):
     return embedding_neardup(ds, "embedding", "vec_id", threshold=0.99)
 
 
+def gopher_quality_flags(sf_dir: str):
+    """Gopher-style (Rae et al. 2021) per-doc quality metrics + pass
+    flag — word count, mean word length, top-word repetition fraction.
+    Pure map_batches (no shuffle); zero-word docs dropped to match the
+    oracle's unnest semantics."""
+    from ..stages.textstage import gopher_stats_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = gopher_stats_batch(t)
+        t = t.filter(pc.greater(t["word_count"], 0))
+        return _round_cols(t, {"mean_word_len": 6, "top_word_frac": 6})
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+GOPHER_QUALITY_SQL = r"""
+WITH wf AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
+  GROUP BY doc_id, w
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS word_count,
+       ROUND(SUM(length(w) * c)::DOUBLE / SUM(c), 6) AS mean_word_len,
+       ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_word_frac,
+       (SUM(c) BETWEEN 50 AND 100000
+        AND SUM(length(w) * c)::DOUBLE / SUM(c) BETWEEN 3.0 AND 10.0
+        AND MAX(c)::DOUBLE / SUM(c) <= 0.3) AS quality_pass
+FROM wf GROUP BY doc_id
+"""
+
+
+def line_dedup_docs(sf_dir: str):
+    """C4-style global line-level dedup: keep each distinct line only at
+    its first (doc_id, line position) occurrence, reassemble docs from
+    surviving lines (docs losing every line vanish). Two shuffles, no
+    join — see stages.dedup.line_dedup."""
+    from ..stages.dedup import line_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return line_dedup(ds, "text", "doc_id")
+
+
+LINE_DEDUP_SQL = """
+WITH splits AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+), lines AS (
+  SELECT doc_id,
+         unnest(ls) AS line,
+         unnest(generate_series(1, len(ls))) AS line_no
+  FROM splits
+), ranked AS (
+  SELECT doc_id, line, line_no,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+  FROM lines
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_deduped
+FROM ranked WHERE rn = 1 GROUP BY doc_id
+"""
+
+
+def events_url_normalize(sf_dir: str):
+    """URL canonicalization (dedup pre-pass for a web corpus): strip
+    fragment, lowercase scheme+host, drop utm_* params, strip trailing
+    slash — each rule ONE RE2 rewrite, vectorized over Arrow. The
+    testdata has no URL column, so both sides construct the same
+    deterministic URLs from events (even ids get query+fragment
+    clutter, odd ids a bare trailing-slash form) — the oracle then
+    genuinely checks the normalizer on every row."""
+    from ..stages.textstage import normalize_url_array
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def build_and_norm(t: pa.Table) -> pa.Table:
+        ev = t["event_id"].combine_chunks()
+        evn = ev.to_numpy()
+        usn = t["user_id"].combine_chunks().to_numpy()
+        s = lambda m: pc.cast(pa.array(m, pa.int64()), pa.string())  # noqa: E731
+        lit = lambda v: pa.array([v] * len(t))  # noqa: E731
+        even = pc.binary_join_element_wise(
+            lit("HTTP://Example"),
+            s(usn % 20),
+            lit(".COM/p/"),
+            s(evn % 97),
+            lit("/?utm_source=abc&utm_medium=m"),
+            s(evn % 3),
+            lit("&q="),
+            s(usn % 5),
+            lit("#frag"),
+            "",
+        )
+        odd = pc.binary_join_element_wise(
+            lit("https://site"),
+            s(usn % 13),
+            lit(".org/a/b"),
+            s(evn % 11),
+            lit("/"),
+            "",
+        )
+        url = pc.if_else(pa.array(evn % 2 == 0), even, odd)
+        return pa.table(
+            {
+                "event_id": ev,
+                "url": url,
+                "norm_url": normalize_url_array(url),
+            }
+        )
+
+    return ds.map_batches(build_and_norm, batch_format="pyarrow")
+
+
+EVENTS_URL_NORM_SQL = r"""
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 2 = 0 THEN
+           'HTTP://Example' || (user_id % 20)::VARCHAR || '.COM/p/' ||
+           (event_id % 97)::VARCHAR || '/?utm_source=abc&utm_medium=m' ||
+           (event_id % 3)::VARCHAR || '&q=' || (user_id % 5)::VARCHAR || '#frag'
+         ELSE
+           'https://site' || (user_id % 13)::VARCHAR || '.org/a/b' ||
+           (event_id % 11)::VARCHAR || '/'
+         END AS url
+  FROM events
+), s1 AS (SELECT event_id, url, regexp_replace(url, '#.*$', '', 'g') AS u FROM raw),
+s2 AS (SELECT event_id, url,
+        concat(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')),
+               regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')) AS u
+       FROM s1),
+s3 AS (SELECT event_id, url, regexp_replace(u, '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g') AS u FROM s2),
+s4 AS (SELECT event_id, url, regexp_replace(u, '\?utm_[A-Za-z0-9_]*=[^&]*&', '?', 'g') AS u FROM s3),
+s5 AS (SELECT event_id, url, regexp_replace(u, '\?utm_[A-Za-z0-9_]*=[^&]*$', '', 'g') AS u FROM s4)
+SELECT event_id, url, regexp_replace(u, '/$', '', 'g') AS norm_url FROM s5
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1334,6 +1471,9 @@ QUERIES = {
     "doc_token_counts": doc_token_counts,
     "token_totals_by_lang": token_totals_by_lang,
     "top50_tokens": top50_tokens,
+    "gopher_quality_flags": gopher_quality_flags,
+    "line_dedup_docs": line_dedup_docs,
+    "events_url_normalize": events_url_normalize,
     "docs_stratified_sample": docs_stratified_sample,
     "embedding_norms": embedding_norms,
     "knn_cosine_top5": knn_cosine_top5,
@@ -1381,6 +1521,9 @@ ORACLES = {
     "doc_token_counts": DOC_TOKENS_SQL,
     "token_totals_by_lang": TOKEN_TOTALS_SQL,
     "top50_tokens": TOP_TOKENS_SQL,
+    "gopher_quality_flags": GOPHER_QUALITY_SQL,
+    "line_dedup_docs": LINE_DEDUP_SQL,
+    "events_url_normalize": EVENTS_URL_NORM_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,
     "embedding_norms": EMBED_NORMS_SQL,
     "knn_cosine_top5": KNN_SQL,

@@ -599,8 +599,15 @@ def simhash_dedup(
     band_rows = ds.map_batches(add_simhash, batch_format="pyarrow")
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            return empty
         g = group.sort_values(id_col, kind="stable").drop_duplicates(id_col)
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
@@ -618,7 +625,15 @@ def simhash_dedup(
                 out_a.append(ids[i])
                 out_b.append(ids[i + 1 + h])
                 out_h.append(int(ham[h]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.asarray(out_a, dtype=np.int64),
+                "id_b": np.asarray(out_b, dtype=np.int64),
+                "hamming": np.asarray(out_h, dtype=np.int64),
+            }
+        )
 
     pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
         verify, batch_format="pandas"
@@ -665,7 +680,21 @@ def ngram_jaccard_pairs(
                     out_a.append(ids[i])
                     out_b.append(ids[j])
                     out_j.append(jac)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.asarray(out_a, dtype=np.int64),
+                "id_b": np.asarray(out_b, dtype=np.int64),
+                "jaccard": np.asarray(out_j, dtype=np.float64),
+            }
+        )
 
     key = bucket_col or "__no_bucket"
     src = ds
@@ -724,7 +753,13 @@ def embedding_neardup(
 
     def verify(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
         g = group.drop_duplicates(id_col).sort_values(id_col, kind="stable")
         ids = g[id_col].to_numpy()
         V = np.stack(g["__vn"].to_numpy()).astype(np.float64)
@@ -733,8 +768,8 @@ def embedding_neardup(
         hits = S[iu, ju] >= threshold
         return pd.DataFrame(
             {
-                "id_a": ids[iu[hits]],
-                "id_b": ids[ju[hits]],
+                "id_a": np.asarray(ids[iu[hits]], dtype=np.int64),
+                "id_b": np.asarray(ids[ju[hits]], dtype=np.int64),
                 "cosine": S[iu, ju][hits],
             }
         )
@@ -790,3 +825,59 @@ def connected_components_distributed(
         max_levels=max_rounds,
         driver_finish_edges=driver_finish_edges,
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id", sep: str = "\n"):
+    """C4-style global line-level dedup (Raffel et al. 2020): every
+    distinct line is kept only at its FIRST occurrence ordered by
+    (doc id, line position); documents are reassembled from their kept
+    lines, preserving line order; docs whose every line lost vanish.
+
+    Scale shape: two shuffles and no join. Explode is a vectorized
+    ``map_batches`` (Arrow split_pattern + numpy offsets). The first
+    ``groupby(line)`` ships each line's text exactly once (the text has
+    to cross anyway to be reassembled) and emits ONLY the winner
+    occurrence, so the second ``groupby(doc_id)`` moves just the
+    surviving lines. For corpora where lines are huge, group on
+    (hash64(line), line) instead — same semantics, better sort keys —
+    but the text still crosses once by necessity.
+    """
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col].combine_chunks(), "")
+        lines = pc.split_pattern(txt, sep)
+        flat = pc.list_flatten(lines)
+        n_per = pc.list_value_length(lines).to_numpy().astype(np.int64)
+        rid = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_per)
+        starts = np.repeat(np.cumsum(n_per) - n_per, n_per)
+        line_no = np.arange(len(flat), dtype=np.int64) - starts + 1
+        return pa.table(
+            {
+                "line": flat,
+                id_col: pa.array(rid, pa.int64()),
+                "line_no": pa.array(line_no, pa.int64()),
+            }
+        )
+
+    lines = ds.map_batches(explode, batch_format="pyarrow")
+
+    def winner(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values([id_col, "line_no"], kind="stable").head(1)
+
+    kept = lines.groupby("line").map_groups(winner, batch_format="pandas")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("line_no", kind="stable")
+        return pd.DataFrame(
+            {
+                id_col: np.asarray([g[id_col].iloc[0]], dtype=np.int64),
+                "text_deduped": [sep.join(g["line"])],
+            }
+        )
+
+    return kept.groupby(id_col).map_groups(reassemble, batch_format="pandas")

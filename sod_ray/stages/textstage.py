@@ -9,6 +9,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import text as T
 
@@ -83,6 +84,90 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column(
         "fingerprint", pa.array(np.asarray(fps, dtype=np.uint64), pa.uint64())
     )
+
+
+def gopher_stats_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Gopher-style repetition/quality metrics (Rae et al. 2021, public):
+    per-doc word count, mean word length, and top-word repetition
+    fraction (the 1-gram case of Gopher's top-n-gram filters), plus the
+    combined pass flag. Entirely per-doc → pure ``map_batches``, no
+    shuffle; vectorized via Arrow whitespace split + dictionary-encode
+    and numpy bincount/unique (no Python loop over rows or tokens)."""
+    words = pc.utf8_split_whitespace(
+        pc.fill_null(batch[text_col].combine_chunks(), "")
+    )
+    flat = pc.list_flatten(words)
+    per_doc = pc.list_value_length(words).to_numpy().astype(np.int64)
+    wl = pc.utf8_length(flat).to_numpy().astype(np.int64)
+    n = len(batch)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+    keep = wl > 0  # whitespace-split may emit empties at text edges
+    if not keep.all():
+        doc_idx = doc_idx[keep]
+        wl = wl[keep]
+        flat = flat.filter(pa.array(keep))
+    wc = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    csum = np.bincount(doc_idx, weights=wl, minlength=n)
+    top = np.zeros(n, dtype=np.int64)
+    if len(doc_idx):
+        codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
+        vocab = int(codes.max()) + 1
+        uk, cnt = np.unique(doc_idx * vocab + codes, return_counts=True)
+        np.maximum.at(top, uk // vocab, cnt)
+    has = wc > 0
+    denom = np.maximum(wc, 1).astype(np.float64)
+    mwl = np.where(has, csum / denom, np.nan)
+    twf = np.where(has, top / denom, np.nan)
+    qpass = (
+        has
+        & (wc >= 50)
+        & (wc <= 100_000)
+        & (mwl >= 3.0)
+        & (mwl <= 10.0)
+        & (twf <= 0.3)
+    )
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "word_count": pa.array(wc, pa.int64()),
+            "mean_word_len": pa.array(mwl, pa.float64()),
+            "top_word_frac": pa.array(twf, pa.float64()),
+            "quality_pass": pa.array(qpass, pa.bool_()),
+        }
+    )
+
+
+# RE2 patterns shared by the Ray kernel and the DuckDB oracle (both are
+# RE2 engines, so semantics match byte for byte).
+_URL_PFX_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def normalize_url_array(arr) -> pa.Array:
+    """Canonicalize URLs for dedup, vectorized over an Arrow string
+    array: strip the fragment, lowercase scheme+host (path/query case
+    preserved), drop utm_* tracking params, strip one trailing slash.
+    Every rule is a single RE2 rewrite so the same normalization is
+    expressible in DuckDB regexp_replace for the oracle check."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    a = pc.replace_substring_regex(arr, r"#.*$", "")
+    m = pc.extract_regex(a, r"^(?P<p>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)")
+    pfx = pc.coalesce(pc.struct_field(m, "p"), pa.scalar("", pa.string()))
+    rest = pc.replace_substring_regex(a, _URL_PFX_RE, "")
+    a = pc.binary_join_element_wise(pc.utf8_lower(pfx), rest, "")
+    a = pc.replace_substring_regex(a, r"&utm_[A-Za-z0-9_]*=[^&]*", "")
+    a = pc.replace_substring_regex(a, r"\?utm_[A-Za-z0-9_]*=[^&]*&", "?")
+    a = pc.replace_substring_regex(a, r"\?utm_[A-Za-z0-9_]*=[^&]*$", "")
+    return pc.replace_substring_regex(a, r"/$", "")
+
+
+def normalize_url_batch(
+    batch: pa.Table, url_col: str = "url", out_col: str = "norm_url"
+) -> pa.Table:
+    """map_batches wrapper: append the normalized-URL column."""
+    return batch.append_column(out_col, normalize_url_array(batch[url_col]))
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:

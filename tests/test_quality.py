@@ -1,0 +1,174 @@
+"""Gopher-style quality metrics, C4-style line dedup, URL
+normalization — tested on hand-built non-degenerate inputs (the
+testdata documents are single-line, so the oracle check alone would
+not exercise multi-line reassembly or messy whitespace)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sod_ray.stages.dedup import line_dedup
+from sod_ray.stages.textstage import (
+    gopher_stats_batch,
+    normalize_url_array,
+    normalize_url_batch,
+)
+
+
+def test_gopher_stats_reference():
+    texts = [
+        "the cat sat on the mat",          # 6 words, top 'the' x2
+        "  spaced   out words  ",          # messy whitespace, 3 words
+        "aaa aaa aaa aaa",                 # pure repetition
+        "",                                # zero words
+        "solo",                            # single word
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()), "text": texts})
+    out = gopher_stats_batch(t).to_pandas()
+
+    def ref(s):
+        ws = s.split()
+        if not ws:
+            return 0, np.nan, np.nan
+        from collections import Counter
+
+        c = Counter(ws)
+        return (
+            len(ws),
+            sum(len(w) for w in ws) / len(ws),
+            max(c.values()) / len(ws),
+        )
+
+    for i, s in enumerate(texts):
+        wc, mwl, twf = ref(s)
+        assert out.word_count[i] == wc
+        if wc:
+            assert out.mean_word_len[i] == pytest.approx(mwl)
+            assert out.top_word_frac[i] == pytest.approx(twf)
+        else:
+            assert np.isnan(out.mean_word_len[i])
+            assert not out.quality_pass[i]
+    # repetition fails the top-word filter, short docs fail word_count
+    assert not out.quality_pass[2]
+    assert not out.quality_pass[4]
+
+
+def test_gopher_pass_flag_thresholds():
+    good = " ".join(f"word{i % 40}x" for i in range(200))  # 200 words, varied
+    bad_rep = " ".join(["dup"] * 200)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": [good, bad_rep]})
+    out = gopher_stats_batch(t).to_pandas()
+    assert bool(out.quality_pass[0]) is True
+    assert bool(out.quality_pass[1]) is False
+
+
+def test_gopher_null_text():
+    t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array([None], pa.string())})
+    out = gopher_stats_batch(t).to_pandas()
+    assert out.word_count[0] == 0 and not out.quality_pass[0]
+
+
+def _line_dedup_ref(docs: dict[int, str]) -> dict[int, str]:
+    """Brute-force reference: global first-occurrence line dedup."""
+    seen = {}
+    for did in sorted(docs):
+        for no, line in enumerate(docs[did].split("\n")):
+            if line not in seen:
+                seen[line] = (did, no)
+    out = {}
+    for did in sorted(docs):
+        kept = [
+            line
+            for no, line in enumerate(docs[did].split("\n"))
+            if seen[line] == (did, no)
+        ]
+        if kept:
+            out[did] = "\n".join(kept)
+    return out
+
+
+def test_line_dedup_multiline(ray_session):
+    import ray.data as rd
+
+    docs = {
+        1: "alpha\nbeta\ngamma",
+        2: "beta\ndelta\nalpha",          # loses alpha+beta to doc 1
+        3: "unique one\nunique two",
+        4: "alpha\nbeta\ngamma",          # full duplicate of doc 1 → vanishes
+        5: "echo\necho\necho",            # within-doc dups: keeps first only
+    }
+    ds = rd.from_items(
+        [{"doc_id": k, "text": v} for k, v in docs.items()]
+    ).repartition(3)
+    got = {
+        r["doc_id"]: r["text_deduped"]
+        for r in line_dedup(ds, "text", "doc_id").take_all()
+    }
+    assert got == _line_dedup_ref(docs)
+
+
+def test_line_dedup_single_line_equals_exact_dedup(ray_session):
+    import ray.data as rd
+
+    docs = {1: "same text", 2: "same text", 3: "other"}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = {
+        r["doc_id"]: r["text_deduped"]
+        for r in line_dedup(ds, "text", "doc_id").take_all()
+    }
+    assert got == {1: "same text", 3: "other"}
+
+
+URL_CASES = [
+    # (raw, normalized)
+    ("HTTP://WWW.Example.COM/Path/To?x=1#frag", "http://www.example.com/Path/To?x=1"),
+    ("https://a.b/", "https://a.b"),
+    ("https://a.b/p/?utm_source=x", "https://a.b/p"),
+    ("https://a.b/p?utm_source=x&q=2", "https://a.b/p?q=2"),
+    ("https://a.b/p?q=2&utm_source=x&utm_medium=y", "https://a.b/p?q=2"),
+    ("https://a.b/p?utm_a=1&utm_b=2", "https://a.b/p"),
+    ("FTP://Host.Org/File", "ftp://host.org/File"),
+    ("no-scheme/path/", "no-scheme/path"),
+    ("https://a.b/p#only-frag", "https://a.b/p"),
+    ("https://CASE.host/QueryCase?Key=Val", "https://case.host/QueryCase?Key=Val"),
+]
+
+
+def test_normalize_url_cases():
+    raw = pa.array([r for r, _ in URL_CASES], pa.string())
+    got = normalize_url_array(raw).to_pylist()
+    for (r, want), g in zip(URL_CASES, got):
+        assert g == want, f"{r!r}: {g!r} != {want!r}"
+
+
+def test_normalize_url_batch_appends():
+    t = pa.table({"url": pa.array(["https://X.Y/a/"], pa.string())})
+    out = normalize_url_batch(t)
+    assert out["norm_url"].to_pylist() == ["https://x.y/a"]
+
+
+def test_normalize_url_matches_duckdb():
+    """Parity with the oracle's regexp_replace chain on the tricky cases
+    (both engines are RE2, so these must agree byte-for-byte)."""
+    import duckdb
+
+    raw = [r for r, _ in URL_CASES]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u AS SELECT * FROM (VALUES " +
+                ",".join(f"('{r}')" for r in raw) + ") t(url)")
+    sql = r"""
+    WITH s1 AS (SELECT url, regexp_replace(url, '#.*$', '', 'g') AS u FROM u),
+    s2 AS (SELECT url,
+            concat(lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*')),
+                   regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')) AS u
+           FROM s1),
+    s3 AS (SELECT url, regexp_replace(u, '&utm_[A-Za-z0-9_]*=[^&]*', '', 'g') AS u FROM s2),
+    s4 AS (SELECT url, regexp_replace(u, '\?utm_[A-Za-z0-9_]*=[^&]*&', '?', 'g') AS u FROM s3),
+    s5 AS (SELECT url, regexp_replace(u, '\?utm_[A-Za-z0-9_]*=[^&]*$', '', 'g') AS u FROM s4)
+    SELECT url, regexp_replace(u, '/$', '', 'g') AS norm FROM s5
+    """
+    oracle = dict(con.sql(sql).fetchall())
+    got = normalize_url_array(pa.array(raw, pa.string())).to_pylist()
+    for r, g in zip(raw, got):
+        assert g == oracle[r], f"{r!r}: ray {g!r} != duckdb {oracle[r]!r}"
