@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import math
 import pickle
+import struct
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -33,15 +34,39 @@ import pyarrow as pa
 
 
 class _Serializable:
+    """Serialization with a compact binary codec per sketch class.
+
+    The first byte is a format tag; pickle streams start with 0x80, so
+    bytes written by earlier versions (plain pickle) stay readable.
+    The compact forms preserve float64 payloads exactly — estimates are
+    bit-identical across a round-trip — and cut the per-sketch overhead
+    that dominates at fine partition keys (a 10-value t-digest is 118 B
+    compact vs 440 B pickled; a 10-register sparse HLL 56 B vs 332 B).
+    At 10^7 keys × a few columns that is the difference between the
+    sketch-merge shuffle moving ~2 GB and ~13 GB."""
+
+    _TAG: bytes = b""  # override per class
+
     def to_bytes(self) -> bytes:
+        return self._to_compact()
+
+    def _to_compact(self) -> bytes:  # pragma: no cover - overridden
         return pickle.dumps(self, protocol=pickle.HIGHEST_PROTOCOL)
 
     @classmethod
     def from_bytes(cls, b: bytes):
-        obj = pickle.loads(b)
-        if not isinstance(obj, cls):
-            raise TypeError(f"expected {cls.__name__}, got {type(obj).__name__}")
-        return obj
+        if b[:1] == b"\x80":  # legacy pickle (older baselines on disk)
+            obj = pickle.loads(b)
+            if not isinstance(obj, cls):
+                raise TypeError(
+                    f"expected {cls.__name__}, got {type(obj).__name__}"
+                )
+            return obj
+        return cls._from_compact(b)
+
+    @classmethod
+    def _from_compact(cls, b: bytes):  # pragma: no cover - overridden
+        raise TypeError(f"{cls.__name__}: unknown serialized format")
 
 
 # ---------------------------------------------------------------------------
@@ -66,6 +91,26 @@ class Welford(_Serializable):
     n_null: int = 0
     n_nan: int = 0
     total: int = 0  # all rows seen incl. null/NaN
+
+    _FMT = "<cqddddqqq"  # tag + the 8 fields above; 65 B fixed
+
+    def _to_compact(self) -> bytes:
+        return struct.pack(
+            self._FMT, b"W", self.n, self.mean, self.m2, self.vmin,
+            self.vmax, self.n_null, self.n_nan, self.total,
+        )
+
+    @classmethod
+    def _from_compact(cls, b: bytes) -> "Welford":
+        tag, n, mean, m2, vmin, vmax, n_null, n_nan, total = struct.unpack(
+            cls._FMT, b
+        )
+        if tag != b"W":
+            raise TypeError(f"Welford: bad tag {tag!r}")
+        return cls(
+            n=n, mean=mean, m2=m2, vmin=vmin, vmax=vmax,
+            n_null=n_null, n_nan=n_nan, total=total,
+        )
 
     def update_array(self, arr) -> "Welford":
         """Accumulate a pyarrow Array/ChunkedArray or numpy array —
@@ -243,6 +288,33 @@ class HyperLogLog(_Serializable):
         self.__dict__.setdefault("sparse_idx", None)
         self.__dict__.setdefault("sparse_rank", None)
 
+    def _to_compact(self) -> bytes:
+        if self.registers is None:  # sparse: tag 'H' + p + k + pairs
+            idx = np.ascontiguousarray(self.sparse_idx, dtype=np.int32)
+            rank = np.ascontiguousarray(self.sparse_rank, dtype=np.uint8)
+            return (
+                struct.pack("<cBi", b"H", self.p, idx.size)
+                + idx.tobytes()
+                + rank.tobytes()
+            )
+        regs = np.ascontiguousarray(self.registers, dtype=np.uint8)
+        return struct.pack("<cB", b"D", self.p) + regs.tobytes()
+
+    @classmethod
+    def _from_compact(cls, b: bytes) -> "HyperLogLog":
+        if b[:1] == b"H":
+            _, p, k = struct.unpack("<cBi", b[:6])
+            idx = np.frombuffer(b, dtype=np.int32, count=k, offset=6).copy()
+            rank = np.frombuffer(
+                b, dtype=np.uint8, count=k, offset=6 + 4 * k
+            ).copy()
+            return cls(p=p, sparse_idx=idx, sparse_rank=rank)
+        if b[:1] == b"D":
+            _, p = struct.unpack("<cB", b[:2])
+            regs = np.frombuffer(b, dtype=np.uint8, count=1 << p, offset=2).copy()
+            return cls(p=p, registers=regs)
+        raise TypeError(f"HyperLogLog: bad tag {b[:1]!r}")
+
     def _dense_cutoff(self) -> int:
         # past this many touched registers the pair list (~5 B each)
         # stops being smaller than the 1-B/register dense array
@@ -377,6 +449,37 @@ class TDigest(_Serializable):
         self._compress()  # never serialize the raw value buffer
         return super().to_bytes()
 
+    _HDR = "<cdqddiB"  # tag, delta, n, vmin, vmax, k, flags
+
+    def _to_compact(self) -> bytes:
+        # flag bit 0: every centroid has weight 1.0 (the common case for
+        # fine partition keys) — weights omitted entirely
+        m = np.ascontiguousarray(self.means, dtype=np.float64)
+        w = np.ascontiguousarray(self.weights, dtype=np.float64)
+        all_one = bool(m.size == 0 or np.all(w == 1.0))
+        hdr = struct.pack(
+            self._HDR, b"T", self.delta, self.n, self._vmin, self._vmax,
+            m.size, 1 if all_one else 0,
+        )
+        return hdr + m.tobytes() + (b"" if all_one else w.tobytes())
+
+    @classmethod
+    def _from_compact(cls, b: bytes) -> "TDigest":
+        hsz = struct.calcsize(cls._HDR)
+        tag, delta, n, vmin, vmax, k, flags = struct.unpack(cls._HDR, b[:hsz])
+        if tag != b"T":
+            raise TypeError(f"TDigest: bad tag {tag!r}")
+        means = np.frombuffer(b, dtype=np.float64, count=k, offset=hsz).copy()
+        if flags & 1:
+            weights = np.ones(k, dtype=np.float64)
+        else:
+            weights = np.frombuffer(
+                b, dtype=np.float64, count=k, offset=hsz + 8 * k
+            ).copy()
+        d = cls(delta=delta, means=means, weights=weights, n=n)
+        d._vmin, d._vmax = vmin, vmax
+        return d
+
     def update_array(self, arr) -> "TDigest":
         if isinstance(arr, (pa.Array, pa.ChunkedArray)):
             arr = arr.drop_null().to_numpy(zero_copy_only=False)
@@ -487,6 +590,24 @@ class Histogram(_Serializable):
     def __post_init__(self):
         if self.counts is None:
             self.counts = np.zeros(self.bins + 2, dtype=np.int64)
+
+    def _to_compact(self) -> bytes:
+        counts = np.ascontiguousarray(self.counts, dtype=np.int64)
+        return (
+            struct.pack("<cddi", b"G", self.lo, self.hi, self.bins)
+            + counts.tobytes()
+        )
+
+    @classmethod
+    def _from_compact(cls, b: bytes) -> "Histogram":
+        hsz = struct.calcsize("<cddi")
+        tag, lo, hi, bins = struct.unpack("<cddi", b[:hsz])
+        if tag != b"G":
+            raise TypeError(f"Histogram: bad tag {tag!r}")
+        counts = np.frombuffer(
+            b, dtype=np.int64, count=bins + 2, offset=hsz
+        ).copy()
+        return cls(lo=lo, hi=hi, bins=bins, counts=counts)
 
     def update_array(self, arr) -> "Histogram":
         if isinstance(arr, (pa.Array, pa.ChunkedArray)):

@@ -303,3 +303,65 @@ def test_hll_dense_era_pickle_loads():
     old.__setstate__(state)
     assert old.cardinality() == h.cardinality()
     assert old.merge(HyperLogLog().update_array(pa.array(["c"]))).cardinality() >= 2
+
+
+def test_compact_codec_bit_identical_and_legacy_pickle():
+    """Compact binary codecs: estimates bit-identical across a round
+    trip, legacy pickle bytes still load, merge works on decoded
+    sketches, and the fine-key sizes actually shrink."""
+    import pickle
+
+    from sod_ray.state.sketches import Histogram
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=10)
+
+    d = TDigest().update_array(x)
+    b = d.to_bytes()
+    assert b[:1] == b"T" and len(b) < 200  # was ~440 B pickled
+    d2 = TDigest.from_bytes(b)
+    assert np.array_equal(d2.means, d.means)
+    assert np.array_equal(d2.weights, d.weights)
+    assert d2.quantile(0.5) == d.quantile(0.5)
+    assert (d2.n, d2._vmin, d2._vmax) == (d.n, d._vmin, d._vmax)
+
+    w = Welford().update_array(np.append(x, [np.nan]))
+    wb = w.to_bytes()
+    assert wb[:1] == b"W" and len(wb) == 65
+    assert Welford.from_bytes(wb).result() == w.result()
+
+    h = HyperLogLog().update_array(np.arange(10))
+    hb = h.to_bytes()
+    assert hb[:1] == b"H" and len(hb) < 100  # was ~330 B pickled
+    assert HyperLogLog.from_bytes(hb).cardinality() == h.cardinality()
+    hd = HyperLogLog().update_array(np.arange(100_000))
+    assert hd.registers is not None
+    hdb = hd.to_bytes()
+    assert hdb[:1] == b"D"
+    assert HyperLogLog.from_bytes(hdb).cardinality() == hd.cardinality()
+
+    g = Histogram(lo=-3.0, hi=3.0).update_array(x)
+    g2 = Histogram.from_bytes(g.to_bytes())
+    assert np.array_equal(g2.counts, g.counts)
+    assert (g2.lo, g2.hi, g2.bins) == (g.lo, g.hi, g.bins)
+
+    # legacy pickles (pre-codec baselines on disk) still load
+    for obj, cls in ((d, TDigest), (w, Welford), (h, HyperLogLog), (g, Histogram)):
+        legacy = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+        back = cls.from_bytes(legacy)
+        assert type(back) is cls
+
+    # decoded sketches are mutable and mergeable
+    m = TDigest.from_bytes(b).merge(TDigest.from_bytes(b))
+    assert m.n == 2 * d.n
+    hm = HyperLogLog.from_bytes(hb).merge(HyperLogLog.from_bytes(hdb))
+    assert hm.cardinality() >= hd.cardinality() * 0.9
+
+    # weighted centroids (post-compress weights > 1) round-trip too
+    big = TDigest().update_array(rng.normal(size=50_000))
+    big._compress()
+    assert not np.all(big.weights == 1.0)
+    bb = big.to_bytes()
+    b2 = TDigest.from_bytes(bb)
+    assert np.array_equal(b2.weights, big.weights)
+    assert b2.quantile(0.9) == big.quantile(0.9)
