@@ -1438,6 +1438,18 @@ SELECT event_id, url, regexp_replace(u, '/$', '', 'g') AS norm_url FROM s5
 """
 
 
+def docs_neardup_dedup(sf_dir: str):
+    """End-to-end near-dup corpus dedup (rows-only): MinHash+LSH pairs
+    → distributed CC → keep the min-id doc per near-dup cluster.
+    Returns the surviving docs' (doc_id, lang, n_chars)."""
+    from ..stages.dedup import neardup_dedup_corpus
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    return neardup_dedup_corpus(ds, "text", "doc_id").select_columns(
+        ["doc_id", "lang", "n_chars"]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1490,6 +1502,7 @@ QUERIES = {
     "minhash_pairs_documents": minhash_pairs_documents,
     "simhash_pairs_documents": simhash_pairs_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "docs_neardup_dedup": docs_neardup_dedup,
 }
 
 ORACLES = {

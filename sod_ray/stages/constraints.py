@@ -403,6 +403,9 @@ def bucketed_anti_join(
 
     @ray.remote
     def split_parent(t: pa.Table):
+        if pk not in t.column_names:  # schema-less empty block upstream
+            empty = pa.array([], pa.string())
+            return tuple(empty for _ in range(P))
         keys = t[pk]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
@@ -417,6 +420,11 @@ def bucketed_anti_join(
 
     @ray.remote
     def split_child(t: pa.Table):
+        if fk not in t.column_names:  # schema-less empty block upstream
+            empty = child_schema.empty_table().append_column(
+                "__key", pa.array([], pa.string())
+            )
+            return tuple(empty for _ in range(P))
         keys = t[fk]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()

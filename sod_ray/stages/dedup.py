@@ -162,6 +162,7 @@ def minhash_lsh_dedup(
     seed: int = 1337,
     max_bucket_size: int = 256,
     small_corpus_rows: int = 100_000,
+    as_dataset: bool = False,
 ):
     """MinHash+LSH near-dup pairs, fully distributed:
 
@@ -188,12 +189,19 @@ def minhash_lsh_dedup(
     band rows and verification happens inside the bucket groups (one
     execution total). Same results either way (tested).
 
-    Returns a pyarrow Table (id_a, id_b, jaccard_est), id_a < id_b."""
+    Returns a pyarrow Table (id_a, id_b, jaccard_est), id_a < id_b —
+    or, with ``as_dataset=True``, the verified pairs as a Dataset
+    (unsorted, possibly with band-duplicate pairs already removed):
+    the form downstream distributed consumers (connected components,
+    corpus dedup) want, since a web corpus' pair list need not fit on
+    the driver."""
+    import ray.data as rd
 
     if ds.count() < small_corpus_rows:
-        return _minhash_small(
+        small = _minhash_small(
             ds, text_col, id_col, n_perm, bands, shingle_k, jaccard_threshold, seed
         )
+        return rd.from_arrow(small) if as_dataset else small
 
     def to_sig_rows(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -270,6 +278,8 @@ def minhash_lsh_dedup(
     verified = _verify_pairs_distributed(
         pairs, sig_rows, id_col, jaccard_threshold
     )
+    if as_dataset:
+        return verified
     pdf = verified.to_pandas()
     if len(pdf) == 0:
         return pa.table(
@@ -881,3 +891,71 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id", sep: str = "\
         )
 
     return kept.groupby(id_col).map_groups(reassemble, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup corpus dedup
+# ---------------------------------------------------------------------------
+
+
+def neardup_dedup_corpus(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    broadcast_limit: int = 5_000_000,
+    **lsh_kwargs,
+):
+    """The LLM-training-data primitive: near-dup dedup of a whole
+    corpus. MinHash+LSH verified pairs (kept as a Dataset — a web
+    corpus' pair list need not fit on the driver) → distributed
+    connected components → keep exactly the canonical doc per cluster
+    (label == min member id), drop the other members. Returns the
+    deduped corpus Dataset with all original columns.
+
+    The drop-set (non-canonical members) is dup-member-count-sized —
+    ~30% of docs on raw web crawls. Below ``broadcast_limit`` ids it
+    broadcasts once via ray.put (sorted int64 + per-batch searchsorted
+    membership); above, it switches to the explicit hash-bucket
+    exchange anti-join (both-sides-large, value-compared)."""
+    from .constraints import bucketed_anti_join
+
+    pairs = minhash_lsh_dedup(
+        ds,
+        text_col,
+        id_col,
+        jaccard_threshold=jaccard_threshold,
+        as_dataset=True,
+        **lsh_kwargs,
+    ).map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    ).materialize()
+    if pairs.count() == 0:  # no near-dups anywhere
+        return ds
+    labels = connected_components_distributed(pairs)
+
+    def non_canonical(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["label"])
+        return pa.table({"node": t.filter(keep)["node"].cast(pa.int64())})
+
+    drop = labels.map_batches(non_canonical, batch_format="pyarrow")
+    n_drop = drop.count()
+    if n_drop == 0:
+        return ds
+    if n_drop <= broadcast_limit:
+        drop_ids = np.sort(
+            np.concatenate(
+                [b["node"].to_numpy() for b in drop.iter_batches(batch_format="pyarrow")]
+            )
+        )
+        ref = ray.put(drop_ids)
+
+        def keep_batch(t: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(d, ids)
+            member = (pos < d.shape[0]) & (d[np.minimum(pos, d.shape[0] - 1)] == ids)
+            return t.filter(pa.array(~member))
+
+        return ds.map_batches(keep_batch, batch_format="pyarrow")
+    return bucketed_anti_join(ds, drop, fk=id_col, pk="node")

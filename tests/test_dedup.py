@@ -237,3 +237,46 @@ def test_dup_cluster_ids_planted(ray_session, tmp_path):
     )
     assert got["cluster_id"].tolist() == exp["cluster_id"].tolist()
     assert (got["cluster_id"] == (got["doc_id"] // 4) * 4).all()
+
+
+def test_neardup_dedup_corpus(ray_session, doc_table):
+    """End-to-end corpus dedup: docs 0,1,2,3 form one near-dup cluster
+    (0,1 exact; 2,3 near) — exactly doc 0 survives; all noise docs
+    survive. Both the broadcast drop-set path and the bucketed
+    anti-join path must agree."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import neardup_dedup_corpus
+
+    ds = rd.from_arrow(doc_table)
+    kept = neardup_dedup_corpus(
+        ds, "text", "doc_id", jaccard_threshold=0.5
+    ).to_pandas()
+    ids = set(kept["doc_id"])
+    assert 0 in ids and not {1, 2, 3} & ids
+    assert ids == {0} | set(range(4, len(doc_table)))
+    # original columns survive
+    assert set(kept.columns) == {"doc_id", "text"}
+
+    # force the bucketed anti-join path (broadcast_limit=0)
+    kept2 = neardup_dedup_corpus(
+        rd.from_arrow(doc_table), "text", "doc_id",
+        jaccard_threshold=0.5, broadcast_limit=0,
+    ).to_pandas()
+    assert set(kept2["doc_id"]) == ids
+
+
+def test_neardup_dedup_corpus_no_dups(ray_session):
+    """A corpus with no near-dups passes through untouched."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import neardup_dedup_corpus
+
+    rng = np.random.default_rng(1)
+    words = [f"w{i}" for i in range(500)]
+    docs = [" ".join(rng.choice(words, size=40).tolist()) for _ in range(20)]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    )
+    kept = neardup_dedup_corpus(ds, "text", "doc_id").to_pandas()
+    assert set(kept["doc_id"]) == set(range(20))
