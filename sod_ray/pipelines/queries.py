@@ -1313,25 +1313,47 @@ def gopher_quality_flags(sf_dir: str):
     def finish(t: pa.Table) -> pa.Table:
         t = gopher_stats_batch(t)
         t = t.filter(pc.greater(t["word_count"], 0))
-        return _round_cols(t, {"mean_word_len": 6, "top_word_frac": 6})
+        return _round_cols(
+            t, {"mean_word_len": 6, "top_word_frac": 6, "top_bigram_frac": 6}
+        )
 
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
 GOPHER_QUALITY_SQL = r"""
-WITH wf AS (
-  SELECT doc_id, w, COUNT(*) AS c
-  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w FROM documents)
-  GROUP BY doc_id, w
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\S+')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '\S+')))) AS pos
+  FROM documents
+), wf AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+), wagg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS word_count,
+         SUM(length(w) * c)::DOUBLE / SUM(c) AS mean_word_len,
+         MAX(c)::DOUBLE / SUM(c) AS top_word_frac
+  FROM wf GROUP BY doc_id
+), big AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM words
+  QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+), bf AS (
+  SELECT doc_id, bg, COUNT(*) AS c2 FROM big GROUP BY doc_id, bg
+), bagg AS (
+  SELECT doc_id, MAX(c2)::DOUBLE / SUM(c2) AS top_bigram_frac
+  FROM bf GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(SUM(c) AS BIGINT) AS word_count,
-       ROUND(SUM(length(w) * c)::DOUBLE / SUM(c), 6) AS mean_word_len,
-       ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_word_frac,
-       (SUM(c) BETWEEN 50 AND 100000
-        AND SUM(length(w) * c)::DOUBLE / SUM(c) BETWEEN 3.0 AND 10.0
-        AND MAX(c)::DOUBLE / SUM(c) <= 0.3) AS quality_pass
-FROM wf GROUP BY doc_id
+SELECT w.doc_id,
+       w.word_count,
+       ROUND(w.mean_word_len, 6) AS mean_word_len,
+       ROUND(w.top_word_frac, 6) AS top_word_frac,
+       ROUND(b.top_bigram_frac, 6) AS top_bigram_frac,
+       (w.word_count BETWEEN 50 AND 100000
+        AND w.mean_word_len BETWEEN 3.0 AND 10.0
+        AND w.top_word_frac <= 0.3
+        AND (b.top_bigram_frac IS NULL OR b.top_bigram_frac <= 0.2)) AS quality_pass
+FROM wagg w LEFT JOIN bagg b ON w.doc_id = b.doc_id
 """
 
 

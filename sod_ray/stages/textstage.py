@@ -90,11 +90,12 @@ def gopher_stats_batch(
     batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
 ) -> pa.Table:
     """Gopher-style repetition/quality metrics (Rae et al. 2021, public):
-    per-doc word count, mean word length, and top-word repetition
-    fraction (the 1-gram case of Gopher's top-n-gram filters), plus the
-    combined pass flag. Entirely per-doc → pure ``map_batches``, no
-    shuffle; vectorized via Arrow whitespace split + dictionary-encode
-    and numpy bincount/unique (no Python loop over rows or tokens)."""
+    per-doc word count, mean word length, and top-1-gram / top-2-gram
+    repetition fractions (occurrence-fraction variants of Gopher's
+    top-n-gram filters), plus the combined pass flag. Entirely per-doc
+    → pure ``map_batches``, no shuffle; vectorized via Arrow whitespace
+    split + dictionary-encode and numpy bincount/unique/lexsort (no
+    Python loop over rows or tokens)."""
     words = pc.utf8_split_whitespace(
         pc.fill_null(batch[text_col].combine_chunks(), "")
     )
@@ -111,15 +112,33 @@ def gopher_stats_batch(
     wc = np.bincount(doc_idx, minlength=n).astype(np.int64)
     csum = np.bincount(doc_idx, weights=wl, minlength=n)
     top = np.zeros(n, dtype=np.int64)
+    top2 = np.zeros(n, dtype=np.int64)
     if len(doc_idx):
         codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
         vocab = int(codes.max()) + 1
         uk, cnt = np.unique(doc_idx * vocab + codes, return_counts=True)
         np.maximum.at(top, uk // vocab, cnt)
+        # top 2-gram count per doc: consecutive same-doc token pairs,
+        # run-length counted after a lexsort (no vocab^2 key overflow)
+        same = doc_idx[1:] == doc_idx[:-1]
+        if same.any():
+            bd = doc_idx[:-1][same]
+            b1 = codes[:-1][same]
+            b2 = codes[1:][same]
+            order = np.lexsort((b2, b1, bd))
+            bd, b1, b2 = bd[order], b1[order], b2[order]
+            new = np.concatenate(
+                ([True],
+                 (bd[1:] != bd[:-1]) | (b1[1:] != b1[:-1]) | (b2[1:] != b2[:-1]))
+            )
+            cnt2 = np.bincount(np.cumsum(new) - 1)
+            np.maximum.at(top2, bd[new], cnt2)
     has = wc > 0
     denom = np.maximum(wc, 1).astype(np.float64)
     mwl = np.where(has, csum / denom, np.nan)
     twf = np.where(has, top / denom, np.nan)
+    nbig = np.maximum(wc - 1, 0)
+    tbf = np.where(nbig > 0, top2 / np.maximum(nbig, 1), np.nan)
     qpass = (
         has
         & (wc >= 50)
@@ -127,6 +146,7 @@ def gopher_stats_batch(
         & (mwl >= 3.0)
         & (mwl <= 10.0)
         & (twf <= 0.3)
+        & (np.isnan(tbf) | (tbf <= 0.2))
     )
     return pa.table(
         {
@@ -134,6 +154,7 @@ def gopher_stats_batch(
             "word_count": pa.array(wc, pa.int64()),
             "mean_word_len": pa.array(mwl, pa.float64()),
             "top_word_frac": pa.array(twf, pa.float64()),
+            "top_bigram_frac": pa.array(tbf, pa.float64()),
             "quality_pass": pa.array(qpass, pa.bool_()),
         }
     )

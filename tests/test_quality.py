@@ -63,6 +63,21 @@ def test_gopher_pass_flag_thresholds():
     assert bool(out.quality_pass[1]) is False
 
 
+def test_gopher_top_bigram():
+    texts = [
+        "a b a b a b",          # bigrams: ab ba ab ba ab → top 'a b' 3/5
+        "x y z w",              # all bigrams distinct → 1/3
+        "solo",                 # no bigrams → NaN
+        "r r r r r",            # 'r r' × 4 of 4 → 1.0
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    out = gopher_stats_batch(t).to_pandas()
+    assert out.top_bigram_frac[0] == pytest.approx(3 / 5)
+    assert out.top_bigram_frac[1] == pytest.approx(1 / 3)
+    assert np.isnan(out.top_bigram_frac[2])
+    assert out.top_bigram_frac[3] == pytest.approx(1.0)
+
+
 def test_gopher_null_text():
     t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": pa.array([None], pa.string())})
     out = gopher_stats_batch(t).to_pandas()
@@ -172,3 +187,26 @@ def test_normalize_url_matches_duckdb():
     got = normalize_url_array(pa.array(raw, pa.string())).to_pylist()
     for r, g in zip(raw, got):
         assert g == oracle[r], f"{r!r}: ray {g!r} != duckdb {oracle[r]!r}"
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_line_st = st.text(alphabet="ab \n", min_size=0, max_size=30)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_line_st, min_size=1, max_size=8))
+def test_line_dedup_property(texts):
+    """Property: line_dedup == the brute-force first-occurrence
+    reference on arbitrary small multi-line docs (incl. empty lines,
+    repeated lines, whole-doc dups)."""
+    import ray.data as rd
+
+    docs = {i: t for i, t in enumerate(texts)}
+    ds = rd.from_items([{"doc_id": k, "text": v} for k, v in docs.items()])
+    got = {
+        r["doc_id"]: r["text_deduped"]
+        for r in line_dedup(ds, "text", "doc_id").take_all()
+    }
+    assert got == _line_dedup_ref(docs)
