@@ -1460,6 +1460,65 @@ SELECT event_id, url, regexp_replace(u, '/$', '', 'g') AS norm_url FROM s5
 """
 
 
+def docs_pii_redact(sf_dir: str):
+    """PII scrubbing (emails / +phones / IPv4 → typed placeholders,
+    with per-doc counts). The testdata text has no PII, so both sides
+    append the same deterministic PII suffix per doc — the oracle then
+    checks the three RE2 rewrites and counts on every row."""
+    from ..stages.textstage import redact_pii_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def build_and_redact(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        idn = ids.to_numpy()
+        s = lambda m: pc.cast(pa.array(m, pa.int64()), pa.string())  # noqa: E731
+        lit = lambda v: pa.array([v] * len(t))  # noqa: E731
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t["text"].combine_chunks(), ""),
+            lit(" contact u"),
+            s(idn),
+            lit("@example.com or +1415555"),
+            s(idn % 1000),
+            lit(" at 10.0."),
+            s(idn % 256),
+            lit(".7"),
+            "",
+        )
+        red = redact_pii_batch(
+            pa.table({"doc_id": ids, "text": txt}), "text", "text_redacted"
+        )
+        return red.select(
+            ["doc_id", "text_redacted", "n_emails", "n_phones", "n_ips"]
+        )
+
+    return ds.map_batches(build_and_redact, batch_format="pyarrow")
+
+
+DOCS_PII_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         text || ' contact u' || doc_id::VARCHAR || '@example.com or +1415555' ||
+         (doc_id % 1000)::VARCHAR || ' at 10.0.' || (doc_id % 256)::VARCHAR || '.7' AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM raw
+), s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+         regexp_replace(t, '\+[0-9]{7,15}', '<PHONE>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id, n_emails, n_phones,
+       CAST(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+       regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text_redacted
+FROM s2
+"""
+
+
 def docs_neardup_dedup(sf_dir: str):
     """End-to-end near-dup corpus dedup (rows-only): MinHash+LSH pairs
     → distributed CC → keep the min-id doc per near-dup cluster.
@@ -1525,6 +1584,7 @@ QUERIES = {
     "simhash_pairs_documents": simhash_pairs_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "docs_neardup_dedup": docs_neardup_dedup,
+    "docs_pii_redact": docs_pii_redact,
 }
 
 ORACLES = {
@@ -1559,6 +1619,7 @@ ORACLES = {
     "gopher_quality_flags": GOPHER_QUALITY_SQL,
     "line_dedup_docs": LINE_DEDUP_SQL,
     "events_url_normalize": EVENTS_URL_NORM_SQL,
+    "docs_pii_redact": DOCS_PII_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,
     "embedding_norms": EMBED_NORMS_SQL,
     "knn_cosine_top5": KNN_SQL,

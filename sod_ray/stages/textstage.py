@@ -191,6 +191,36 @@ def normalize_url_batch(
     return batch.append_column(out_col, normalize_url_array(batch[url_col]))
 
 
+# PII patterns shared verbatim with the DuckDB oracle (both RE2).
+# Applied in this order — email first so its local part's digits are
+# gone before the phone pass, phone before IP so a '+'-prefixed number
+# never half-matches as an address.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def redact_pii_batch(
+    batch: pa.Table, text_col: str = "text", out_col: str = "text_redacted"
+) -> pa.Table:
+    """PII scrubbing (the CCNet/Dolma-style pre-training hygiene pass):
+    replace emails, international phone numbers and IPv4 addresses with
+    typed placeholder tokens, and count each per doc. Pure map_batches,
+    vectorized — three RE2 rewrites + three RE2 counts per batch, no
+    Python loop over rows."""
+    txt = pc.fill_null(batch[text_col].combine_chunks(), "")
+    n_email = pc.count_substring_regex(txt, PII_EMAIL_RE).cast(pa.int64())
+    red = pc.replace_substring_regex(txt, PII_EMAIL_RE, "<EMAIL>")
+    n_phone = pc.count_substring_regex(red, PII_PHONE_RE).cast(pa.int64())
+    red = pc.replace_substring_regex(red, PII_PHONE_RE, "<PHONE>")
+    n_ip = pc.count_substring_regex(red, PII_IPV4_RE).cast(pa.int64())
+    red = pc.replace_substring_regex(red, PII_IPV4_RE, "<IP>")
+    out = batch.append_column(out_col, red)
+    out = out.append_column("n_emails", n_email)
+    out = out.append_column("n_phones", n_phone)
+    return out.append_column("n_ips", n_ip)
+
+
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace + BPE-ish token counts (SQL-replicable; see
     __ray_entry__.oracle_sql)."""

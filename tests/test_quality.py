@@ -210,3 +210,36 @@ def test_line_dedup_property(texts):
         for r in line_dedup(ds, "text", "doc_id").take_all()
     }
     assert got == _line_dedup_ref(docs)
+
+
+def test_redact_pii_cases():
+    from sod_ray.stages.textstage import redact_pii_batch
+
+    cases = [
+        ("mail a@b.co and c.d+x@e-f.org now", "mail <EMAIL> and <EMAIL> now", 2, 0, 0),
+        ("call +4915123456789 ok", "call <PHONE> ok", 0, 1, 0),
+        ("+123 too short", "+123 too short", 0, 0, 0),
+        ("host 192.168.0.1 and 10.0.0.255.", "host <IP> and <IP>.", 0, 0, 2),
+        ("clean text only", "clean text only", 0, 0, 0),
+        ("x@y.io at 8.8.8.8 via +77777777", "<EMAIL> at <IP> via <PHONE>", 1, 1, 1),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(cases)), pa.int64()),
+            "text": [c[0] for c in cases],
+        }
+    )
+    out = redact_pii_batch(t).to_pandas()
+    for i, (_, want, ne, np_, ni) in enumerate(cases):
+        assert out.text_redacted[i] == want, out.text_redacted[i]
+        assert (out.n_emails[i], out.n_phones[i], out.n_ips[i]) == (ne, np_, ni)
+
+
+def test_redact_pii_null_text():
+    from sod_ray.stages.textstage import redact_pii_batch
+
+    t = pa.table(
+        {"doc_id": pa.array([1], pa.int64()), "text": pa.array([None], pa.string())}
+    )
+    out = redact_pii_batch(t).to_pandas()
+    assert out.text_redacted[0] == "" and out.n_emails[0] == 0
