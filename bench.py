@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "gopher_quality_flags",
     "line_dedup_docs",
     "events_url_normalize",
+    "docs_pii_redact",
+    "docs_neardup_dedup",
 ]
 
 

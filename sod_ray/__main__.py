@@ -40,6 +40,12 @@ def main(argv=None) -> int:
         "--baseline", default=None,
         help="baseline.parquet from a previous run (enables drift checks)",
     )
+    p.add_argument(
+        "--quality-check", action="store_true",
+        help="also compute the Gopher-style per-doc quality flag in the "
+        "fused pass and add a per-partition `quality` verdict",
+    )
+    p.add_argument("--max-low-quality-rate", type=float, default=0.5)
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args(argv)
 
@@ -64,6 +70,8 @@ def main(argv=None) -> int:
         refs_path=args.refs,
         intermediate_dir=args.intermediate_dir,
         baseline_path=args.baseline,
+        quality_check=args.quality_check,
+        max_low_quality_rate=args.max_low_quality_rate,
     )
     res = run_validation(args.input, args.out, cfg, resume=not args.no_resume)
     vdf = res.verdicts.to_pandas()

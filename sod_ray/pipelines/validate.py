@@ -116,8 +116,9 @@ class FusedFeatures:
     Output is the slim feature table — html and text are dropped here.
     ``extra_cols`` (e.g. a derived host partition key) pass through."""
 
-    def __init__(self, extra_cols: tuple = ()):
+    def __init__(self, extra_cols: tuple = (), quality: bool = False):
         self.extra_cols = tuple(extra_cols)
+        self.quality = quality
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..functions.text import extract_text_arrow
@@ -141,6 +142,23 @@ class FusedFeatures:
             "html_null": html_null,
             "text_null": text_null,
         }
+        if self.quality:
+            # Gopher-style pass flag while the text is still in hand
+            # (it is dropped below — a post-hoc quality consumer would
+            # need a second corpus scan). Zero-word/null docs fail.
+            from ..stages.textstage import gopher_stats_batch
+
+            q = gopher_stats_batch(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            np.arange(len(batch), dtype=np.int64)
+                        ),
+                        "text": text,
+                    }
+                )
+            )
+            out["quality_fail"] = pc.invert(q["quality_pass"])
         for c in self.extra_cols:
             if c not in out and c in batch.column_names:
                 out[c] = batch[c]
@@ -159,6 +177,7 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
     key = cfg.part_key
 
     def partials(batch: pa.Table) -> pa.Table:
+        has_q = "quality_fail" in batch.column_names
         rows = {
             "part_key": [],
             "rows": [],
@@ -167,6 +186,8 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
             "extract_matches": [],
             "url_hll": [],
         }
+        if has_q:
+            rows["quality_fails"] = []
         for c in stat_cols:
             rows[f"wf_{c}"] = []
             rows[f"td_{c}"] = []
@@ -181,6 +202,10 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
             rows["extract_matches"].append(
                 int(pc.sum(sub["extract_match"]).as_py() or 0)
             )
+            if has_q:
+                rows["quality_fails"].append(
+                    int(pc.sum(sub["quality_fail"]).as_py() or 0)
+                )
             hll = HyperLogLog()
             hll.update_hashes(hash64(sub["url"]))
             rows["url_hll"].append(hll.to_bytes())
@@ -195,6 +220,8 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
             "extract_matches": pa.array(rows["extract_matches"], pa.int64()),
             "url_hll": pa.array(rows["url_hll"], pa.binary()),
         }
+        if has_q:
+            t["quality_fails"] = pa.array(rows["quality_fails"], pa.int64())
         for c in stat_cols:
             t[f"wf_{c}"] = pa.array(rows[f"wf_{c}"], pa.binary())
             t[f"td_{c}"] = pa.array(rows[f"td_{c}"], pa.binary())
@@ -221,6 +248,10 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
             ),
             "url_hll": pa.array([hll.to_bytes()], pa.binary()),
         }
+        if "quality_fails" in group.column_names:
+            t["quality_fails"] = pa.array(
+                [int(pc.sum(group["quality_fails"]).as_py())], pa.int64()
+            )
         for c in stat_cols:
             wf = Welford()
             td = TDigest()
@@ -242,6 +273,11 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
             sketch_bytes += len(b)
         distinct = hll.cardinality()
         out = []
+        n_quality_fails = (
+            int(pc.sum(group["quality_fails"]).as_py())
+            if "quality_fails" in group.column_names
+            else None
+        )
         for c in stat_cols:
             wf = Welford()
             td = TDigest()
@@ -269,6 +305,11 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
                     "html_nulls": int(pc.sum(group["html_nulls"]).as_py()),
                     "text_nulls": int(pc.sum(group["text_nulls"]).as_py()),
                     "extract_matches": int(pc.sum(group["extract_matches"]).as_py()),
+                    **(
+                        {"quality_fails": n_quality_fails}
+                        if n_quality_fails is not None
+                        else {}
+                    ),
                     "distinct_est": distinct,
                     "dup_est": max(0.0, n_rows - distinct),
                     "sketch_bytes": sketch_bytes,
@@ -341,6 +382,12 @@ class ValidateConfig:
     max_dup_rate: float = 0.005
     max_extract_mismatch_rate: float = 0.01
     max_peak_rate: float = 0.02
+    # opt-in Gopher-style quality constraint: the fused pass also
+    # computes the per-doc quality_pass flag (the text is only in hand
+    # there) and the verdict gains a `quality` outcome comparing the
+    # partition's low-quality rate against the threshold
+    quality_check: bool = False
+    max_low_quality_rate: float = 0.5
     batch_size: int = 4096
     feature_concurrency: tuple = (1, 16)
     # partitions committed per DAG execution. None = all remaining in
@@ -727,14 +774,20 @@ def _run_wave(
             return t.filter(pc.is_in(t[cfg.part_key], value_set=keep))
 
         ds = raw.map_batches(derive_filter, batch_format="pyarrow")
-        fused_fn = FusedFeatures(extra_cols=(cfg.part_key,))
+        fused_fn = FusedFeatures(
+            extra_cols=(cfg.part_key,), quality=cfg.quality_check
+        )
     else:
         ds = rd.read_parquet(
             input_path,
             filter=pc.field(cfg.part_key).isin(remaining),
         )
         schema_verdict = schema_check(ds, WEBPAGE_SCHEMA)
-        fused_fn = fused_features_batch
+        fused_fn = (
+            FusedFeatures(quality=True)
+            if cfg.quality_check
+            else fused_features_batch
+        )
     _mark("schema")
 
     # ONE scan: fused extraction + features; html dropped inside the
@@ -919,9 +972,12 @@ def _run_wave(
             _mark(f"uniqueness-exact-fallback n={len(ambiguous)}")
 
     stats_tbl = merged  # per (part_key, column) sketch stats
+    flag_cols = ["rows", "html_nulls", "text_nulls", "extract_matches"]
+    if "quality_fails" in merged.columns:
+        flag_cols.append("quality_fails")
     flags = (
         merged[merged["column"] == cfg.stat_columns[0]]
-        .set_index("part_key")[["rows", "html_nulls", "text_nulls", "extract_matches"]]
+        .set_index("part_key")[flag_cols]
     )
 
     drift_tbl = None
@@ -988,6 +1044,13 @@ def _run_wave(
         outcomes["peaks"] = (
             "pass" if n_peaks <= cfg.max_peak_rate * max(rows, 1) else "fail"
         )
+        if cfg.quality_check and "quality_fails" in flags.columns:
+            n_q = int(flags.loc[p, "quality_fails"]) if p in flags.index else 0
+            outcomes["quality"] = (
+                "pass"
+                if n_q <= cfg.max_low_quality_rate * max(rows, 1)
+                else "fail"
+            )
         if drift_tbl is not None:
             p_drift = drift_tbl[
                 (drift_tbl["part_key"] == p) & drift_tbl["has_baseline"]

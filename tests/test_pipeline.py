@@ -4,6 +4,8 @@ import json
 import os
 import shutil
 
+import numpy as np
+import pyarrow as pa
 import pytest
 
 from sod_ray.sources.webpages import write_webpages
@@ -321,3 +323,52 @@ def test_verdict_files_consistent_across_kill_windows(ray_session, web_dir, tmp_
     vb = res_b.verdicts.to_pandas().set_index("partition")
     assert "de" in vb.index  # rebuilt from the manifest record
     assert vb.loc["de", "rows"] == clean.loc["de", "rows"]
+
+
+def test_quality_check_constraint(ray_session, web_dir, tmp_path):
+    """Opt-in Gopher-quality constraint: the fused pass computes the
+    per-doc pass flag, the sketch merge carries only per-partition
+    fail COUNTS, and the verdict gains a `quality` outcome whose
+    counts match a direct per-lang computation."""
+    import pyarrow.parquet as pq
+
+    from sod_ray.pipelines.validate import ValidateConfig, run_validation
+    from sod_ray.stages.textstage import gopher_stats_batch
+
+    src, truth = web_dir
+    out = str(tmp_path / "outq")
+    cfg = ValidateConfig(quality_check=True, max_low_quality_rate=0.5)
+    res = run_validation(f"{src}/webpages", out, cfg)
+    v = res.verdicts.to_pandas().set_index("partition")
+    assert "c_quality" in v.columns
+
+    # direct reference: gopher pass flag per doc, grouped by lang
+    import glob
+
+    import pandas as pd
+
+    frames = []
+    for f in glob.glob(f"{src}/webpages/*.parquet"):
+        t = pq.read_table(f, columns=["lang", "text"])
+        q = gopher_stats_batch(
+            t.append_column(
+                "doc_id", pa.array(np.arange(len(t)), pa.int64())
+            )
+        )
+        frames.append(
+            pd.DataFrame(
+                {
+                    "lang": t["lang"].to_pandas(),
+                    "fail": ~q["quality_pass"].to_pandas(),
+                }
+            )
+        )
+    ref = pd.concat(frames).groupby("lang")["fail"].agg(["sum", "count"])
+    for lang, row in ref.iterrows():
+        expect = "pass" if row["sum"] <= 0.5 * row["count"] else "fail"
+        assert v.loc[lang, "c_quality"] == expect, lang
+
+    # default config never computes the flag (no hot-path cost)
+    out2 = str(tmp_path / "outq2")
+    res2 = run_validation(f"{src}/webpages", out2, ValidateConfig())
+    assert "c_quality" not in res2.verdicts.to_pandas().columns
