@@ -46,6 +46,11 @@ def main(argv=None) -> int:
         "fused pass and add a per-partition `quality` verdict",
     )
     p.add_argument("--max-low-quality-rate", type=float, default=0.5)
+    p.add_argument(
+        "--normalize-urls", action="store_true",
+        help="uniqueness over canonical urls (strip fragment/utm/"
+        "trailing slash, lowercase scheme+host) instead of raw urls",
+    )
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args(argv)
 
@@ -72,6 +77,7 @@ def main(argv=None) -> int:
         baseline_path=args.baseline,
         quality_check=args.quality_check,
         max_low_quality_rate=args.max_low_quality_rate,
+        normalize_urls=args.normalize_urls,
     )
     res = run_validation(args.input, args.out, cfg, resume=not args.no_resume)
     vdf = res.verdicts.to_pandas()

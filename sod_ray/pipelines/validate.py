@@ -207,7 +207,12 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
                     int(pc.sum(sub["quality_fail"]).as_py() or 0)
                 )
             hll = HyperLogLog()
-            hll.update_hashes(hash64(sub["url"]))
+            urls = sub["url"]
+            if cfg.normalize_urls:
+                from ..stages.textstage import normalize_url_array
+
+                urls = normalize_url_array(urls)
+            hll.update_hashes(hash64(urls))
             rows["url_hll"].append(hll.to_bytes())
             for c in stat_cols:
                 rows[f"wf_{c}"].append(Welford().update_array(sub[c]).to_bytes())
@@ -388,6 +393,12 @@ class ValidateConfig:
     # partition's low-quality rate against the threshold
     quality_check: bool = False
     max_low_quality_rate: float = 0.5
+    # uniqueness over CANONICAL urls: strip fragment/utm/trailing
+    # slash + lowercase scheme+host before hashing into the HLL and
+    # the exact fallback — mirror-crawl duplicates (http://A.com/x/ vs
+    # http://a.com/x) then count as dups. Off by default (raw-url
+    # uniqueness is the reference contract).
+    normalize_urls: bool = False
     batch_size: int = 4096
     feature_concurrency: tuple = (1, 16)
     # partitions committed per DAG execution. None = all remaining in
@@ -920,12 +931,18 @@ def _run_wave(
         amb_rows = int(
             uniq_tbl[uniq_tbl["part_key"].isin(ambiguous)]["rows"].sum()
         )
+        transform = None
+        if cfg.normalize_urls:
+            from ..stages.textstage import normalize_url_array
+
+            transform = normalize_url_array
         exact = exact_dup_counts(
             featured,
             "url",
             cfg.part_key,
             ambiguous,
             n_buckets=max(32, amb_rows // 4_000_000),
+            transform=transform,
         )
         for pk, nd in exact.items():
             uniq_tbl.loc[uniq_tbl["part_key"] == pk, "dup_est"] = float(nd)

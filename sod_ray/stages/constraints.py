@@ -229,6 +229,7 @@ def exact_dup_counts(
     key: str,
     keys: list[str],
     n_buckets: int = 1024,
+    transform=None,
 ) -> dict[str, int]:
     """Exact per-partition duplicate-ROW counts for the given partition
     keys, hash-only: each surviving row ships an 8-byte ``hash64``
@@ -248,7 +249,10 @@ def exact_dup_counts(
 
     def to_hashes(t: pa.Table) -> pa.Table:
         sub = t.filter(pc.is_in(t[key], value_set=value_set))
-        h = hash64(sub[column])
+        col = sub[column]
+        if transform is not None:  # e.g. URL canonicalization
+            col = transform(col)
+        h = hash64(col)
         return pa.table(
             {
                 key: sub[key],

@@ -372,3 +372,43 @@ def test_quality_check_constraint(ray_session, web_dir, tmp_path):
     out2 = str(tmp_path / "outq2")
     res2 = run_validation(f"{src}/webpages", out2, ValidateConfig())
     assert "c_quality" not in res2.verdicts.to_pandas().columns
+
+
+def test_normalize_urls_uniqueness(ray_session, tmp_path):
+    """normalize_urls=True: mirror-crawl url variants (case/trailing
+    slash/utm/fragment of the same page) count as duplicates; raw-url
+    uniqueness (default) sees them as distinct and passes."""
+    import pyarrow.parquet as pq
+
+    from sod_ray.pipelines.validate import ValidateConfig, run_validation
+    from sod_ray.sources.webpages import write_webpages
+
+    src = str(tmp_path / "webn")
+    write_webpages(src, n_rows=400, n_shards=1, seed=9)
+    t = pq.read_table(f"{src}/webpages/shard=00000.parquet")
+    urls = t["url"].to_pylist()
+    # 20 mirror variants of the FIRST url: differ raw, same canonical
+    base = urls[0].rstrip("/")
+    for i in range(1, 21):
+        scheme_cased = (
+            base.replace("https://", "HTTPS://") if i % 2 else base
+        )
+        urls[i] = scheme_cased + f"?utm_source=m{i}" + ("#f" if i % 3 else "")
+    t = t.set_column(
+        t.schema.get_field_index("url"), "url", pa.array(urls, pa.string())
+    )
+    src2 = str(tmp_path / "webn2")
+    os.makedirs(src2)
+    pq.write_table(t, f"{src2}/shard=00000.parquet")
+
+    raw_cfg = ValidateConfig()
+    res_raw = run_validation(src2, str(tmp_path / "o_raw"), raw_cfg)
+    v_raw = res_raw.verdicts.to_pandas().set_index("partition")
+
+    norm_cfg = ValidateConfig(normalize_urls=True)
+    res_norm = run_validation(src2, str(tmp_path / "o_norm"), norm_cfg)
+    v_norm = res_norm.verdicts.to_pandas().set_index("partition")
+
+    lang = t["lang"][0].as_py()  # the planted variants share row 0's lang
+    assert v_raw.loc[lang, "c_uniqueness"] == "pass"
+    assert v_norm.loc[lang, "c_uniqueness"] == "fail"
