@@ -5,10 +5,16 @@
         [--refs /data/webpage_refs] [--waves 4] [--num-cpus 32] \\
         [--intermediate-dir /data/tmp] [--no-resume]
 
-Prints the per-partition verdict table and a one-line JSON summary;
-exit code 0 iff every constraint passed. This script OWNS the Ray
-session (guarded init — under ``ray job submit`` the cluster already
-exists and ``ray.init()`` attaches to it)."""
+    ray job submit -- python -m sod_ray export \\
+        --input /data/webpages --out /data/curated \\
+        [--url-col url] [--neardup] [--line-dedup] [--no-pii] \\
+        [--partition-col lang] [--num-cpus 32] [--no-resume]
+
+Default mode validates (per-partition verdicts, exit 0 iff all
+constraints passed); ``export`` runs the curation funnel
+(pipelines/export.py) and prints the report JSON. This script OWNS the
+Ray session (guarded init — under ``ray job submit`` the cluster
+already exists and ``ray.init()`` attaches to it)."""
 
 from __future__ import annotations
 
@@ -17,7 +23,67 @@ import json
 import sys
 
 
+def _init_ray(num_cpus=None, object_store_gb=None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
+        if num_cpus:
+            kwargs.update(address="local", num_cpus=num_cpus)
+        if object_store_gb:
+            kwargs.update(object_store_memory=int(object_store_gb * (1 << 30)))
+        ray.init(**kwargs)
+
+
+def main_export(argv) -> int:
+    p = argparse.ArgumentParser(prog="sod_ray export")
+    p.add_argument("--input", required=True, help="documents parquet dir")
+    p.add_argument("--out", required=True, help="output/checkpoint dir")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--url-col", default=None, help="enables canonical-URL dedup")
+    p.add_argument("--no-quality", action="store_true")
+    p.add_argument("--no-exact", action="store_true")
+    p.add_argument("--no-pii", action="store_true")
+    p.add_argument("--neardup", action="store_true")
+    p.add_argument("--line-dedup", action="store_true")
+    p.add_argument("--jaccard-threshold", type=float, default=0.7)
+    p.add_argument("--partition-col", default=None)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--no-resume", action="store_true")
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus)
+    import ray
+
+    from sod_ray.pipelines.export import CurateConfig, run_export
+
+    cfg = CurateConfig(
+        text_col=args.text_col,
+        id_col=args.id_col,
+        url_col=args.url_col,
+        quality_filter=not args.no_quality,
+        url_dedup=args.url_col is not None,
+        exact_dedup=not args.no_exact,
+        neardup=args.neardup,
+        line_dedup=args.line_dedup,
+        pii_redact=not args.no_pii,
+        jaccard_threshold=args.jaccard_threshold,
+        partition_col=args.partition_col,
+    )
+    res = run_export(args.input, args.out, cfg, resume=not args.no_resume)
+    print(json.dumps(res.report))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "export":
+        return main_export(argv[1:])
+    return main_validate(argv)
+
+
+def main_validate(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sod_ray")
     p.add_argument("--input", required=True, help="webpages parquet dir")
     p.add_argument("--out", required=True, help="output/checkpoint dir")

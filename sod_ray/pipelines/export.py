@@ -1,0 +1,415 @@
+"""Corpus curation / export pipeline — the rewrite-side complement of
+the validation flagship.
+
+``run_validation`` (validate.py) *judges* a web corpus; ``run_export``
+*produces* the curated training corpus from it: the Dolma/CCNet-style
+funnel of quality filter → URL dedup → exact dedup → near-dup dedup →
+line-level dedup → PII redaction, writing a partitioned Parquet corpus
+plus a funnel report. (The reference engine has no export surface —
+this is part of the LLM-training-data extension the brief requires as
+first-class; the validation side's Gopher/PII/dedup kernels are reused
+unchanged.)
+
+Scale shape — decisions are slim, text crosses the wire only when it
+must:
+
+- every dedup/filter DECISION is computed as a slim id Dataset
+  ({"node": int64}, 8 B/doc) and checkpointed to
+  ``out_dir/decisions/<stage>/`` with a manifest commit, so a killed
+  run resumes without re-running the expensive scans;
+- stages are SEQUENTIAL (each decision scan applies the accumulated
+  drop-set first, via broadcast searchsorted or the bucketed
+  anti-join), so e.g. an exact-dup group whose canonical member failed
+  the quality filter still keeps its next-lowest surviving member —
+  the semantics a sequential SQL pipeline (and the DuckDB oracle twin)
+  produces;
+- each decision reads ONLY the columns it needs (url dedup never
+  touches text; exact dedup shuffles 16-byte md5 keys, never text;
+  near-dup shuffles band hashes per stages/dedup.py);
+- the APPLY phase is one full-column scan: accumulated anti-join →
+  optional line-dedup rewrite → PII redaction → partitioned
+  ``write_parquet`` (one directory per partition key value → a failed
+  export resumes by stage, and downstream readers prune by partition).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.manifest import Manifest, PartitionRecord
+
+
+@dataclass
+class CurateConfig:
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    url_col: str | None = None  # required for url_dedup
+    quality_filter: bool = True  # Gopher-style per-doc pass flag
+    url_dedup: bool = False  # canonical-URL keep-min-id
+    exact_dedup: bool = True  # md5(text) keep-min-id
+    neardup: bool = False  # MinHash+LSH → CC → keep canonical
+    line_dedup: bool = False  # C4-style global line dedup (rewrites text)
+    pii_redact: bool = True  # emails/phones/IPv4 → typed placeholders
+    partition_col: str | None = None  # output partition directory key
+    jaccard_threshold: float = 0.7
+    broadcast_limit: int = 5_000_000  # drop-ids broadcast vs bucketed join
+    lsh_kwargs: dict = field(default_factory=dict)
+
+
+@dataclass
+class ExportResult:
+    out_dir: str
+    report: dict
+
+    @property
+    def corpus_dir(self) -> str:
+        return os.path.join(self.out_dir, "corpus")
+
+
+def _meta_row_count(path: str) -> int:
+    """Input row count from parquet footers — no data scan."""
+    import pyarrow.dataset as pads
+
+    return sum(
+        f.metadata.num_rows if f.metadata else f.count_rows()
+        for f in pads.dataset(path, format="parquet").get_fragments()
+    )
+
+
+def _write_decision(drop_ds, pdir: str) -> int:
+    """Land a slim drop-id Dataset as parquet under ``pdir`` (clear →
+    write to tmp → rename, so a torn write is invisible). Returns the
+    drop count. ``drop_ds=None`` lands an empty file — 'decided:
+    nothing to drop' is itself checkpointable state."""
+    import pyarrow.parquet as pq
+
+    shutil.rmtree(pdir, ignore_errors=True)
+    tmp = pdir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    if drop_ds is None:
+        os.makedirs(tmp, exist_ok=True)
+        pq.write_table(
+            pa.table({"node": pa.array([], pa.int64())}),
+            os.path.join(tmp, "empty.parquet"),
+        )
+        n = 0
+    else:
+        drop_ds.write_parquet(tmp)
+        n = _meta_row_count(tmp)
+    os.rename(tmp, pdir)
+    return n
+
+
+def _load_decision(pdir: str):
+    import ray.data as rd
+
+    n = _meta_row_count(pdir)
+    return (rd.read_parquet(pdir) if n else None), n
+
+
+def run_export(
+    input_path: str,
+    out_dir: str,
+    cfg: CurateConfig | None = None,
+    resume: bool = True,
+) -> ExportResult:
+    """Run the curation funnel over a documents/webpages parquet dir.
+
+    Output layout::
+
+        out_dir/
+          decisions/<stage>/*.parquet   slim drop-id checkpoints
+          corpus/[key=*/]*.parquet      the curated corpus
+          manifest/                     per-stage lineage records
+          report.json                   funnel counts + timings
+    """
+    import ray.data as rd
+
+    from ..stages.dedup import apply_drops, neardup_drop_ids
+    from ..stages.textstage import (
+        gopher_stats_batch,
+        normalize_url_array,
+        redact_pii_batch,
+    )
+
+    cfg = cfg or CurateConfig()
+    if cfg.url_dedup and not cfg.url_col:
+        raise ValueError("url_dedup=True requires url_col")
+    os.makedirs(out_dir, exist_ok=True)
+    ddir = os.path.join(out_dir, "decisions")
+    os.makedirs(ddir, exist_ok=True)
+    manifest = Manifest(os.path.join(out_dir, "manifest"))
+    committed = manifest.committed_partitions() if resume else set()
+
+    id_col, text_col = cfg.id_col, cfg.text_col
+    n_in = _meta_row_count(input_path)
+    report: dict = {
+        "rows_in": n_in,
+        "stages": {},
+        "resumed_stages": [],
+        "config": {
+            k: v
+            for k, v in cfg.__dict__.items()
+            if not isinstance(v, dict)
+        },
+    }
+
+    # accumulated drop-set across sequential decision stages. Small
+    # drop-sets are pulled ONCE into a merged sorted int64 array and
+    # broadcast ONCE per change (ray.put) — every later scan filters in
+    # a single searchsorted map_batches pass instead of chained
+    # anti-joins. Oversized drop-sets (> broadcast_limit) stay as slim
+    # Datasets and go through the bucketed exchange anti-join.
+    import ray
+
+    acc_ids: list[np.ndarray] = []
+    acc_big: list = []  # (Dataset, n) pairs too large to broadcast
+    acc_n = 0
+    _merged_ref = [None]  # cache: invalidated when acc_ids grows
+
+    def _drops_ref():
+        if _merged_ref[0] is None and acc_ids:
+            _merged_ref[0] = ray.put(np.sort(np.concatenate(acc_ids)))
+        return _merged_ref[0]
+
+    def filtered(columns: list[str] | None):
+        """Column-pruned corpus view with all prior drops applied."""
+        ds = rd.read_parquet(input_path, columns=columns)
+        ref = _drops_ref()
+        if ref is not None:
+
+            def keep_batch(t: pa.Table) -> pa.Table:
+                d = ray.get(ref)
+                ids = t[id_col].to_numpy(zero_copy_only=False)
+                pos = np.searchsorted(d, ids)
+                member = (pos < d.shape[0]) & (
+                    d[np.minimum(pos, d.shape[0] - 1)] == ids
+                )
+                return t.filter(pa.array(~member))
+
+            ds = ds.map_batches(keep_batch, batch_format="pyarrow")
+        for d, n in acc_big:
+            ds = apply_drops(
+                ds, d, id_col, broadcast_limit=cfg.broadcast_limit, n_drop=n
+            )
+        return ds
+
+    def decision(name: str, compute):
+        """Checkpointed decision stage: recompute or reload the slim
+        drop-id set; fold it into the accumulated drop-set."""
+        nonlocal acc_n
+        key = f"decision:{name}"
+        pdir = os.path.join(ddir, name)
+        t0 = time.perf_counter()
+        if key in committed and os.path.isdir(pdir):
+            drop, n = _load_decision(pdir)
+            report["resumed_stages"].append(name)
+        else:
+            n = _write_decision(compute(), pdir)
+            drop = _load_decision(pdir)[0]
+            manifest.commit(
+                PartitionRecord(
+                    partition=key,
+                    rows_scanned=n_in,
+                    rows_violating=n,
+                    constraint_outcomes={name: "pass"},
+                    outputs=[pdir],
+                )
+            )
+        if drop is not None:
+            if n <= cfg.broadcast_limit:
+                ids = np.concatenate(
+                    [
+                        b["node"].to_numpy()
+                        for b in drop.iter_batches(batch_format="pyarrow")
+                    ]
+                )
+                acc_ids.append(ids.astype(np.int64, copy=False))
+                _merged_ref[0] = None  # invalidate the broadcast cache
+            else:
+                acc_big.append((drop, n))
+            acc_n += n
+        report["stages"][name] = {
+            "dropped": n,
+            "seconds": round(time.perf_counter() - t0, 3),
+        }
+
+    # ---- decision stages, in funnel order -------------------------------
+    if cfg.quality_filter:
+
+        def quality_drops():
+            base = filtered([id_col, text_col])
+
+            def fail_ids(t: pa.Table) -> pa.Table:
+                g = gopher_stats_batch(t, text_col, id_col)
+                bad = pc.invert(g["quality_pass"].combine_chunks())
+                return pa.table(
+                    {"node": g.filter(bad)[id_col].cast(pa.int64())}
+                )
+
+            d = base.map_batches(fail_ids, batch_format="pyarrow").materialize()
+            return d if d.count() else None
+
+        decision("quality", quality_drops)
+
+    if cfg.url_dedup:
+
+        def url_drops():
+            base = filtered([id_col, cfg.url_col])
+
+            def norm(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "node": t[id_col].cast(pa.int64()),
+                        "norm_url": normalize_url_array(t[cfg.url_col]),
+                    }
+                )
+
+            def losers(g: pd.DataFrame) -> pd.DataFrame:
+                if len(g) < 2:
+                    return pd.DataFrame({"node": pd.Series(dtype="int64")})
+                keep = g["node"].min()
+                return pd.DataFrame(
+                    {"node": g.loc[g["node"] != keep, "node"].astype("int64")}
+                )
+
+            d = (
+                base.map_batches(norm, batch_format="pyarrow")
+                .groupby("norm_url")
+                .map_groups(losers, batch_format="pandas")
+                .materialize()
+            )
+            return d if d.count() else None
+
+        decision("url", url_drops)
+
+    if cfg.exact_dedup:
+
+        def exact_drops():
+            import hashlib
+
+            base = filtered([id_col, text_col])
+
+            def add_hash(t: pa.Table) -> pa.Table:
+                # no Arrow md5 kernel — the one per-row loop here emits
+                # only (id, 32-byte hex); text never leaves the scan task
+                h = [
+                    hashlib.md5(s.encode("utf-8")).hexdigest() if s else ""
+                    for s in t[text_col].to_pylist()
+                ]
+                return pa.table(
+                    {"node": t[id_col].cast(pa.int64()), "h": pa.array(h)}
+                )
+
+            def losers(g: pd.DataFrame) -> pd.DataFrame:
+                if len(g) < 2:
+                    return pd.DataFrame({"node": pd.Series(dtype="int64")})
+                keep = g["node"].min()
+                return pd.DataFrame(
+                    {"node": g.loc[g["node"] != keep, "node"].astype("int64")}
+                )
+
+            d = (
+                base.map_batches(add_hash, batch_format="pyarrow")
+                .groupby("h")
+                .map_groups(losers, batch_format="pandas")
+                .materialize()
+            )
+            return d if d.count() else None
+
+        decision("exact", exact_drops)
+
+    if cfg.neardup:
+
+        def near_drops():
+            base = filtered([id_col, text_col])
+            return neardup_drop_ids(
+                base,
+                text_col,
+                id_col,
+                jaccard_threshold=cfg.jaccard_threshold,
+                **cfg.lsh_kwargs,
+            )
+
+        decision("neardup", near_drops)
+
+    # ---- apply phase: one full-column scan → rewrite → write ------------
+    corpus_dir = os.path.join(out_dir, "corpus")
+    t0 = time.perf_counter()
+    if resume and "apply" in committed and os.path.isdir(corpus_dir):
+        report["resumed_stages"].append("apply")
+    else:
+        kept = filtered(None)  # all columns
+        if cfg.line_dedup:
+            from ..stages.dedup import line_dedup
+
+            from ..stages.joins import bucketed_equi_join
+
+            ld = line_dedup(kept, text_col, id_col)
+            others = kept.drop_columns([text_col])
+            # hash equi-join on the id: both sides are corpus-sized but
+            # slim (new text on one side, metadata on the other); docs
+            # whose every line lost vanish (inner join = C4 semantics)
+            kept = bucketed_equi_join(others, ld, key=id_col)
+
+            def rename_text(t: pa.Table) -> pa.Table:
+                return t.rename_columns(
+                    [text_col if c == "text_deduped" else c for c in t.column_names]
+                )
+
+            kept = kept.map_batches(rename_text, batch_format="pyarrow")
+        if cfg.pii_redact:
+
+            def redact(t: pa.Table) -> pa.Table:
+                r = redact_pii_batch(t, text_col, "__red")
+                idx = r.column_names.index(text_col)
+                return r.set_column(idx, text_col, r["__red"]).drop_columns(
+                    ["__red"]
+                )
+
+            kept = kept.map_batches(redact, batch_format="pyarrow")
+        tmp = corpus_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        if cfg.partition_col:
+            kept.write_parquet(tmp, partition_cols=[cfg.partition_col])
+        else:
+            kept.write_parquet(tmp)
+        os.rename(tmp, corpus_dir)
+        manifest.commit(
+            PartitionRecord(
+                partition="apply",
+                rows_scanned=n_in,
+                constraint_outcomes={"apply": "pass"},
+                outputs=[corpus_dir],
+            )
+        )
+    n_out = _meta_row_count(corpus_dir)
+    report["stages"]["apply"] = {
+        "seconds": round(time.perf_counter() - t0, 3)
+    }
+    report["rows_out"] = n_out
+    report["rows_dropped"] = acc_n
+
+    if cfg.pii_redact:  # totals from the written output's slim columns
+        pii = rd.read_parquet(
+            corpus_dir, columns=["n_emails", "n_phones", "n_ips"]
+        ).sum(["n_emails", "n_phones", "n_ips"])
+        report["pii"] = {
+            "emails": int(pii["sum(n_emails)"]),
+            "phones": int(pii["sum(n_phones)"]),
+            "ips": int(pii["sum(n_ips)"]),
+        }
+
+    with open(os.path.join(out_dir, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    return ExportResult(out_dir=out_dir, report=report)

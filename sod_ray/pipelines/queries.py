@@ -8,6 +8,8 @@ dtypes and rounding must match the SQL exactly)."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1531,6 +1533,99 @@ def docs_neardup_dedup(sf_dir: str):
     )
 
 
+def curated_docs(sf_dir: str):
+    """End-to-end curation/export funnel (pipelines/export.run_export):
+    Gopher quality filter → exact md5 dedup (keep-min-id) → PII
+    redaction → lang-partitioned parquet corpus, then read the WRITTEN
+    output back — the oracle checks the real pipeline including its
+    checkpoint/manifest machinery and partitioned sink, not an inline
+    re-derivation."""
+    import tempfile
+
+    import ray.data as rd
+
+    from .export import CurateConfig, run_export
+
+    out = tempfile.mkdtemp(prefix="sod_curate_")
+    res = run_export(
+        os.path.join(sf_dir, "documents.parquet"),
+        out,
+        CurateConfig(partition_col="lang"),
+        resume=False,
+    )
+
+    def norm(t: pa.Table) -> pa.Table:
+        # hive-partition read yields lang as dictionary — back to string
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"].cast(pa.string()),
+                "text": t["text"].cast(pa.string()),
+                "n_emails": t["n_emails"].cast(pa.int64()),
+                "n_phones": t["n_phones"].cast(pa.int64()),
+                "n_ips": t["n_ips"].cast(pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(res.corpus_dir).map_batches(
+        norm, batch_format="pyarrow"
+    )
+
+
+CURATED_DOCS_SQL = r"""
+WITH words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '\S+')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '\S+')))) AS pos
+  FROM documents
+), wf AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM words GROUP BY doc_id, w
+), wagg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS word_count,
+         SUM(length(w) * c)::DOUBLE / SUM(c) AS mean_word_len,
+         MAX(c)::DOUBLE / SUM(c) AS top_word_frac
+  FROM wf GROUP BY doc_id
+), big AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM words
+  QUALIFY lead(w) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+), bf AS (
+  SELECT doc_id, bg, COUNT(*) AS c2 FROM big GROUP BY doc_id, bg
+), bagg AS (
+  SELECT doc_id, MAX(c2)::DOUBLE / SUM(c2) AS top_bigram_frac
+  FROM bf GROUP BY doc_id
+), keep1 AS (
+  SELECT d.doc_id, d.lang, d.text
+  FROM documents d
+  JOIN wagg w ON d.doc_id = w.doc_id
+  LEFT JOIN bagg b ON d.doc_id = b.doc_id
+  WHERE w.word_count BETWEEN 50 AND 100000
+    AND w.mean_word_len BETWEEN 3.0 AND 10.0
+    AND w.top_word_frac <= 0.3
+    AND (b.top_bigram_frac IS NULL OR b.top_bigram_frac <= 0.2)
+), canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM keep1 GROUP BY md5(text)
+), keep2 AS (
+  SELECT k.doc_id, k.lang, k.text FROM keep1 k JOIN canon c USING (doc_id)
+), s1 AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM keep2
+), s2 AS (
+  SELECT doc_id, lang, n_emails,
+         CAST(len(regexp_extract_all(t, '\+[0-9]{7,15}')) AS BIGINT) AS n_phones,
+         regexp_replace(t, '\+[0-9]{7,15}', '<PHONE>', 'g') AS t
+  FROM s1
+)
+SELECT doc_id, lang, n_emails, n_phones,
+       CAST(len(regexp_extract_all(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+       regexp_replace(t, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text
+FROM s2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1585,6 +1680,7 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "docs_neardup_dedup": docs_neardup_dedup,
     "docs_pii_redact": docs_pii_redact,
+    "curated_docs": curated_docs,
 }
 
 ORACLES = {
@@ -1620,6 +1716,7 @@ ORACLES = {
     "line_dedup_docs": LINE_DEDUP_SQL,
     "events_url_normalize": EVENTS_URL_NORM_SQL,
     "docs_pii_redact": DOCS_PII_SQL,
+    "curated_docs": CURATED_DOCS_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,
     "embedding_norms": EMBED_NORMS_SQL,
     "knn_cosine_top5": KNN_SQL,

@@ -898,28 +898,24 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id", sep: str = "\
 # ---------------------------------------------------------------------------
 
 
-def neardup_dedup_corpus(
+def neardup_drop_ids(
     ds,
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.7,
-    broadcast_limit: int = 5_000_000,
     **lsh_kwargs,
 ):
-    """The LLM-training-data primitive: near-dup dedup of a whole
-    corpus. MinHash+LSH verified pairs (kept as a Dataset — a web
-    corpus' pair list need not fit on the driver) → distributed
-    connected components → keep exactly the canonical doc per cluster
-    (label == min member id), drop the other members. Returns the
-    deduped corpus Dataset with all original columns.
+    """Near-dup DECISION: the slim Dataset of doc ids to drop (one
+    ``node`` int64 column — the non-canonical members of every near-dup
+    cluster), or ``None`` when the corpus has no near-dups. MinHash+LSH
+    verified pairs (kept as a Dataset — a web corpus' pair list need
+    not fit on the driver) → distributed connected components → drop
+    every member whose label != its own id (canonical = min member id).
 
-    The drop-set (non-canonical members) is dup-member-count-sized —
-    ~30% of docs on raw web crawls. Below ``broadcast_limit`` ids it
-    broadcasts once via ray.put (sorted int64 + per-batch searchsorted
-    membership); above, it switches to the explicit hash-bucket
-    exchange anti-join (both-sides-large, value-compared)."""
-    from .constraints import bucketed_anti_join
-
+    Split out from :func:`neardup_dedup_corpus` so curation pipelines
+    can checkpoint the decision (8 B/doc parquet) separately from the
+    apply scan — a resumed export reloads the ids instead of re-running
+    the LSH chain."""
     pairs = minhash_lsh_dedup(
         ds,
         text_col,
@@ -931,21 +927,46 @@ def neardup_dedup_corpus(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
     ).materialize()
     if pairs.count() == 0:  # no near-dups anywhere
-        return ds
+        return None
     labels = connected_components_distributed(pairs)
 
     def non_canonical(t: pa.Table) -> pa.Table:
         keep = pc.not_equal(t["node"], t["label"])
         return pa.table({"node": t.filter(keep)["node"].cast(pa.int64())})
 
-    drop = labels.map_batches(non_canonical, batch_format="pyarrow")
-    n_drop = drop.count()
+    return labels.map_batches(non_canonical, batch_format="pyarrow")
+
+
+def apply_drops(
+    ds,
+    drop_ds,
+    id_col: str = "doc_id",
+    broadcast_limit: int = 5_000_000,
+    n_drop: int | None = None,
+):
+    """Anti-join a corpus against a slim drop-id Dataset ({"node"}).
+
+    The drop-set is dup-member-count-sized — ~30% of docs on raw web
+    crawls. Below ``broadcast_limit`` ids it broadcasts once via
+    ray.put (sorted int64 + per-batch searchsorted membership); above,
+    it switches to the explicit hash-bucket exchange anti-join
+    (both-sides-large, value-compared). ``n_drop`` skips the count
+    pass when the caller already knows it."""
+    from .constraints import bucketed_anti_join
+
+    if drop_ds is None:
+        return ds
+    if n_drop is None:
+        n_drop = drop_ds.count()
     if n_drop == 0:
         return ds
     if n_drop <= broadcast_limit:
         drop_ids = np.sort(
             np.concatenate(
-                [b["node"].to_numpy() for b in drop.iter_batches(batch_format="pyarrow")]
+                [
+                    b["node"].to_numpy()
+                    for b in drop_ds.iter_batches(batch_format="pyarrow")
+                ]
             )
         )
         ref = ray.put(drop_ids)
@@ -958,4 +979,22 @@ def neardup_dedup_corpus(
             return t.filter(pa.array(~member))
 
         return ds.map_batches(keep_batch, batch_format="pyarrow")
-    return bucketed_anti_join(ds, drop, fk=id_col, pk="node")
+    return bucketed_anti_join(ds, drop_ds, fk=id_col, pk="node")
+
+
+def neardup_dedup_corpus(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    broadcast_limit: int = 5_000_000,
+    **lsh_kwargs,
+):
+    """The LLM-training-data primitive: near-dup dedup of a whole
+    corpus — :func:`neardup_drop_ids` (decision) composed with
+    :func:`apply_drops` (anti-join apply). Returns the deduped corpus
+    Dataset with all original columns."""
+    drop = neardup_drop_ids(
+        ds, text_col, id_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
+    )
+    return apply_drops(ds, drop, id_col, broadcast_limit=broadcast_limit)

@@ -342,3 +342,103 @@ def range_join_broadcast(ds, ranges: pd.DataFrame, value_col: str, lo_col: str =
         return out
 
     return ds.map_batches(range_probe, batch_format="pyarrow")
+
+
+def bucketed_equi_join(
+    left_ds,
+    right_ds,
+    key: str,
+    num_buckets: int = 64,
+    join_type: str = "inner",
+):
+    """Both-sides-large hash equi-join: EXPLICIT hash-bucket exchange
+    with raw Ray tasks — the same shape as
+    ``constraints.bucketed_anti_join`` and for the same reason: Ray's
+    native ``Dataset.join`` (alpha hash-shuffle) breaks on partitions
+    that receive no blocks (schema-less empty tables fail the Acero
+    join), and the union+groupby formulation funnels both sides through
+    a global sort shuffle that stalls when the object store is smaller
+    than the shuffle data.
+
+    Each side's blocks split into B pieces by hash(key) % B
+    (``num_returns`` fan-out — pieces flow worker-to-worker, never the
+    driver); one task per bucket concatenates its pieces and runs a
+    local Arrow hash join (actual values compared — collision-proof).
+    ``join_type``: "inner" or "left outer". NULL keys never match
+    (SQL semantics). One bucket's rows from both sides must fit in one
+    worker — hot keys need a pre-salt, same contract as ``asof_join``.
+    """
+    import ray
+    import ray.data as rd
+
+    from ..state.sketches import hash64
+
+    def _arrow_schema(ds):
+        # pandas-block upstreams (e.g. map_groups) report a
+        # PandasBlockSchema; normalize so empty-piece schemas are Arrow
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        return ds.map_batches(
+            lambda t: t, batch_format="pyarrow"
+        ).schema().base_schema
+
+    left_schema = _arrow_schema(left_ds)
+    right_schema = _arrow_schema(right_ds)
+    P = num_buckets
+
+    def _split(t, schema: pa.Schema):
+        if isinstance(t, pd.DataFrame):  # to_arrow_refs passes pandas
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if key not in t.column_names:  # schema-less empty block upstream
+            empty = schema.empty_table()
+            return tuple(empty for _ in range(P))
+        keys = t[key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        import pyarrow.compute as pc
+
+        h = (
+            hash64(pc.fill_null(keys.cast(pa.string()), "\x00__null__"))
+            % np.uint64(P)
+        ).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        bounds = np.searchsorted(h[order], np.arange(P + 1))
+        return tuple(
+            t.take(pa.array(order[bounds[p] : bounds[p + 1]]))
+            for p in range(P)
+        )
+
+    @ray.remote
+    def split_left(t: pa.Table):
+        return _split(t, left_schema)
+
+    @ray.remote
+    def split_right(t: pa.Table):
+        return _split(t, right_schema)
+
+    @ray.remote
+    def join_bucket(n_left: int, *pieces) -> pa.Table:
+        lp = [p for p in pieces[:n_left] if p.num_rows]
+        rp = [p for p in pieces[n_left:] if p.num_rows]
+        left = pa.concat_tables(lp) if lp else left_schema.empty_table()
+        right = pa.concat_tables(rp) if rp else right_schema.empty_table()
+        return left.join(right, keys=key, join_type=join_type)
+
+    left_splits = [
+        split_left.options(num_returns=P).remote(r)
+        for r in left_ds.to_arrow_refs()
+    ]
+    right_splits = [
+        split_right.options(num_returns=P).remote(r)
+        for r in right_ds.to_arrow_refs()
+    ]
+    buckets = [
+        join_bucket.remote(
+            len(left_splits),
+            *[s[p] for s in left_splits],
+            *[s[p] for s in right_splits],
+        )
+        for p in range(P)
+    ]
+    return rd.from_arrow_refs(buckets)

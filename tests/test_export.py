@@ -1,0 +1,147 @@
+"""Curation/export pipeline (pipelines/export.py): a planted corpus
+with quality failures, URL dups, exact dups, near dups and PII exercises
+every funnel stage; resume reloads checkpointed decisions."""
+
+import json
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sod_ray.pipelines.export import CurateConfig, run_export
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "other animals watch quietly from behind the old wooden fence "
+    "near the river and discuss their plans for the coming winter "
+    "season with great enthusiasm and considerable practical wisdom "
+    "about food storage shelter repair and the careful rationing of "
+    "supplies gathered during the long abundant summer months past"
+)
+
+
+def _mk_corpus(tmp_path):
+    """60 docs: ids 0..49 good-quality unique bodies; 50..53 exact dups
+    of doc 0; 54..55 short (quality fail); 56 has PII; 57 is doc 1 via
+    a mirror URL (canonical-url dup); 58..59 unique. Every good body is
+    made unique by a numbered suffix sentence."""
+    rows = []
+    for i in range(50):
+        rows.append(
+            (i, GOOD + f" unique marker sentence number {i} ends here", f"https://site{i}.org/a")
+        )
+    for j, i in enumerate(range(50, 54)):
+        rows.append((i, rows[0][1], f"https://dup{j}.org/x"))  # exact dup of doc 0
+    rows.append((54, "too short", "https://short1.org"))
+    rows.append((55, "also way too short to pass", "https://short2.org"))
+    rows.append(
+        (56, GOOD + " write to alice@example.com or +14155551234 at 10.0.0.7 thanks",
+         "https://pii.org/p")
+    )
+    rows.append((57, GOOD + " unique marker sentence number 1 ends here x",
+                 "HTTPS://Site1.ORG/a?utm_source=z#frag"))  # url-dup of doc 1
+    rows.append((58, GOOD + " closing body fifty eight", "https://t58.org"))
+    rows.append((59, GOOD + " closing body fifty nine", "https://t59.org"))
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "url": pa.array([r[2] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+        }
+    )
+    d = os.path.join(tmp_path, "corpus_in")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "part-0.parquet"))
+    return d
+
+
+def test_export_funnel(ray_session, tmp_path):
+    inp = _mk_corpus(str(tmp_path))
+    out = os.path.join(str(tmp_path), "out")
+    cfg = CurateConfig(url_col="url", url_dedup=True, partition_col="lang")
+    res = run_export(inp, out, cfg, resume=False)
+    rep = res.report
+
+    assert rep["rows_in"] == 60
+    assert rep["stages"]["quality"]["dropped"] == 2  # docs 54, 55
+    # url dedup runs AFTER quality: doc 57's canonical url equals doc
+    # 1's (normalize strips utm/fragment + lowercases host) → 57 drops
+    assert rep["stages"]["url"]["dropped"] == 1
+    # exact dedup on survivors: 50..53 are byte-dups of doc 0
+    assert rep["stages"]["exact"]["dropped"] == 4
+    assert rep["rows_out"] == 60 - 2 - 1 - 4
+    assert rep["pii"] == {"emails": 1, "phones": 1, "ips": 1}
+
+    got = pq.read_table(res.corpus_dir).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(
+        set(range(60)) - {50, 51, 52, 53, 54, 55, 57}
+    )
+    red = got.loc[got["doc_id"] == 56, "text"].iloc[0]
+    assert "<EMAIL>" in red and "<PHONE>" in red and "<IP>" in red
+    assert "alice@example.com" not in red
+    # report landed on disk
+    assert json.load(open(os.path.join(out, "report.json")))["rows_out"] == 53
+
+
+def test_export_resume_reuses_decisions(ray_session, tmp_path):
+    inp = _mk_corpus(str(tmp_path))
+    out = os.path.join(str(tmp_path), "out2")
+    cfg = CurateConfig(url_col="url", url_dedup=True)
+    r1 = run_export(inp, out, cfg, resume=True)
+    assert r1.report["resumed_stages"] == []
+    r2 = run_export(inp, out, cfg, resume=True)
+    assert set(r2.report["resumed_stages"]) == {"quality", "url", "exact", "apply"}
+    assert r2.report["rows_out"] == r1.report["rows_out"]
+    # a torn decision dir (no manifest record) is recomputed, not trusted:
+    # drop the 'exact' manifest record and rerun
+    os.remove(os.path.join(out, "manifest", "part-decision:exact.json"))
+    r3 = run_export(inp, out, cfg, resume=True)
+    assert "exact" not in r3.report["resumed_stages"]
+    assert r3.report["stages"]["exact"]["dropped"] == 4
+
+
+def test_export_neardup_and_line_dedup(ray_session, tmp_path):
+    """Near-dup drop (MinHash chain) and line-dedup rewrite both engage."""
+    body = " ".join(f"token{i} word{i % 7} item{i % 13}" for i in range(60))
+    near = body.replace("token3 ", "tokenX ")  # ~near-identical
+    docs = [
+        (0, body + "\nshared line alpha"),
+        (1, near + "\nshared line alpha"),  # near-dup of 0 → dropped
+        (2, "totally different content about rivers and mountains and "
+            "forests spreading wide\nshared line alpha"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+        }
+    )
+    d = os.path.join(str(tmp_path), "in3")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "p.parquet"))
+    cfg = CurateConfig(
+        quality_filter=False,
+        exact_dedup=False,
+        neardup=True,
+        line_dedup=True,
+        pii_redact=False,
+        jaccard_threshold=0.5,
+    )
+    res = run_export(d, os.path.join(str(tmp_path), "out3"), cfg, resume=False)
+    got = pq.read_table(res.corpus_dir).to_pandas().sort_values("doc_id")
+    assert list(got["doc_id"]) == [0, 2]
+    assert res.report["stages"]["neardup"]["dropped"] == 1
+    # line dedup: "shared line alpha" survives only in doc 0
+    t0, t2 = got["text"].tolist()
+    assert "shared line alpha" in t0
+    assert "shared line alpha" not in t2
+    assert "rivers and mountains" in t2
+
+
+def test_export_requires_url_col(ray_session, tmp_path):
+    with pytest.raises(ValueError):
+        run_export("/nonexistent", str(tmp_path), CurateConfig(url_dedup=True))

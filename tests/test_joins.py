@@ -258,3 +258,68 @@ def test_asof_join_salted_parity(ray_session):
         salted["ts_right"].astype("int64").tolist()
         == base["ts_right"].astype("int64").tolist()
     )
+
+
+def test_bucketed_equi_join_vs_pandas(ray_session):
+    """bucketed_equi_join parity vs pandas merge: duplicate left keys,
+    right-missing keys, null keys (never match), mixed payloads."""
+    import numpy as np
+
+    import ray.data as rd
+
+    from sod_ray.stages.joins import bucketed_equi_join
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 800, n).astype("float64"),
+            "lv": rng.normal(size=n),
+        }
+    )
+    left.loc[rng.choice(n, 50, replace=False), "k"] = np.nan  # null keys
+    right = pd.DataFrame(
+        {
+            "k": np.arange(0, 1000, 2).astype("float64"),  # half the keys
+            "rv": np.arange(500) * 10,
+        }
+    )
+    got = (
+        bucketed_equi_join(
+            rd.from_pandas(left), rd.from_pandas(right), key="k",
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv"], kind="stable")
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, on="k", how="inner")
+        .sort_values(["k", "lv"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)],
+        check_like=True,
+    )
+
+
+def test_bucketed_equi_join_left_outer(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.joins import bucketed_equi_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": list("abcd")})
+    right = pd.DataFrame({"k": [2, 4], "rv": [20, 40]})
+    got = (
+        bucketed_equi_join(
+            rd.from_pandas(left), rd.from_pandas(right), key="k",
+            num_buckets=8, join_type="left outer",
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got["k"].tolist() == [1, 2, 3, 4]
+    assert got["rv"].fillna(-1).tolist() == [-1, 20, -1, 40]
