@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "top50_tokens",
     "gopher_quality_flags",
     "line_dedup_docs",
+    "orders_priority_revenue",
+    "tfidf_top_terms",
     "events_url_normalize",
     "docs_pii_redact",
     "docs_neardup_dedup",

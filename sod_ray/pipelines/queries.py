@@ -1533,6 +1533,161 @@ def docs_neardup_dedup(sf_dir: str):
     )
 
 
+def orders_priority_revenue(sf_dir: str):
+    """Both-sides-large equi-join (lineitem ⋈ orders on the order key)
+    through ``joins.bucketed_equi_join`` — the explicit hash-bucket
+    exchange, not a broadcast — then a 5-group aggregate. Pins the
+    generic join surface against a SQL oracle; both inputs are
+    column-pruned to (key, payload) before anything crosses the
+    exchange."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import bucketed_equi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def li_proj(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+        )
+        return pa.table({"okey": t["l_orderkey"], "rev": rev})
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def o_proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"okey": t["o_orderkey"], "o_orderpriority": t["o_orderpriority"]}
+        )
+
+    joined = bucketed_equi_join(
+        li.map_batches(li_proj, batch_format="pyarrow"),
+        orders.map_batches(o_proj, batch_format="pyarrow"),
+        key="okey",
+        num_buckets=32,
+    )
+    agg = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev", alias_name="revenue"), Count(alias_name="n_items")
+    )
+    return agg.map_batches(
+        lambda t: _round_cols(t, {"revenue": 2}), batch_format="pyarrow"
+    )
+
+
+ORDERS_PRIORITY_REVENUE_SQL = """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def tfidf_top_terms(sf_dir: str, top_k: int = 3):
+    """Corpus TF-IDF, fully distributed: per-batch vectorized (doc,
+    term, tf) rows (Arrow lowercase+split + dictionary-encode + one
+    np.unique — no Python token loop) → ``groupby(term)`` for document
+    frequency → idf = ln(N/df) mapped over the df table → term-keyed
+    ``bucketed_equi_join`` back onto the tf rows (vocab need not fit on
+    the driver — no broadcast) → per-doc top-k by (score desc, term
+    asc). Three shuffles total, all of slim token rows; text never
+    crosses the wire."""
+    from ..stages.joins import bucketed_equi_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), ""))
+        words = pc.utf8_split_whitespace(txt)
+        flat = pc.list_flatten(words)
+        per_doc = pc.list_value_length(words).to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), per_doc)
+        keep = pc.utf8_length(flat).to_numpy().astype(np.int64) > 0
+        if not keep.all():
+            doc_idx = doc_idx[keep]
+            flat = flat.filter(pa.array(keep))
+        if len(doc_idx) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = enc.dictionary
+        uk, cnt = np.unique(doc_idx * len(vocab) + codes, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(uk // len(vocab))).cast(
+                    pa.int64()
+                ),
+                "term": vocab.take(pa.array(uk % len(vocab))),
+                "tf": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    df = tf.groupby("term").count()
+
+    def idf_tbl(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "term": t["term"],
+                "idf": pc.ln(
+                    pc.divide(
+                        pa.scalar(float(n_docs)),
+                        t["count()"].cast(pa.float64()),
+                    )
+                ),
+            }
+        )
+
+    scored = bucketed_equi_join(
+        tf, df.map_batches(idf_tbl, batch_format="pyarrow"), key="term",
+        num_buckets=32,
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(score=g["tf"] * g["idf"]).sort_values(
+            ["score", "term"], ascending=[False, True], kind="stable"
+        ).head(top_k)
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].astype("int64"),
+                "term": g["term"],
+                "score": g["score"].round(6),
+            }
+        )
+
+    return scored.groupby("doc_id").map_groups(topk, batch_format="pandas")
+
+
+TFIDF_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w
+), df AS (
+  SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w
+), n AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents
+), scored AS (
+  SELECT t.doc_id, t.w AS term, t.tf * ln(n.n / d.df) AS score
+  FROM tf t JOIN df d USING (w) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, term
+         ) AS rn
+  FROM scored
+)
+SELECT doc_id, term, ROUND(score, 6) AS score FROM ranked WHERE rn <= 3
+"""
+
+
 def curated_docs(sf_dir: str):
     """End-to-end curation/export funnel (pipelines/export.run_export):
     Gopher quality filter → exact md5 dedup (keep-min-id) → PII
@@ -1681,6 +1836,8 @@ QUERIES = {
     "docs_neardup_dedup": docs_neardup_dedup,
     "docs_pii_redact": docs_pii_redact,
     "curated_docs": curated_docs,
+    "orders_priority_revenue": orders_priority_revenue,
+    "tfidf_top_terms": tfidf_top_terms,
 }
 
 ORACLES = {
@@ -1717,6 +1874,8 @@ ORACLES = {
     "events_url_normalize": EVENTS_URL_NORM_SQL,
     "docs_pii_redact": DOCS_PII_SQL,
     "curated_docs": CURATED_DOCS_SQL,
+    "orders_priority_revenue": ORDERS_PRIORITY_REVENUE_SQL,
+    "tfidf_top_terms": TFIDF_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,
     "embedding_norms": EMBED_NORMS_SQL,
     "knn_cosine_top5": KNN_SQL,
