@@ -127,14 +127,16 @@ def run_bench(ncpu: int) -> dict:
     cfg = ValidateConfig(
         refs_path=os.path.join(os.path.dirname(web_dir), "webpage_refs"),
     )
-    # Two back-to-back runs, report the min: the first run after a fresh
-    # table generation / session start pays one-off object-store and
-    # page-cache costs that have measured up to 4x on this shared VM;
-    # the steady-state time is the comparable number across rounds.
+    # Three back-to-back runs, report the min: the first run after a
+    # fresh table generation / session start pays one-off object-store
+    # and page-cache costs that have measured up to 4x on this shared
+    # VM, and co-tenant bandwidth contention adds 2-4x swings between
+    # runs; the per-level minimum is the comparable number across
+    # rounds.
     import shutil
 
     times = []
-    for i in range(int(os.environ.get("SOD_BENCH_REPEATS", "2"))):
+    for i in range(int(os.environ.get("SOD_BENCH_REPEATS", "3"))):
         out_dir = os.path.join(CACHE_ROOT, f"out-{ncpu}-{os.getpid()}-{i}")
         t0 = time.perf_counter()
         res = run_validation(web_dir, out_dir, cfg, resume=False)

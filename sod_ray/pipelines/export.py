@@ -147,6 +147,23 @@ def run_export(
     os.makedirs(out_dir, exist_ok=True)
     ddir = os.path.join(out_dir, "decisions")
     os.makedirs(ddir, exist_ok=True)
+
+    # config fingerprint: a checkpointed decision is only valid under
+    # the config that computed it — refuse to resume across a config
+    # change instead of silently mixing funnels
+    cfg_fp = {k: v for k, v in sorted(cfg.__dict__.items())}
+    cfg_path = os.path.join(out_dir, "config.json")
+    if resume and os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            prev = json.load(f)
+        if prev != json.loads(json.dumps(cfg_fp)):
+            raise ValueError(
+                f"{out_dir} holds checkpoints from a different CurateConfig; "
+                "pass resume=False or use a fresh out_dir"
+            )
+    with open(cfg_path, "w") as f:
+        json.dump(cfg_fp, f)
+
     manifest = Manifest(os.path.join(out_dir, "manifest"))
     committed = manifest.committed_partitions() if resume else set()
 

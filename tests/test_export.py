@@ -145,3 +145,33 @@ def test_export_neardup_and_line_dedup(ray_session, tmp_path):
 def test_export_requires_url_col(ray_session, tmp_path):
     with pytest.raises(ValueError):
         run_export("/nonexistent", str(tmp_path), CurateConfig(url_dedup=True))
+
+
+def test_export_bucketed_drop_path(ray_session, tmp_path):
+    """broadcast_limit=0 forces every drop-set through the bucketed
+    exchange anti-join; funnel output must be unchanged."""
+    inp = _mk_corpus(str(tmp_path))
+    cfg = CurateConfig(
+        url_col="url", url_dedup=True, broadcast_limit=0, partition_col=None
+    )
+    res = run_export(inp, os.path.join(str(tmp_path), "outb"), cfg, resume=False)
+    rep = res.report
+    assert rep["stages"]["quality"]["dropped"] == 2
+    assert rep["stages"]["url"]["dropped"] == 1
+    assert rep["stages"]["exact"]["dropped"] == 4
+    assert rep["rows_out"] == 53
+    got = pq.read_table(res.corpus_dir).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(
+        set(range(60)) - {50, 51, 52, 53, 54, 55, 57}
+    )
+
+
+def test_export_rejects_config_change_on_resume(ray_session, tmp_path):
+    inp = _mk_corpus(str(tmp_path))
+    out = os.path.join(str(tmp_path), "outc")
+    run_export(inp, out, CurateConfig(), resume=True)
+    with pytest.raises(ValueError, match="different CurateConfig"):
+        run_export(inp, out, CurateConfig(jaccard_threshold=0.9), resume=True)
+    # resume=False overwrites the fingerprint and recomputes
+    r = run_export(inp, out, CurateConfig(jaccard_threshold=0.9), resume=False)
+    assert r.report["rows_out"] == 54  # no url dedup in this config
