@@ -150,19 +150,37 @@ def run_export(
 
     # config fingerprint: a checkpointed decision is only valid under
     # the config that computed it — refuse to resume across a config
-    # change instead of silently mixing funnels
+    # change instead of silently mixing funnels. resume=False clears
+    # ALL prior checkpoint state first, so a crashed fresh run can
+    # never poison a later resume with stale-config decisions; the
+    # fingerprint itself is committed tmp+rename (a kill mid-write
+    # must not brick the checkpoint dir).
     cfg_fp = {k: v for k, v in sorted(cfg.__dict__.items())}
     cfg_path = os.path.join(out_dir, "config.json")
-    if resume and os.path.exists(cfg_path):
-        with open(cfg_path) as f:
-            prev = json.load(f)
-        if prev != json.loads(json.dumps(cfg_fp)):
+    if not resume:
+        for sub in ("manifest", "decisions", "corpus", "corpus.tmp"):
+            shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+        for f in (cfg_path, os.path.join(out_dir, "report.json")):
+            if os.path.exists(f):
+                os.remove(f)
+        os.makedirs(ddir, exist_ok=True)
+    elif os.path.exists(cfg_path):
+        try:
+            with open(cfg_path) as f:
+                prev = json.load(f)
+        except json.JSONDecodeError:
+            prev = None  # torn legacy write — treat as absent
+        if prev is not None and prev != json.loads(json.dumps(cfg_fp)):
             raise ValueError(
                 f"{out_dir} holds checkpoints from a different CurateConfig; "
                 "pass resume=False or use a fresh out_dir"
             )
-    with open(cfg_path, "w") as f:
+    tmp_cfg = cfg_path + ".tmp"
+    with open(tmp_cfg, "w") as f:
         json.dump(cfg_fp, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp_cfg, cfg_path)
 
     manifest = Manifest(os.path.join(out_dir, "manifest"))
     committed = manifest.committed_partitions() if resume else set()
@@ -284,6 +302,10 @@ def run_export(
             base = filtered([id_col, cfg.url_col])
 
             def norm(t: pa.Table) -> pa.Table:
+                # null/missing URLs are exempt from dedup (grouping them
+                # would collapse every url-less doc into one "duplicate"
+                # cluster and silently drop all but one)
+                t = t.filter(pc.is_valid(t[cfg.url_col]))
                 return pa.table(
                     {
                         "node": t[id_col].cast(pa.int64()),
@@ -318,9 +340,15 @@ def run_export(
 
             def add_hash(t: pa.Table) -> pa.Table:
                 # no Arrow md5 kernel — the one per-row loop here emits
-                # only (id, 32-byte hex); text never leaves the scan task
+                # only (id, 32-byte hex); text never leaves the scan
+                # task. Null text gets a sentinel distinct from md5("")
+                # so null-text and empty-text docs stay separate groups,
+                # matching the SQL twin's GROUP BY md5(text) (all NULLs
+                # group together, apart from the '' group).
                 h = [
-                    hashlib.md5(s.encode("utf-8")).hexdigest() if s else ""
+                    hashlib.md5(s.encode("utf-8")).hexdigest()
+                    if s is not None
+                    else "\x00null"
                     for s in t[text_col].to_pylist()
                 ]
                 return pa.table(
@@ -371,7 +399,11 @@ def run_export(
 
             from ..stages.joins import bucketed_equi_join
 
-            ld = line_dedup(kept, text_col, id_col)
+            # line_dedup's input is pruned to (id, text): its side of
+            # the join re-scans only those columns, the metadata side
+            # scans everything but text — the corpus' payload columns
+            # cross the apply phase exactly once
+            ld = line_dedup(filtered([id_col, text_col]), text_col, id_col)
             others = kept.drop_columns([text_col])
             # hash equi-join on the id: both sides are corpus-sized but
             # slim (new text on one side, metadata on the other); docs
@@ -401,6 +433,9 @@ def run_export(
             kept.write_parquet(tmp, partition_cols=[cfg.partition_col])
         else:
             kept.write_parquet(tmp)
+        # an all-dropped corpus writes no files at all — an empty
+        # output dir is still a valid, committable result
+        os.makedirs(tmp, exist_ok=True)
         os.rename(tmp, corpus_dir)
         manifest.commit(
             PartitionRecord(
@@ -414,10 +449,17 @@ def run_export(
     report["stages"]["apply"] = {
         "seconds": round(time.perf_counter() - t0, 3)
     }
+    if cfg.line_dedup:
+        # docs whose every line lost vanish in the inner join — account
+        # for them so rows_in - rows_dropped == rows_out always holds
+        report["stages"]["line_dedup"] = {
+            "dropped": (n_in - acc_n) - n_out
+        }
+        acc_n = n_in - n_out
     report["rows_out"] = n_out
     report["rows_dropped"] = acc_n
 
-    if cfg.pii_redact:  # totals from the written output's slim columns
+    if cfg.pii_redact and n_out:  # totals from the output's slim columns
         pii = rd.read_parquet(
             corpus_dir, columns=["n_emails", "n_phones", "n_ips"]
         ).sum(["n_emails", "n_phones", "n_ips"])
@@ -426,6 +468,8 @@ def run_export(
             "phones": int(pii["sum(n_phones)"]),
             "ips": int(pii["sum(n_ips)"]),
         }
+    elif cfg.pii_redact:  # empty corpus: Dataset.sum returns None
+        report["pii"] = {"emails": 0, "phones": 0, "ips": 0}
 
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=1)

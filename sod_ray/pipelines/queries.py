@@ -1590,7 +1590,13 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3):
     ``bucketed_equi_join`` back onto the tf rows (vocab need not fit on
     the driver — no broadcast) → per-doc top-k by (score desc, term
     asc). Three shuffles total, all of slim token rows; text never
-    crosses the wire."""
+    crosses the wire.
+
+    Tokenization note: the kernel splits on UNICODE whitespace
+    (utf8_split_whitespace); the SQL twin's RE2 ``\\S+`` is ASCII-only.
+    Identical on ASCII corpora (all testdata); a document joining two
+    tokens with e.g. U+00A0 would count them as one SQL token. Same
+    (pre-existing) convention as gopher_stats_batch."""
     from ..stages.joins import bucketed_equi_join
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1657,11 +1663,17 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3):
             {
                 "doc_id": g["doc_id"].astype("int64"),
                 "term": g["term"],
-                "score": g["score"].round(6),
+                "score": g["score"],
             }
         )
 
-    return scored.groupby("doc_id").map_groups(topk, batch_format="pandas")
+    return (
+        scored.groupby("doc_id")
+        .map_groups(topk, batch_format="pandas")
+        .map_batches(
+            lambda t: _round_cols(t, {"score": 6}), batch_format="pyarrow"
+        )
+    )
 
 
 TFIDF_SQL = r"""
@@ -1695,13 +1707,16 @@ def curated_docs(sf_dir: str):
     output back — the oracle checks the real pipeline including its
     checkpoint/manifest machinery and partitioned sink, not an inline
     re-derivation."""
-    import tempfile
+    import shutil
 
     import ray.data as rd
 
     from .export import CurateConfig, run_export
 
-    out = tempfile.mkdtemp(prefix="sod_curate_")
+    # deterministic scratch dir, cleared up front — repeated harness /
+    # bench invocations must not accumulate corpus copies in /tmp
+    out = f"/tmp/sod_curate_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
     res = run_export(
         os.path.join(sf_dir, "documents.parquet"),
         out,

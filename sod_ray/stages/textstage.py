@@ -95,7 +95,12 @@ def gopher_stats_batch(
     top-n-gram filters), plus the combined pass flag. Entirely per-doc
     → pure ``map_batches``, no shuffle; vectorized via Arrow whitespace
     split + dictionary-encode and numpy bincount/unique/lexsort (no
-    Python loop over rows or tokens)."""
+    Python loop over rows or tokens).
+
+    Tokenization note: splits on UNICODE whitespace; the DuckDB oracle
+    twin's RE2 ``\\S+`` is ASCII-only. Identical on ASCII corpora (all
+    testdata); exotic whitespace (U+00A0 etc.) joins two SQL tokens
+    into one."""
     words = pc.utf8_split_whitespace(
         pc.fill_null(batch[text_col].combine_chunks(), "")
     )

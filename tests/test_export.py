@@ -175,3 +175,32 @@ def test_export_rejects_config_change_on_resume(ray_session, tmp_path):
     # resume=False overwrites the fingerprint and recomputes
     r = run_export(inp, out, CurateConfig(jaccard_threshold=0.9), resume=False)
     assert r.report["rows_out"] == 54  # no url dedup in this config
+
+
+def test_export_null_url_and_empty_output(ray_session, tmp_path):
+    """Null URLs are exempt from canonical-url dedup; an all-dropped
+    corpus produces an empty output without crashing the PII totals."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["short one", "short two", "short three"], pa.string()
+            ),
+            "url": pa.array([None, None, "https://a.org"], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+        }
+    )
+    d = os.path.join(str(tmp_path), "in_null")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "p.parquet"))
+    res = run_export(
+        d,
+        os.path.join(str(tmp_path), "out_null"),
+        CurateConfig(url_col="url", url_dedup=True),
+        resume=False,
+    )
+    # two null-URL docs must NOT be deduped against each other
+    assert res.report["stages"]["url"]["dropped"] == 0
+    # every doc fails quality → empty corpus, report still written
+    assert res.report["rows_out"] == 0
+    assert res.report["pii"] == {"emails": 0, "phones": 0, "ips": 0}
