@@ -49,6 +49,11 @@ def main_export(argv) -> int:
     p.add_argument("--line-dedup", action="store_true")
     p.add_argument("--jaccard-threshold", type=float, default=0.7)
     p.add_argument("--partition-col", default=None)
+    p.add_argument(
+        "--shuffle-seed", type=int, default=None,
+        help="deterministic global shuffle of the curated corpus before "
+        "the write (full all-to-all — opt-in)",
+    )
     p.add_argument("--num-cpus", type=int, default=None)
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args(argv)
@@ -69,6 +74,7 @@ def main_export(argv) -> int:
         pii_redact=not args.no_pii,
         jaccard_threshold=args.jaccard_threshold,
         partition_col=args.partition_col,
+        shuffle_seed=args.shuffle_seed,
     )
     res = run_export(args.input, args.out, cfg, resume=not args.no_resume)
     print(json.dumps(res.report))

@@ -60,6 +60,11 @@ class CurateConfig:
     line_dedup: bool = False  # C4-style global line dedup (rewrites text)
     pii_redact: bool = True  # emails/phones/IPv4 → typed placeholders
     partition_col: str | None = None  # output partition directory key
+    # deterministic global shuffle of the curated corpus before the
+    # write (training-data prep: decorrelate adjacent examples).
+    # This is a full all-to-all exchange — the ONE stage of the funnel
+    # that moves every payload byte — so it is opt-in.
+    shuffle_seed: int | None = None
     jaccard_threshold: float = 0.7
     broadcast_limit: int = 5_000_000  # drop-ids broadcast vs bucketed join
     lsh_kwargs: dict = field(default_factory=dict)
@@ -426,6 +431,8 @@ def run_export(
                 )
 
             kept = kept.map_batches(redact, batch_format="pyarrow")
+        if cfg.shuffle_seed is not None:
+            kept = kept.random_shuffle(seed=cfg.shuffle_seed)
         tmp = corpus_dir + ".tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(corpus_dir, ignore_errors=True)

@@ -1582,6 +1582,82 @@ GROUP BY o_orderpriority
 """
 
 
+def _user_set_sides(sf_dir: str):
+    """Shared plan for the set-op queries: ONE scan computes each
+    event's membership in side A (event_id % 97 == 0) and side B
+    (event_id % 89 == 0) — two sparse, overlapping user subsets — and
+    pre-reduces to per-batch (user, any_a, any_b) rows (Arrow group_by
+    max) so only one slim row per user per batch crosses the wire,
+    then ONE groupby(user_id) max-merge. INTERSECT and EXCEPT both
+    fall out of the same aggregate (vs the naive two-scan
+    union-then-distinct formulation — half the shuffles)."""
+    from ray.data.aggregate import Max
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def sides(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        pairs = pa.table(
+            {
+                "user_id": t["user_id"],
+                "a": pa.array((eid % 97 == 0).astype(np.int64)),
+                "b": pa.array((eid % 89 == 0).astype(np.int64)),
+            }
+        )
+        out = pairs.group_by(["user_id"]).aggregate([("a", "max"), ("b", "max")])
+        return out.rename_columns(["user_id", "a", "b"])
+
+    tagged = ev.map_batches(sides, batch_format="pyarrow")
+    return tagged.groupby("user_id").aggregate(
+        Max("a", alias_name="in_a"), Max("b", alias_name="in_b")
+    )
+
+
+def users_intersect_sides(sf_dir: str):
+    """INTERSECT as a Ray Data composition: users with ≥1 event in
+    BOTH sparse subsets. The reference has no set ops (SURVEY §2.5
+    G6) — this pins the engine's intersect surface against the SQL
+    INTERSECT oracle."""
+    agg = _user_set_sides(sf_dir)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["in_a"], pa.scalar(1, pa.int64())),
+            pc.equal(t["in_b"], pa.scalar(1, pa.int64())),
+        )
+        return pa.table({"user_id": t.filter(keep)["user_id"]})
+
+    return agg.map_batches(pick, batch_format="pyarrow")
+
+
+USERS_INTERSECT_SQL = """
+SELECT user_id FROM events WHERE event_id % 97 = 0
+INTERSECT
+SELECT user_id FROM events WHERE event_id % 89 = 0
+"""
+
+
+def users_except_sides(sf_dir: str):
+    """EXCEPT twin: users in side A with no side-B event."""
+    agg = _user_set_sides(sf_dir)
+
+    def pick(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["in_a"], pa.scalar(1, pa.int64())),
+            pc.equal(t["in_b"], pa.scalar(0, pa.int64())),
+        )
+        return pa.table({"user_id": t.filter(keep)["user_id"]})
+
+    return agg.map_batches(pick, batch_format="pyarrow")
+
+
+USERS_EXCEPT_SQL = """
+SELECT user_id FROM events WHERE event_id % 97 = 0
+EXCEPT
+SELECT user_id FROM events WHERE event_id % 89 = 0
+"""
+
+
 def tfidf_top_terms(sf_dir: str, top_k: int = 3):
     """Corpus TF-IDF, fully distributed: per-batch vectorized (doc,
     term, tf) rows (Arrow lowercase+split + dictionary-encode + one
@@ -1853,6 +1929,8 @@ QUERIES = {
     "curated_docs": curated_docs,
     "orders_priority_revenue": orders_priority_revenue,
     "tfidf_top_terms": tfidf_top_terms,
+    "users_intersect_sides": users_intersect_sides,
+    "users_except_sides": users_except_sides,
 }
 
 ORACLES = {
@@ -1891,6 +1969,8 @@ ORACLES = {
     "curated_docs": CURATED_DOCS_SQL,
     "orders_priority_revenue": ORDERS_PRIORITY_REVENUE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
+    "users_intersect_sides": USERS_INTERSECT_SQL,
+    "users_except_sides": USERS_EXCEPT_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,
     "embedding_norms": EMBED_NORMS_SQL,
     "knn_cosine_top5": KNN_SQL,

@@ -204,3 +204,25 @@ def test_export_null_url_and_empty_output(ray_session, tmp_path):
     # every doc fails quality → empty corpus, report still written
     assert res.report["rows_out"] == 0
     assert res.report["pii"] == {"emails": 0, "phones": 0, "ips": 0}
+
+
+def test_export_shuffle_seed(ray_session, tmp_path):
+    """shuffle_seed reorders the corpus deterministically: same seed →
+    same order, different seed → different order, identical row set."""
+    inp = _mk_corpus(str(tmp_path))
+
+    def rows(seed, tag):
+        cfg = CurateConfig(shuffle_seed=seed)
+        res = run_export(
+            inp, os.path.join(str(tmp_path), f"outs_{tag}"), cfg, resume=False
+        )
+        import glob
+
+        files = sorted(glob.glob(os.path.join(res.corpus_dir, "*.parquet")))
+        t = pa.concat_tables([pq.read_table(f) for f in files])
+        return t["doc_id"].to_pylist()
+
+    a1, a2, b = rows(7, "a1"), rows(7, "a2"), rows(8, "b")
+    assert a1 == a2  # deterministic
+    assert sorted(a1) == sorted(b)  # same set
+    assert a1 != b  # different order
