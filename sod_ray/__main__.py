@@ -50,6 +50,12 @@ def main_export(argv) -> int:
     p.add_argument("--jaccard-threshold", type=float, default=0.7)
     p.add_argument("--partition-col", default=None)
     p.add_argument(
+        "--decontaminate-file", default=None,
+        help="text file (one benchmark document per line); drop corpus "
+        "docs sharing any word n-gram with it",
+    )
+    p.add_argument("--decontaminate-n", type=int, default=13)
+    p.add_argument(
         "--shuffle-seed", type=int, default=None,
         help="deterministic global shuffle of the curated corpus before "
         "the write (full all-to-all — opt-in)",
@@ -62,10 +68,16 @@ def main_export(argv) -> int:
 
     from sod_ray.pipelines.export import CurateConfig, run_export
 
+    decon = None
+    if args.decontaminate_file:
+        with open(args.decontaminate_file) as f:
+            decon = [ln.strip() for ln in f if ln.strip()]
     cfg = CurateConfig(
         text_col=args.text_col,
         id_col=args.id_col,
         url_col=args.url_col,
+        decontaminate_texts=decon,
+        decontaminate_n=args.decontaminate_n,
         quality_filter=not args.no_quality,
         url_dedup=args.url_col is not None,
         exact_dedup=not args.no_exact,

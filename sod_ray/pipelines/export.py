@@ -57,6 +57,10 @@ class CurateConfig:
     url_dedup: bool = False  # canonical-URL keep-min-id
     exact_dedup: bool = True  # md5(text) keep-min-id
     neardup: bool = False  # MinHash+LSH → CC → keep canonical
+    # benchmark decontamination: drop docs sharing any word-level
+    # n-gram with these eval-suite texts (GPT-3 appendix-C hygiene)
+    decontaminate_texts: list | None = None
+    decontaminate_n: int = 13
     line_dedup: bool = False  # C4-style global line dedup (rewrites text)
     pii_redact: bool = True  # emails/phones/IPv4 → typed placeholders
     partition_col: str | None = None  # output partition directory key
@@ -377,6 +381,25 @@ def run_export(
             return d if d.count() else None
 
         decision("exact", exact_drops)
+
+    if cfg.decontaminate_texts:
+
+        def decon_drops():
+            from ..stages.dedup import decontaminate
+
+            base = filtered([id_col, text_col])
+            d = decontaminate(
+                base,
+                list(cfg.decontaminate_texts),
+                text_col,
+                id_col,
+                n=cfg.decontaminate_n,
+            ).map_batches(
+                lambda t: t.select(["node"]), batch_format="pyarrow"
+            ).materialize()
+            return d if d.count() else None
+
+        decision("decontaminate", decon_drops)
 
     if cfg.neardup:
 

@@ -1658,6 +1658,82 @@ SELECT user_id FROM events WHERE event_id % 89 = 0
 """
 
 
+_DECON_SNIPPET = (
+    "colorless green ideas sleep furiously under the amber evening sky"
+)
+_DECON_BENCH = [
+    "benchmark question one begins here %s and then concludes with more"
+    % _DECON_SNIPPET,
+    "a second benchmark passage with entirely unrelated vocabulary items",
+]
+
+
+def docs_decontaminate(sf_dir: str, n: int = 5):
+    """Benchmark decontamination (GPT-3 appendix-C style, public):
+    find corpus docs sharing ANY word-level n-gram with an eval suite.
+    The testdata has no planted overlap, so both sides append the same
+    deterministic benchmark snippet to docs with doc_id % 37 == 0 —
+    the engine must then FIND them via real n-gram hashing (benchmark
+    grams broadcast once, one corpus scan, no shuffle) while the
+    oracle re-derives the overlap with exact SQL string n-grams."""
+    from ..stages.dedup import decontaminate
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        hit = pc.equal(
+            pa.array(ids.to_numpy() % 37, pa.int64()), pa.scalar(0, pa.int64())
+        )
+        suffix = pc.if_else(hit, pa.scalar(" " + _DECON_SNIPPET), pa.scalar(""))
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(t["text"].combine_chunks(), ""), suffix, ""
+        )
+        return pa.table({"doc_id": ids, "text": txt})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return decontaminate(planted, _DECON_BENCH, "text", "doc_id", n=n)
+
+
+DOCS_DECON_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         lower(text || CASE WHEN doc_id % 37 = 0
+               THEN ' colorless green ideas sleep furiously under the amber evening sky'
+               ELSE '' END) AS t
+  FROM documents
+), bench AS (
+  SELECT * FROM (VALUES
+    (1, lower('benchmark question one begins here colorless green ideas sleep furiously under the amber evening sky and then concludes with more')),
+    (2, lower('a second benchmark passage with entirely unrelated vocabulary items'))
+  ) v(bid, t)
+), dw AS (
+  SELECT doc_id, unnest(regexp_extract_all(t, '\S+')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(t, '\S+')))) AS pos
+  FROM docs
+), dg AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win ||
+         ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS g
+  FROM dw WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(w, 4) OVER win IS NOT NULL
+), bw AS (
+  SELECT bid, unnest(regexp_extract_all(t, '\S+')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(t, '\S+')))) AS pos
+  FROM bench
+), bg AS (
+  SELECT DISTINCT
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win ||
+         ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS g
+  FROM bw WINDOW win AS (PARTITION BY bid ORDER BY pos)
+  QUALIFY lead(w, 4) OVER win IS NOT NULL
+)
+SELECT doc_id AS node, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_matched
+FROM dg WHERE g IN (SELECT g FROM bg)
+GROUP BY doc_id
+"""
+
+
 def tfidf_top_terms(sf_dir: str, top_k: int = 3):
     """Corpus TF-IDF, fully distributed: per-batch vectorized (doc,
     term, tf) rows (Arrow lowercase+split + dictionary-encode + one
@@ -1929,6 +2005,7 @@ QUERIES = {
     "curated_docs": curated_docs,
     "orders_priority_revenue": orders_priority_revenue,
     "tfidf_top_terms": tfidf_top_terms,
+    "docs_decontaminate": docs_decontaminate,
     "users_intersect_sides": users_intersect_sides,
     "users_except_sides": users_except_sides,
 }
@@ -1969,6 +2046,7 @@ ORACLES = {
     "curated_docs": CURATED_DOCS_SQL,
     "orders_priority_revenue": ORDERS_PRIORITY_REVENUE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
+    "docs_decontaminate": DOCS_DECON_SQL,
     "users_intersect_sides": USERS_INTERSECT_SQL,
     "users_except_sides": USERS_EXCEPT_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,

@@ -998,3 +998,88 @@ def neardup_dedup_corpus(
         ds, text_col, id_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
     )
     return apply_drops(ds, drop, id_col, broadcast_limit=broadcast_limit)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap removal)
+# ---------------------------------------------------------------------------
+
+
+def benchmark_ngram_hashes(
+    texts: list[str], n: int = 13, lowercase: bool = True
+) -> np.ndarray:
+    """Sorted unique n-gram hashes of a benchmark suite — the probe set
+    for :func:`decontaminate`. Benchmarks are small (test sets, eval
+    suites), so this runs on the driver and is broadcast once."""
+    if lowercase:
+        texts = [t.lower() if t is not None else t for t in texts]
+    tids = _token_ids(texts)
+    grams = [
+        _shingle_hashes(t, n) for t in tids if t.shape[0] >= n
+    ]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(grams))
+
+
+def decontaminate(
+    ds,
+    benchmark_texts: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    lowercase: bool = True,
+):
+    """Training-data decontamination (the GPT-3 appendix-C hygiene op,
+    public): flag every corpus document sharing ANY word-level n-gram
+    with a benchmark/eval suite, so train/test overlap can be dropped
+    before training. Returns a slim Dataset of (node=doc id, n_matched
+    = number of distinct colliding n-grams).
+
+    Scale shape: the benchmark's n-gram hash set is driver-computed
+    (benchmarks are small) and broadcast ONCE via ``ray.put``; the
+    corpus side is one ``map_batches`` scan — tokenize (vectorized
+    Arrow split + one hash64 per batch), polynomial sliding-window
+    n-gram hashes per doc, sorted-array membership via searchsorted.
+    Nothing shuffles; output is contaminated-doc-count sized. 64-bit
+    hash collisions are the false-positive bound (~1e-7 at a 1e8-gram
+    corpus against a 1e5-gram benchmark)."""
+    import pyarrow.compute as pc
+
+    bench = benchmark_ngram_hashes(benchmark_texts, n, lowercase)
+    ref = ray.put(bench)
+
+    def flag(t: pa.Table) -> pa.Table:
+        b = ray.get(ref)
+        empty = pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "n_matched": pa.array([], pa.int64()),
+            }
+        )
+        if b.shape[0] == 0 or t.num_rows == 0:
+            return empty
+        txt = t[text_col].combine_chunks()
+        if lowercase:
+            txt = pc.utf8_lower(txt)
+        tids = _token_ids(txt.to_pylist())
+        grams = [_shingle_hashes(x, n) if x.shape[0] >= n else
+                 np.empty(0, dtype=np.uint64) for x in tids]
+        lengths = np.array([g.shape[0] for g in grams], dtype=np.int64)
+        if lengths.sum() == 0:
+            return empty
+        allg = np.concatenate([g for g in grams if g.shape[0]])
+        doc_idx = np.repeat(np.arange(len(grams)), lengths)
+        pos = np.searchsorted(b, allg)
+        member = (pos < b.shape[0]) & (b[np.minimum(pos, b.shape[0] - 1)] == allg)
+        hits = np.bincount(doc_idx[member], minlength=len(grams))
+        bad = hits > 0
+        ids = t[id_col].to_numpy(zero_copy_only=False)[bad]
+        return pa.table(
+            {
+                "node": pa.array(ids, pa.int64()),
+                "n_matched": pa.array(hits[bad], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow")

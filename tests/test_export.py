@@ -226,3 +226,34 @@ def test_export_shuffle_seed(ray_session, tmp_path):
     assert a1 == a2  # deterministic
     assert sorted(a1) == sorted(b)  # same set
     assert a1 != b  # different order
+
+
+def test_export_decontaminate(ray_session, tmp_path):
+    """Docs sharing a 5-gram with the benchmark suite are dropped."""
+    snippet = "colorless green ideas sleep furiously tonight again"
+    docs = [
+        (0, GOOD + " " + snippet),  # contaminated
+        (1, GOOD + " unique marker one ends here"),
+        (2, GOOD + " unique marker two ends here"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+        }
+    )
+    d = os.path.join(str(tmp_path), "in_dec")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "p.parquet"))
+    cfg = CurateConfig(
+        quality_filter=False,
+        exact_dedup=False,
+        pii_redact=False,
+        decontaminate_texts=["an eval question mentioning " + snippet + " verbatim"],
+        decontaminate_n=5,
+    )
+    res = run_export(d, os.path.join(str(tmp_path), "out_dec"), cfg, resume=False)
+    assert res.report["stages"]["decontaminate"]["dropped"] == 1
+    got = pq.read_table(res.corpus_dir).to_pandas()
+    assert sorted(got["doc_id"]) == [1, 2]
