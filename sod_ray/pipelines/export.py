@@ -3,9 +3,10 @@ the validation flagship.
 
 ``run_validation`` (validate.py) *judges* a web corpus; ``run_export``
 *produces* the curated training corpus from it: the Dolma/CCNet-style
-funnel of quality filter → URL dedup → exact dedup → near-dup dedup →
-line-level dedup → PII redaction, writing a partitioned Parquet corpus
-plus a funnel report. (The reference engine has no export surface —
+funnel of quality filter → URL dedup → exact dedup → benchmark
+decontamination → near-dup dedup → line-level dedup → PII redaction →
+optional deterministic global shuffle, writing a partitioned Parquet
+corpus plus a funnel report. (The reference engine has no export surface —
 this is part of the LLM-training-data extension the brief requires as
 first-class; the validation side's Gopher/PII/dedup kernels are reused
 unchanged.)
