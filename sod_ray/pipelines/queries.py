@@ -1658,6 +1658,80 @@ SELECT user_id FROM events WHERE event_id % 89 = 0
 """
 
 
+def doc_dup_fractions(sf_dir: str):
+    """Gopher repetition filters part 2 (dup-line / dup-paragraph
+    fractions by unit count and char mass). The testdata documents are
+    single-line, so both sides derive the same multi-line text first:
+    ' and ' → blank line (paragraph break), remaining spaces →
+    newline — word-per-line text with genuine duplicate lines (words
+    repeat) and paragraphs. The oracle recomputes the fractions via
+    SQL string_split + GROUP BY."""
+    from ..stages.textstage import dup_text_fractions
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive_and_stats(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"].combine_chunks(), "")
+        txt = pc.replace_substring(txt, " and ", "\n\n")
+        txt = pc.replace_substring(txt, " ", "\n")
+        d = dup_text_fractions(
+            pa.table({"doc_id": t["doc_id"], "text": txt}), "text", "doc_id"
+        )
+        return _round_cols(
+            d,
+            {
+                "dup_line_frac": 6,
+                "dup_line_char_frac": 6,
+                "dup_para_frac": 6,
+                "dup_para_char_frac": 6,
+            },
+        )
+
+    return ds.map_batches(derive_and_stats, batch_format="pyarrow")
+
+
+DOC_DUP_FRACS_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         replace(replace(text, ' and ', chr(10) || chr(10)), ' ', chr(10)) AS t
+  FROM documents
+), lines AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS u FROM docs
+), lc AS (
+  SELECT doc_id, u, COUNT(*) AS c, length(u) AS len
+  FROM lines GROUP BY doc_id, u
+), lagg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_lines,
+         SUM(c - 1)::DOUBLE / SUM(c) AS dup_line_frac,
+         CASE WHEN SUM(c * len) = 0 THEN 0.0
+              ELSE SUM((c - 1) * len)::DOUBLE / SUM(c * len) END
+           AS dup_line_char_frac
+  FROM lc GROUP BY doc_id
+), paras AS (
+  SELECT doc_id, unnest(string_split(t, chr(10) || chr(10))) AS u FROM docs
+), pc_ AS (
+  SELECT doc_id, u, COUNT(*) AS c, length(u) AS len
+  FROM paras GROUP BY doc_id, u
+), pagg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_paras,
+         SUM(c - 1)::DOUBLE / SUM(c) AS dup_para_frac,
+         CASE WHEN SUM(c * len) = 0 THEN 0.0
+              ELSE SUM((c - 1) * len)::DOUBLE / SUM(c * len) END
+           AS dup_para_char_frac
+  FROM pc_ GROUP BY doc_id
+)
+SELECT l.doc_id, l.n_lines,
+       ROUND(l.dup_line_frac, 6) AS dup_line_frac,
+       ROUND(l.dup_line_char_frac, 6) AS dup_line_char_frac,
+       p.n_paras,
+       ROUND(p.dup_para_frac, 6) AS dup_para_frac,
+       ROUND(p.dup_para_char_frac, 6) AS dup_para_char_frac
+FROM lagg l JOIN pagg p ON l.doc_id = p.doc_id
+"""
+
+
 _DECON_SNIPPET = (
     "colorless green ideas sleep furiously under the amber evening sky"
 )
@@ -2006,6 +2080,7 @@ QUERIES = {
     "orders_priority_revenue": orders_priority_revenue,
     "tfidf_top_terms": tfidf_top_terms,
     "docs_decontaminate": docs_decontaminate,
+    "doc_dup_fractions": doc_dup_fractions,
     "users_intersect_sides": users_intersect_sides,
     "users_except_sides": users_except_sides,
 }
@@ -2047,6 +2122,7 @@ ORACLES = {
     "orders_priority_revenue": ORDERS_PRIORITY_REVENUE_SQL,
     "tfidf_top_terms": TFIDF_SQL,
     "docs_decontaminate": DOCS_DECON_SQL,
+    "doc_dup_fractions": DOC_DUP_FRACS_SQL,
     "users_intersect_sides": USERS_INTERSECT_SQL,
     "users_except_sides": USERS_EXCEPT_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,

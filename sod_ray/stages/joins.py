@@ -19,6 +19,10 @@ Partitioning assumptions (documented per the brief):
   and is shipped once via ``ray.put``; each batch task probes it
   vectorized. Overlapping ranges produce one output row per match
   (SQL inequality-join semantics).
+- ``bucketed_equi_join``: both sides may be LARGE; each side's blocks
+  split into B hash buckets that flow worker-to-worker (never the
+  driver); one bucket's rows from BOTH sides must fit in one worker —
+  a single hot key needs a pre-salt (asof_join_salted pattern).
 """
 
 from __future__ import annotations

@@ -238,3 +238,72 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n_sub = [len(sub.findall(t)) if t else 0 for t in texts]
     out = batch.append_column("n_tokens_ws", pa.array(n_ws, pa.int64()))
     return out.append_column("n_tokens_bpe", pa.array(n_sub, pa.int64()))
+
+
+def _dup_fracs(txt: pa.Array, sep: str, n_docs: int):
+    """Per-doc duplicate-unit fractions for one separator: (n_units,
+    dup_unit_frac, dup_char_frac), where a unit occurring c times in a
+    doc contributes c-1 duplicates and (c-1)*len(unit) duplicate chars
+    (Rae et al. 2021 Table A1's dup_line/para filters). Vectorized:
+    one Arrow split + one hash64 over the batch's flat units + one
+    lexsort run-length pass — no Python loop over docs or units."""
+    from ..state.sketches import hash64
+
+    parts = pc.split_pattern(txt, sep)
+    flat = pc.list_flatten(parts)
+    n_per = pc.fill_null(pc.list_value_length(parts), 0).to_numpy(
+        zero_copy_only=False
+    )
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_per)
+    n_items = np.bincount(doc_idx, minlength=n_docs).astype(np.float64)
+    if len(doc_idx) == 0:
+        zero = np.zeros(n_docs)
+        return n_items.astype(np.int64), zero, zero
+    h = hash64(flat)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((h, doc_idx))
+    d, hh, ll = doc_idx[order], h[order], lens[order]
+    new = np.concatenate(([True], (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])))
+    run_id = np.cumsum(new) - 1
+    run_counts = np.bincount(run_id).astype(np.int64)
+    run_doc = d[new]
+    run_len = ll[new]  # identical units share a length (collision-free)
+    dup_n = (run_counts - 1).astype(np.float64)
+    dup_items = np.bincount(run_doc, weights=dup_n, minlength=n_docs)
+    tot_chars = np.bincount(doc_idx, weights=lens, minlength=n_docs)
+    dup_chars = np.bincount(
+        run_doc, weights=dup_n * run_len, minlength=n_docs
+    )
+    frac = dup_items / np.maximum(n_items, 1.0)
+    char_frac = np.where(tot_chars > 0, dup_chars / np.maximum(tot_chars, 1.0), 0.0)
+    return n_items.astype(np.int64), frac, char_frac
+
+
+def dup_text_fractions(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+    para_sep: str = "\n\n",
+) -> pa.Table:
+    """Gopher repetition filters, part 2 (Rae et al. 2021, public):
+    per-doc duplicate-LINE and duplicate-PARAGRAPH fractions, by unit
+    count and by character mass. Pure per-doc ``map_batches`` — no
+    shuffle; complements ``gopher_stats_batch``'s top-n-gram fractions.
+    Empty units (adjacent separators) count as units, matching SQL
+    string_split semantics."""
+    txt = pc.fill_null(batch[text_col].combine_chunks(), "")
+    n = len(batch)
+    n_lines, dlf, dlcf = _dup_fracs(txt, line_sep, n)
+    n_paras, dpf, dpcf = _dup_fracs(txt, para_sep, n)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "dup_line_frac": pa.array(dlf, pa.float64()),
+            "dup_line_char_frac": pa.array(dlcf, pa.float64()),
+            "n_paras": pa.array(n_paras, pa.int64()),
+            "dup_para_frac": pa.array(dpf, pa.float64()),
+            "dup_para_char_frac": pa.array(dpcf, pa.float64()),
+        }
+    )

@@ -243,3 +243,26 @@ def test_redact_pii_null_text():
     )
     out = redact_pii_batch(t).to_pandas()
     assert out.text_redacted[0] == "" and out.n_emails[0] == 0
+
+
+def test_dup_text_fractions_cases():
+    from sod_ray.stages.textstage import dup_text_fractions
+
+    texts = ["a\nb\na\nc", "", "x\nx\nx", "p\n\np\n\nq"]
+    t = pa.table(
+        {"doc_id": pa.array(range(4), pa.int64()), "text": texts}
+    )
+    out = dup_text_fractions(t).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_lines"] == 4
+    assert out.loc[0, "dup_line_frac"] == 0.25          # 'a' twice
+    assert out.loc[0, "dup_line_char_frac"] == 0.25
+    assert out.loc[1, "n_lines"] == 1                    # "" -> one empty line
+    assert out.loc[1, "dup_line_frac"] == 0.0
+    assert out.loc[1, "dup_line_char_frac"] == 0.0       # zero chars -> 0
+    assert abs(out.loc[2, "dup_line_frac"] - 2 / 3) < 1e-12
+    assert abs(out.loc[2, "dup_line_char_frac"] - 2 / 3) < 1e-12
+    # "p\n\np\n\nq": lines p,'',p,'',q -> 2 dups of 5; paras p,p,q -> 1 of 3
+    assert out.loc[3, "n_lines"] == 5
+    assert abs(out.loc[3, "dup_line_frac"] - 0.4) < 1e-12
+    assert out.loc[3, "n_paras"] == 3
+    assert abs(out.loc[3, "dup_para_frac"] - 1 / 3) < 1e-12
