@@ -1732,6 +1732,132 @@ FROM lagg l JOIN pagg p ON l.doc_id = p.doc_id
 """
 
 
+def doc_perplexity(sf_dir: str):
+    """CCNet-style perplexity filtering (Wenzek et al. 2020, public),
+    with the corpus's own add-one-smoothed UNIGRAM LM standing in for
+    KenLM (no model libs in this container — the statistical shape,
+    train-on-corpus → score-per-doc → threshold, is the same):
+    per-doc perplexity = exp(-mean log p(token)). Two stages: ONE
+    token-count groupby trains the LM (slim (term, count) rows), then
+    a term-keyed ``bucketed_equi_join`` ships each token's log-prob
+    back to its (doc, term, tf) rows and a doc groupby averages —
+    the vocabulary never sits on the driver or broadcasts whole."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import bucketed_equi_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), ""))
+        words = pc.utf8_split_whitespace(txt)
+        flat = pc.list_flatten(words)
+        per_doc = pc.list_value_length(words).to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), per_doc)
+        keep = pc.utf8_length(flat).to_numpy().astype(np.int64) > 0
+        if not keep.all():
+            doc_idx = doc_idx[keep]
+            flat = flat.filter(pa.array(keep))
+        if len(doc_idx) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = enc.dictionary
+        uk, cnt = np.unique(doc_idx * len(vocab) + codes, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].take(pa.array(uk // len(vocab))).cast(
+                    pa.int64()
+                ),
+                "term": vocab.take(pa.array(uk % len(vocab))),
+                "tf": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    counts = tf.groupby("term").aggregate(Sum("tf", alias_name="n"))
+    # corpus totals: token count + vocab size (tiny driver scalars)
+    tot = counts.sum("n")
+    v = counts.count()
+
+    def logp(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "term": t["term"],
+                "lp": pa.array(np.log((n + 1.0) / (tot + v))),
+            }
+        )
+
+    scored = bucketed_equi_join(
+        tf, counts.map_batches(logp, batch_format="pyarrow"), key="term",
+        num_buckets=32,
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = t["lp"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "s": pa.array(tfv * lp),
+                "w": pa.array(tfv),
+            }
+        )
+
+    from ray.data.aggregate import Sum as S2
+
+    agg = (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(S2("s", alias_name="s"), S2("w", alias_name="w"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        ppl = np.exp(-s / np.maximum(w, 1.0))
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(w.astype(np.int64)),
+                "perplexity": pa.array(ppl),
+            }
+        )
+        return _round_cols(out, {"perplexity": 4})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+DOC_PERPLEXITY_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY doc_id, w
+), lm AS (
+  SELECT w, CAST(SUM(tf) AS DOUBLE) AS n FROM tf GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS tot, CAST(COUNT(*) AS DOUBLE) AS v
+  FROM lm
+), scored AS (
+  SELECT t.doc_id, t.tf,
+         ln((l.n + 1.0) / (tot.tot + tot.v)) AS lp
+  FROM tf t JOIN lm l USING (w) CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(exp(-SUM(tf * lp) / GREATEST(SUM(tf), 1)), 4) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
 _DECON_SNIPPET = (
     "colorless green ideas sleep furiously under the amber evening sky"
 )
@@ -2081,6 +2207,7 @@ QUERIES = {
     "tfidf_top_terms": tfidf_top_terms,
     "docs_decontaminate": docs_decontaminate,
     "doc_dup_fractions": doc_dup_fractions,
+    "doc_perplexity": doc_perplexity,
     "users_intersect_sides": users_intersect_sides,
     "users_except_sides": users_except_sides,
 }
@@ -2123,6 +2250,7 @@ ORACLES = {
     "tfidf_top_terms": TFIDF_SQL,
     "docs_decontaminate": DOCS_DECON_SQL,
     "doc_dup_fractions": DOC_DUP_FRACS_SQL,
+    "doc_perplexity": DOC_PERPLEXITY_SQL,
     "users_intersect_sides": USERS_INTERSECT_SQL,
     "users_except_sides": USERS_EXCEPT_SQL,
     "docs_stratified_sample": DOCS_STRATIFIED_SQL,
