@@ -72,6 +72,12 @@ def main_export(argv) -> int:
     if args.decontaminate_file:
         with open(args.decontaminate_file) as f:
             decon = [ln.strip() for ln in f if ln.strip()]
+        if not decon:
+            p.error(
+                f"--decontaminate-file {args.decontaminate_file} contains "
+                "no benchmark text — refusing to silently skip "
+                "decontamination"
+            )
     cfg = CurateConfig(
         text_col=args.text_col,
         id_col=args.id_col,

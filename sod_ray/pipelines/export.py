@@ -126,6 +126,28 @@ def _load_decision(pdir: str):
     return (rd.read_parquet(pdir) if n else None), n
 
 
+def _summarize_cfg(cfg: CurateConfig) -> dict:
+    """JSON-safe config view for report.json and the resume
+    fingerprint: list fields (e.g. a multi-MB benchmark suite) are
+    replaced by a count + sha256 — same identity, bounded size."""
+    import hashlib
+
+    out = {}
+    for k, v in sorted(cfg.__dict__.items()):
+        if isinstance(v, dict):
+            out[k] = {kk: vv for kk, vv in sorted(v.items())
+                      if isinstance(vv, (int, float, str, bool, type(None)))}
+        elif isinstance(v, (list, tuple)):
+            h = hashlib.sha256()
+            for item in v:
+                h.update(str(item).encode())
+                h.update(b"\x00")
+            out[k] = {"n": len(v), "sha256": h.hexdigest()}
+        else:
+            out[k] = v
+    return out
+
+
 def run_export(
     input_path: str,
     out_dir: str,
@@ -165,7 +187,7 @@ def run_export(
     # never poison a later resume with stale-config decisions; the
     # fingerprint itself is committed tmp+rename (a kill mid-write
     # must not brick the checkpoint dir).
-    cfg_fp = {k: v for k, v in sorted(cfg.__dict__.items())}
+    cfg_fp = _summarize_cfg(cfg)
     cfg_path = os.path.join(out_dir, "config.json")
     if not resume:
         for sub in ("manifest", "decisions", "corpus", "corpus.tmp"):
@@ -201,11 +223,9 @@ def run_export(
         "rows_in": n_in,
         "stages": {},
         "resumed_stages": [],
-        "config": {
-            k: v
-            for k, v in cfg.__dict__.items()
-            if not isinstance(v, dict)
-        },
+        # benchmark suites can be MBs of text — the report carries a
+        # count + content hash, never the texts themselves
+        "config": _summarize_cfg(cfg),
     }
 
     # accumulated drop-set across sequential decision stages. Small

@@ -1604,8 +1604,12 @@ def _user_set_sides(sf_dir: str):
                 "b": pa.array((eid % 89 == 0).astype(np.int64)),
             }
         )
-        out = pairs.group_by(["user_id"]).aggregate([("a", "max"), ("b", "max")])
-        return out.rename_columns(["user_id", "a", "b"])
+        g = pairs.group_by(["user_id"]).aggregate([("a", "max"), ("b", "max")])
+        # select by NAME — pyarrow group_by column ordering (keys first
+        # vs last) has differed across releases
+        return pa.table(
+            {"user_id": g["user_id"], "a": g["a_max"], "b": g["b_max"]}
+        )
 
     tagged = ev.map_batches(sides, batch_format="pyarrow")
     return tagged.groupby("user_id").aggregate(
@@ -1693,7 +1697,7 @@ def doc_dup_fractions(sf_dir: str):
 DOC_DUP_FRACS_SQL = """
 WITH docs AS (
   SELECT doc_id,
-         replace(replace(text, ' and ', chr(10) || chr(10)), ' ', chr(10)) AS t
+         replace(replace(coalesce(text, ''), ' and ', chr(10) || chr(10)), ' ', chr(10)) AS t
   FROM documents
 ), lines AS (
   SELECT doc_id, unnest(string_split(t, chr(10))) AS u FROM docs
@@ -1781,7 +1785,9 @@ def doc_perplexity(sf_dir: str):
         )
 
     tf = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
-    counts = tf.groupby("term").aggregate(Sum("tf", alias_name="n"))
+    # materialized: sum(), count() and the join below would otherwise
+    # each re-run the full term-count shuffle
+    counts = tf.groupby("term").aggregate(Sum("tf", alias_name="n")).materialize()
     # corpus totals: token count + vocab size (tiny driver scalars)
     tot = counts.sum("n")
     v = counts.count()
@@ -1898,7 +1904,7 @@ def docs_decontaminate(sf_dir: str, n: int = 5):
 DOCS_DECON_SQL = r"""
 WITH docs AS (
   SELECT doc_id,
-         lower(text || CASE WHEN doc_id % 37 = 0
+         lower(coalesce(text, '') || CASE WHEN doc_id % 37 = 0
                THEN ' colorless green ideas sleep furiously under the amber evening sky'
                ELSE '' END) AS t
   FROM documents

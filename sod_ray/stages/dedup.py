@@ -1007,19 +1007,27 @@ def neardup_dedup_corpus(
 
 def benchmark_ngram_hashes(
     texts: list[str], n: int = 13, lowercase: bool = True
-) -> np.ndarray:
-    """Sorted unique n-gram hashes of a benchmark suite — the probe set
-    for :func:`decontaminate`. Benchmarks are small (test sets, eval
-    suites), so this runs on the driver and is broadcast once."""
+) -> dict[int, np.ndarray]:
+    """Gram-width → sorted unique hashes of a benchmark suite — the
+    probe sets for :func:`decontaminate`. Benchmark texts SHORTER than
+    n tokens contribute their full token sequence as one gram at its
+    own width (eval questions are often <13 words; the GPT-3 appendix
+    uses min(13, doc length) the same way) — the corpus side then
+    probes at every width present, so short eval docs are never
+    silently skipped. Benchmarks are small (test sets, eval suites),
+    so this runs on the driver and is broadcast once."""
     if lowercase:
         texts = [t.lower() if t is not None else t for t in texts]
     tids = _token_ids(texts)
-    grams = [
-        _shingle_hashes(t, n) for t in tids if t.shape[0] >= n
-    ]
-    if not grams:
-        return np.empty(0, dtype=np.uint64)
-    return np.unique(np.concatenate(grams))
+    by_width: dict[int, list[np.ndarray]] = {}
+    for t in tids:
+        w = min(n, t.shape[0])
+        if w == 0:
+            continue
+        by_width.setdefault(w, []).append(_shingle_hashes(t, w))
+    return {
+        w: np.unique(np.concatenate(gs)) for w, gs in by_width.items()
+    }
 
 
 def decontaminate(
@@ -1036,14 +1044,16 @@ def decontaminate(
     before training. Returns a slim Dataset of (node=doc id, n_matched
     = number of distinct colliding n-grams).
 
-    Scale shape: the benchmark's n-gram hash set is driver-computed
-    (benchmarks are small) and broadcast ONCE via ``ray.put``; the
-    corpus side is one ``map_batches`` scan — tokenize (vectorized
-    Arrow split + one hash64 per batch), polynomial sliding-window
-    n-gram hashes per doc, sorted-array membership via searchsorted.
-    Nothing shuffles; output is contaminated-doc-count sized. 64-bit
-    hash collisions are the false-positive bound (~1e-7 at a 1e8-gram
-    corpus against a 1e5-gram benchmark)."""
+    Scale shape: the benchmark's per-width n-gram hash sets are
+    driver-computed (benchmarks are small) and broadcast ONCE via
+    ``ray.put``; the corpus side is one ``map_batches`` scan —
+    tokenize (vectorized Arrow split + one hash64 per batch),
+    polynomial sliding-window gram hashes per doc at each width the
+    benchmark contains (one width, n, unless the suite has shorter
+    docs — at most n widths total), sorted-array membership via
+    searchsorted. Nothing shuffles; output is contaminated-doc-count
+    sized. 64-bit hash collisions are the false-positive bound (~1e-7
+    at a 1e8-gram corpus against a 1e5-gram benchmark)."""
     import pyarrow.compute as pc
 
     bench = benchmark_ngram_hashes(benchmark_texts, n, lowercase)
@@ -1057,23 +1067,32 @@ def decontaminate(
                 "n_matched": pa.array([], pa.int64()),
             }
         )
-        if b.shape[0] == 0 or t.num_rows == 0:
+        if not b or t.num_rows == 0:
             return empty
         txt = t[text_col].combine_chunks()
         if lowercase:
             txt = pc.utf8_lower(txt)
         tids = _token_ids(txt.to_pylist())
-        grams = [_shingle_hashes(x, n) if x.shape[0] >= n else
-                 np.empty(0, dtype=np.uint64) for x in tids]
-        lengths = np.array([g.shape[0] for g in grams], dtype=np.int64)
-        if lengths.sum() == 0:
-            return empty
-        allg = np.concatenate([g for g in grams if g.shape[0]])
-        doc_idx = np.repeat(np.arange(len(grams)), lengths)
-        pos = np.searchsorted(b, allg)
-        member = (pos < b.shape[0]) & (b[np.minimum(pos, b.shape[0] - 1)] == allg)
-        hits = np.bincount(doc_idx[member], minlength=len(grams))
+        hits = np.zeros(len(tids), dtype=np.int64)
+        for w, bw in b.items():
+            grams = [
+                _shingle_hashes(x, w) if x.shape[0] >= w else
+                np.empty(0, dtype=np.uint64)
+                for x in tids
+            ]
+            lengths = np.array([g.shape[0] for g in grams], dtype=np.int64)
+            if lengths.sum() == 0:
+                continue
+            allg = np.concatenate([g for g in grams if g.shape[0]])
+            doc_idx = np.repeat(np.arange(len(grams)), lengths)
+            pos = np.searchsorted(bw, allg)
+            member = (pos < bw.shape[0]) & (
+                bw[np.minimum(pos, bw.shape[0] - 1)] == allg
+            )
+            hits += np.bincount(doc_idx[member], minlength=len(grams))
         bad = hits > 0
+        if not bad.any():
+            return empty
         ids = t[id_col].to_numpy(zero_copy_only=False)[bad]
         return pa.table(
             {

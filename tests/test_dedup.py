@@ -280,3 +280,26 @@ def test_neardup_dedup_corpus_no_dups(ray_session):
     )
     kept = neardup_dedup_corpus(ds, "text", "doc_id").to_pandas()
     assert set(kept["doc_id"]) == set(range(20))
+
+
+def test_decontaminate_short_benchmark_text(ray_session):
+    """Benchmark texts shorter than n tokens still decontaminate: they
+    probe at their own full-sequence width instead of being skipped."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import decontaminate
+
+    short_q = "what is the capital of france"  # 6 tokens < n=13
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "trivia time: " + short_q + " and other questions follow",
+                "a completely unrelated document about rivers and dams",
+            ],
+        }
+    )
+    out = decontaminate(
+        rd.from_pandas(docs), [short_q], n=13
+    ).to_pandas()
+    assert out["node"].tolist() == [0]
