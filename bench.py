@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "line_dedup_docs",
     "orders_priority_revenue",
     "tfidf_top_terms",
+    "doc_perplexity",
+    "docs_decontaminate",
     "events_url_normalize",
     "docs_pii_redact",
     "docs_neardup_dedup",
