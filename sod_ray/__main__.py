@@ -61,9 +61,13 @@ def main_export(argv) -> int:
         "the write (full all-to-all — opt-in)",
     )
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument(
+        "--object-store-gb", type=float, default=None,
+        help="cap Ray's object store (GiB) — exercises the spill path",
+    )
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args(argv)
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, args.object_store_gb)
     import ray
 
     from sod_ray.pipelines.export import CurateConfig, run_export
