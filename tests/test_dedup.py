@@ -303,3 +303,51 @@ def test_decontaminate_short_benchmark_text(ray_session):
         rd.from_pandas(docs), [short_q], n=13
     ).to_pandas()
     assert out["node"].tolist() == [0]
+
+
+def test_minhash_star_emission_same_clusters(ray_session):
+    """Star pair emission finds the SAME near-dup clusters as all-pairs
+    on homogeneous planted families (the corpus-dedup use case), with
+    far fewer candidate pairs verified."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import (
+        connected_components_distributed,
+        minhash_lsh_dedup,
+    )
+
+    rng = np.random.default_rng(17)
+    texts, ids = [], []
+    nid = 0
+    for fam in range(12):
+        base = " ".join(f"w{int(x)}" for x in rng.integers(0, 20000, 80))
+        members = 8 if fam % 3 else 20
+        for m in range(members):
+            toks = base.split()
+            # ONE token edit → member↔hub shingle-Jaccard ~0.93,
+            # comfortably above threshold: the homogeneous-family case
+            # star emission is specified for (two edits can push a
+            # hub pair under 0.7 — the documented recall trade)
+            toks[int(rng.integers(0, len(toks)))] = f"edit{fam}x{m}"
+            texts.append(" ".join(toks))
+            ids.append(nid)
+            nid += 1
+    for _ in range(300):  # background noise docs
+        texts.append(" ".join(f"w{int(x)}" for x in rng.integers(0, 20000, 80)))
+        ids.append(nid)
+        nid += 1
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+
+    def clusters(emission):
+        pairs = minhash_lsh_dedup(
+            ds, "text", "doc_id", jaccard_threshold=0.7,
+            small_corpus_rows=1, as_dataset=True, pair_emission=emission,
+        )
+        labels = connected_components_distributed(pairs).to_pandas()
+        return set(zip(labels["node"], labels["label"]))
+
+    cp = clusters("pairs")
+    cs = clusters("star")
+    assert cp == cs and len(cp) > 0
