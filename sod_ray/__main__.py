@@ -48,6 +48,11 @@ def main_export(argv) -> int:
     p.add_argument("--neardup", action="store_true")
     p.add_argument("--line-dedup", action="store_true")
     p.add_argument("--jaccard-threshold", type=float, default=0.7)
+    p.add_argument(
+        "--neardup-emission", choices=["star", "pairs"], default="star",
+        help="LSH candidate emission: star (volume ~ bucket members; "
+        "default) or pairs (exhaustive, for marginal/chain families)",
+    )
     p.add_argument("--partition-col", default=None)
     p.add_argument(
         "--decontaminate-file", default=None,
@@ -92,6 +97,7 @@ def main_export(argv) -> int:
         url_dedup=args.url_col is not None,
         exact_dedup=not args.no_exact,
         neardup=args.neardup,
+        lsh_kwargs={"pair_emission": args.neardup_emission},
         line_dedup=args.line_dedup,
         pii_redact=not args.no_pii,
         jaccard_threshold=args.jaccard_threshold,
