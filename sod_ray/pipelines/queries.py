@@ -278,11 +278,32 @@ DOC_MD5_SQL = "SELECT doc_id, md5(text) AS text_md5 FROM documents"
 
 
 def dedup_first_doc(sf_dir: str):
-    """Exact dedup keep-lowest-id (hash-partitioned groupby)."""
-    from ..stages.dedup import exact_dedup
+    """Exact dedup keep-lowest-id. Output is only the winner ids, so
+    the whole query is one slim (md5, id) scan + a vectorized
+    ``groupby(md5).aggregate(Min(id))`` — no per-group Python, no
+    winner-row fetch (``stages.dedup.exact_dedup`` adds the semi-join
+    when full rows are needed)."""
+    import hashlib
+
+    from ray.data.aggregate import Min
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return exact_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        h = [
+            hashlib.md5(t.encode()).hexdigest() if t is not None else ""
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {"__md5": pa.array(h, pa.string()), "doc_id": batch["doc_id"]}
+        )
+
+    return (
+        ds.map_batches(slim, batch_format="pyarrow")
+        .groupby("__md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
 
 
 DEDUP_FIRST_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
@@ -302,28 +323,26 @@ def dup_text_groups(sf_dir: str):
         ]
         return batch.append_column("text_md5", pa.array(h, pa.string()))
 
-    def dup_only(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) > 1:
-            return pd.DataFrame(
-                {
-                    "text_md5": [g["text_md5"].iloc[0]],
-                    "dup_count": [np.int64(len(g))],
-                    "first_doc_id": [np.int64(g["doc_id"].min())],
-                }
-            )
-        # typed empty so the schema survives when no dups exist anywhere
-        return pd.DataFrame(
+    from ray.data.aggregate import Count, Min
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        out = pa.table(
             {
-                "text_md5": pd.Series(dtype="object"),
-                "dup_count": pd.Series(dtype="int64"),
-                "first_doc_id": pd.Series(dtype="int64"),
+                "text_md5": t["text_md5"],
+                "dup_count": t["count()"].cast(pa.int64()),
+                "first_doc_id": t["first_doc_id"].cast(pa.int64()),
             }
         )
+        return out.filter(pc.greater(out["dup_count"], pa.scalar(1)))
 
+    # vectorized aggregate reduce (count + min per md5), no per-group
+    # Python; the old map_groups paid one pandas call per distinct doc
     out = (
         ds.map_batches(add_hash, batch_format="pyarrow")
+        .select_columns(["text_md5", "doc_id"])
         .groupby("text_md5")
-        .map_groups(dup_only, batch_format="pandas")
+        .aggregate(Count(), Min("doc_id", alias_name="first_doc_id"))
+        .map_batches(dup_only, batch_format="pyarrow")
     ).to_pandas()
     schema = pa.schema(
         [
@@ -333,7 +352,7 @@ def dup_text_groups(sf_dir: str):
         ]
     )
     if len(out) == 0:
-        # Ray drops all-empty groups; pin the schema explicitly
+        # Ray drops all-empty results; pin the schema explicitly
         return schema.empty_table()
     return pa.Table.from_pandas(out, schema=schema, preserve_index=False)
 
@@ -353,8 +372,6 @@ def dup_cluster_ids(sf_dir: str):
     end (the SQL twin is a window-min over the text partition)."""
     import hashlib
 
-    import ray.data as rd
-
     from ..stages.dedup import connected_components_distributed
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -366,17 +383,81 @@ def dup_cluster_ids(sf_dir: str):
         ]
         return pa.table({"doc_id": batch["doc_id"], "text_md5": pa.array(h)})
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
 
-    def star_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")}
-            )
-        ids = np.sort(g["doc_id"].to_numpy())
-        return pd.DataFrame({"id_a": ids[:1].repeat(len(ids) - 1), "id_b": ids[1:]})
+    # star pairs without per-group Python: a vectorized aggregate finds
+    # each md5 group's root (min id) + size; the dup-group mapping is
+    # dup-rate-sized by construction, so it broadcasts (hash-keyed
+    # sorted arrays + a string confirm on hash hits — exact); one more
+    # scan emits (root, id) star edges
+    from ray.data.aggregate import Count, Min
 
-    pairs = hashed.groupby("text_md5").map_groups(star_pairs, batch_format="pandas")
+    from ..state.sketches import hash64 as _h64
+
+    groups = (
+        hashed.groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="root"), Count())
+    )
+    dup_pdf = groups.map_batches(
+        lambda t: t.filter(pc.greater(t["count()"], pa.scalar(1))).select(
+            ["text_md5", "root"]
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+
+    import ray
+
+    if "text_md5" not in dup_pdf.columns:  # empty results drop the schema
+        dup_pdf = pd.DataFrame(
+            {"text_md5": pd.Series(dtype="object"), "root": pd.Series(dtype="int64")}
+        )
+    md5_np = dup_pdf["text_md5"].to_numpy()
+    dh = (
+        _h64(pa.array(md5_np, pa.string())).view(np.int64)
+        if len(dup_pdf)
+        else np.empty(0, np.int64)
+    )
+    if dh.shape[0] and np.unique(dh).shape[0] != dh.shape[0]:
+        # two distinct dup md5s collided in hash64 (vanishingly rare):
+        # fall back to exact string-keyed probe arrays
+        d_order = np.argsort(md5_np, kind="stable")
+        dh = None
+    else:
+        d_order = np.argsort(dh, kind="stable")
+        dh = dh[d_order]
+    dup_ref = ray.put(
+        (dh, md5_np[d_order], dup_pdf["root"].to_numpy()[d_order])
+    )
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        dhs, dmd5, droot = ray.get(dup_ref)
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if dmd5.shape[0] == 0 or t.num_rows == 0:
+            return empty
+        m = t["text_md5"].to_numpy(zero_copy_only=False)
+        if dhs is None:
+            # exact string-keyed probe (hash-collision fallback)
+            pos = np.minimum(np.searchsorted(dmd5, m), dmd5.shape[0] - 1)
+            idx = np.flatnonzero(dmd5[pos] == m)
+        else:
+            h = _h64(t["text_md5"].combine_chunks()).view(np.int64)
+            pos = np.minimum(np.searchsorted(dhs, h), dhs.shape[0] - 1)
+            hit = dhs[pos] == h
+            if not hit.any():
+                return empty
+            # confirm hash hits with a string compare (collision-exact)
+            idx = np.flatnonzero(hit)
+            idx = idx[m[idx] == dmd5[pos[idx]]]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)[idx]
+        roots = droot[pos[idx]].astype(np.int64)
+        keep = ids != roots
+        return pa.table(
+            {"id_a": pa.array(roots[keep]), "id_b": pa.array(ids[keep])}
+        )
+
+    pairs = hashed.map_batches(emit_pairs, batch_format="pyarrow")
     labels = connected_components_distributed(pairs)
 
     # left-join docs to CC labels (docs without dup pairs keep their id):
@@ -1360,10 +1441,12 @@ FROM wagg w LEFT JOIN bagg b ON w.doc_id = b.doc_id
 
 
 def line_dedup_docs(sf_dir: str):
-    """C4-style global line-level dedup: keep each distinct line only at
-    its first (doc_id, line position) occurrence, reassemble docs from
-    surviving lines (docs losing every line vanish). Two shuffles, no
-    join — see stages.dedup.line_dedup."""
+    """C4-style global line-level dedup: keep each distinct non-empty
+    line only at its first (doc_id, line position) occurrence — empty
+    lines are paragraph structure and always pass through — then
+    reassemble docs from surviving lines (docs losing every line
+    vanish). Two raw-task hash exchanges, no join, no per-group Python
+    — see stages.dedup.line_dedup."""
     from ..stages.dedup import line_dedup
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1384,7 +1467,7 @@ WITH splits AS (
   FROM lines
 )
 SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text_deduped
-FROM ranked WHERE rn = 1 GROUP BY doc_id
+FROM ranked WHERE rn = 1 OR line = '' GROUP BY doc_id
 """
 
 
@@ -2013,24 +2096,42 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3):
         num_buckets=32,
     )
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(score=g["tf"] * g["idf"]).sort_values(
-            ["score", "term"], ascending=[False, True], kind="stable"
-        ).head(top_k)
-        return pd.DataFrame(
+    # per-doc top-k WITHOUT a Python call per doc: hash-exchange the
+    # scored rows by doc id, then ONE vectorized sort + run-rank per
+    # bucket (stages.exchange) — replaces groupby(doc).map_groups
+    from ..stages.exchange import exchange_reduce
+
+    def topk_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table(
             {
-                "doc_id": g["doc_id"].astype("int64"),
-                "term": g["term"],
-                "score": g["score"],
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
             }
         )
-
-    return (
-        scored.groupby("doc_id")
-        .map_groups(topk, batch_format="pandas")
-        .map_batches(
-            lambda t: _round_cols(t, {"score": 6}), batch_format="pyarrow"
+        if t.num_rows == 0:
+            return empty
+        df = t.to_pandas()
+        df["score"] = df["tf"] * df["idf"]
+        df.sort_values(
+            ["doc_id", "score", "term"],
+            ascending=[True, False, True],
+            kind="stable",
+            inplace=True,
         )
+        ids = df["doc_id"].to_numpy()
+        idx = np.arange(len(df), dtype=np.int64)
+        new = np.concatenate(([True], ids[1:] != ids[:-1]))
+        rank = idx - np.maximum.accumulate(np.where(new, idx, 0))
+        out = df.loc[rank < top_k, ["doc_id", "term", "score"]]
+        if len(out) == 0:
+            return empty
+        return pa.Table.from_pandas(
+            out, schema=empty.schema, preserve_index=False
+        )
+
+    return exchange_reduce(scored, "doc_id", topk_bucket).map_batches(
+        lambda t: _round_cols(t, {"score": 6}), batch_format="pyarrow"
     )
 
 

@@ -34,26 +34,89 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(ds, text_col: str, id_col: str, keep: str = "min"):
-    """Hash-partitioned exact dedup: add md5(text), groupby hash, keep
-    one row per group (lowest/highest id — deterministic)."""
+def exact_dedup(
+    ds,
+    text_col: str,
+    id_col: str,
+    keep: str = "min",
+    broadcast_limit: int = 5_000_000,
+    num_buckets: int | None = None,
+):
+    """Hash-partitioned exact dedup, vectorized end to end.
+
+    Scale shape: (1) one scan emits slim (md5, id) rows — the text never
+    shuffles; (2) winner ids come from
+    ``groupby("__md5").aggregate(Min/Max(id))`` — Ray's vectorized
+    reduce, no per-group Python callable (the old
+    ``map_groups(head(1))`` paid one pandas call per *distinct
+    document*); (3) winner rows are fetched with a semi-join on the id
+    column — a broadcast membership filter below ``broadcast_limit``
+    winners (one ``ray.put`` of a sorted int64 array + searchsorted per
+    batch), a bucketed hash join above it."""
     import hashlib
 
-    def add_hash(batch: pa.Table) -> pa.Table:
+    from ray.data.aggregate import Max, Min
+
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
+
+    def slim_hash(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         h = [
             hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None else ""
             for t in texts
         ]
-        return batch.append_column("__md5", pa.array(h, pa.string()))
+        return pa.table(
+            {
+                "__md5": pa.array(h, pa.string()),
+                id_col: batch[id_col].cast(pa.int64()),
+            }
+        )
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    agg = (
+        Min(id_col, alias_name="__win")
+        if keep == "min"
+        else Max(id_col, alias_name="__win")
+    )
+    winners = (
+        ds.map_batches(slim_hash, batch_format="pyarrow")
+        .groupby("__md5")
+        .aggregate(agg)
+        .materialize()
+    )
+    n_win = winners.count()
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(id_col, ascending=(keep == "min"), kind="stable")
-        return g.head(1).drop(columns=["__md5"])
+    if n_win <= broadcast_limit:
+        win_np = np.sort(
+            winners.select_columns(["__win"]).to_pandas()["__win"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        win_ref = ray.put(win_np)
 
-    return hashed.groupby("__md5").map_groups(first, batch_format="pandas")
+        def keep_rows(t: pa.Table) -> pa.Table:
+            w = ray.get(win_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            if w.shape[0] == 0:
+                return t.slice(0, 0)
+            pos = np.minimum(np.searchsorted(w, ids), w.shape[0] - 1)
+            return t.filter(pa.array(w[pos] == ids))
+
+        return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+    # winner set too large to broadcast: bucketed hash join on the id
+    # column (winner ids are unique, so the inner join is a semi-join)
+    from .joins import bucketed_equi_join
+
+    win_ds = winners.map_batches(
+        lambda t: pa.table({id_col: t["__win"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    return bucketed_equi_join(
+        ds, win_ds, key=id_col, num_buckets=num_buckets or 32
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -580,18 +643,43 @@ def _minhash_small(
 # ---------------------------------------------------------------------------
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via a byte lookup table
+    (numpy < 2.0 has no ``bitwise_count``)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8)].reshape(-1, 8).sum(axis=1, dtype=np.int64)
+
+
 def simhash_signatures(texts: list[str | None], seed: int = 7) -> np.ndarray:
-    """64-bit SimHash per doc from token hashes (unit weights):
-    sign of the per-bit sum of ±1 votes."""
+    """64-bit SimHash per doc from token hashes (unit weights): sign of
+    the per-bit sum of ±1 votes.
+
+    Batch-vectorized: all docs' token ids are concatenated once; per
+    bit position j, ONE shift/mask over the whole flat array and ONE
+    ``np.add.reduceat`` over the doc boundaries give every doc's bit-j
+    vote sum — 64 vectorized passes total, no per-doc Python loop
+    (bit-identical to the per-doc formulation: bit set iff
+    2·Σbits − n_tokens > 0)."""
     token_ids = _token_ids(texts)
     out = np.zeros(len(texts), dtype=np.uint64)
-    bits = np.arange(64, dtype=np.uint64)
-    for i, tids in enumerate(token_ids):
-        if tids.shape[0] == 0:
-            continue
-        votes = ((tids[:, None] >> bits) & np.uint64(1)).astype(np.int64)
-        acc = (2 * votes - 1).sum(axis=0)
-        out[i] = np.sum((acc > 0).astype(np.uint64) << bits)
+    counts = np.fromiter(
+        (t.shape[0] for t in token_ids), dtype=np.int64, count=len(token_ids)
+    )
+    nz = np.flatnonzero(counts)
+    if nz.shape[0] == 0:
+        return out
+    flat = np.concatenate([token_ids[i] for i in nz])
+    offs = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
+    cnz = counts[nz]
+    sig = np.zeros(nz.shape[0], dtype=np.uint64)
+    for j in range(64):
+        bit_j = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+        sums = np.add.reduceat(bit_j, offs)
+        sig |= ((2 * sums - cnz) > 0).astype(np.uint64) << np.uint64(j)
+    out[nz] = sig
     return out
 
 
@@ -642,35 +730,39 @@ def simhash_dedup(
         g = group.sort_values(id_col, kind="stable").drop_duplicates(id_col)
         ids = g[id_col].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
+        n = len(ids)
         out_a, out_b, out_h = [], [], []
-        for i in range(len(ids)):
-            x = sh[i + 1 :] ^ sh[i]
-            # popcount via numpy bit tricks
-            ham = np.zeros(x.shape, dtype=np.int64)
-            v = x.copy()
-            while v.any():
-                ham += (v & np.uint64(1)).astype(np.int64)
-                v >>= np.uint64(1)
-            hits = np.flatnonzero(ham <= 3)
-            for h in hits:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + h])
-                out_h.append(int(ham[h]))
+        # pairwise XOR + table-lookup popcount, row-chunked so a giant
+        # bucket bounds its n×chunk matrix instead of n×n
+        for s in range(0, n, 1024):
+            blk = sh[s : s + 1024]
+            x = blk[:, None] ^ sh[None, :]
+            ham = _popcount64(x.ravel()).reshape(x.shape)
+            ii, jj = np.nonzero(ham <= max_hamming)
+            keep = (ii + s) < jj  # upper triangle only
+            if keep.any():
+                out_a.append(ids[ii[keep] + s])
+                out_b.append(ids[jj[keep]])
+                out_h.append(ham[ii[keep], jj[keep]])
         if not out_a:
             return empty
         return pd.DataFrame(
             {
-                "id_a": np.asarray(out_a, dtype=np.int64),
-                "id_b": np.asarray(out_b, dtype=np.int64),
-                "hamming": np.asarray(out_h, dtype=np.int64),
+                "id_a": np.concatenate(out_a).astype(np.int64),
+                "id_b": np.concatenate(out_b).astype(np.int64),
+                "hamming": np.concatenate(out_h).astype(np.int64),
             }
         )
 
     pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
         verify, batch_format="pandas"
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # a pair found in multiple bands carries the same hamming value —
+    # vectorized aggregate dedupe, not a Python call per pair
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 
@@ -863,21 +955,35 @@ def connected_components_distributed(
 # ---------------------------------------------------------------------------
 
 
-def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id", sep: str = "\n"):
+def line_dedup(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    num_buckets: int | None = None,
+):
     """C4-style global line-level dedup (Raffel et al. 2020): every
-    distinct line is kept only at its FIRST occurrence ordered by
-    (doc id, line position); documents are reassembled from their kept
-    lines, preserving line order; docs whose every line lost vanish.
+    distinct non-empty line is kept only at its FIRST occurrence ordered
+    by (doc id, line position); documents are reassembled from their
+    kept lines, preserving line order; docs whose every line lost
+    vanish. EMPTY lines are structural (every ``\\n\\n`` paragraph
+    separator splits to one) and are exempt — they pass through to
+    reassembly unconditionally, so corpus-wide paragraph structure
+    survives.
 
-    Scale shape: two shuffles and no join. Explode is a vectorized
-    ``map_batches`` (Arrow split_pattern + numpy offsets). The first
-    ``groupby(line)`` ships each line's text exactly once (the text has
-    to cross anyway to be reassembled) and emits ONLY the winner
-    occurrence, so the second ``groupby(doc_id)`` moves just the
-    surviving lines. For corpora where lines are huge, group on
-    (hash64(line), line) instead — same semantics, better sort keys —
-    but the text still crosses once by necessity.
-    """
+    Scale shape: two raw-task hash exchanges
+    (``stages.exchange.exchange_reduce``), no join, no per-group Python.
+    The first exchange buckets by ``hash64(line)`` — an 8-byte routing
+    key instead of multi-KB line text as a sort key — and selects
+    winners with one vectorized sort + shifted-compare per bucket (line
+    text is compared only where the 64-bit hashes collide, so hash
+    collisions cannot merge distinct lines). The second exchange buckets
+    by doc id and reassembles every doc in the bucket with ONE Arrow
+    ``binary_join`` over a list array built from numpy offsets. The
+    line text crosses each exchange exactly once (it must: it is the
+    output). Buckets must fit a worker's heap — size ``num_buckets``
+    (default max(8, CPUs)) to the corpus."""
+    from .exchange import exchange_reduce
 
     def explode(t: pa.Table) -> pa.Table:
         txt = pc.fill_null(t[text_col].combine_chunks(), "")
@@ -887,31 +993,78 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id", sep: str = "\
         rid = np.repeat(t[id_col].to_numpy(zero_copy_only=False), n_per)
         starts = np.repeat(np.cumsum(n_per) - n_per, n_per)
         line_no = np.arange(len(flat), dtype=np.int64) - starts + 1
+        lh = hash64(flat).view(np.int64)
         return pa.table(
             {
                 "line": flat,
                 id_col: pa.array(rid, pa.int64()),
                 "line_no": pa.array(line_no, pa.int64()),
+                "__lh": pa.array(lh, pa.int64()),
             }
         )
 
     lines = ds.map_batches(explode, batch_format="pyarrow")
 
-    def winner(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values([id_col, "line_no"], kind="stable").head(1)
+    def winner_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "line": pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "line_no": pa.array([], pa.int64()),
+                }
+            )
+        df = t.to_pandas()
+        df.sort_values(
+            ["__lh", "line", id_col, "line_no"], kind="stable", inplace=True
+        )
+        lh = df["__lh"].to_numpy()
+        ln = df["line"].to_numpy()
+        first = np.empty(len(df), dtype=bool)
+        first[0] = True
+        first[1:] = lh[1:] != lh[:-1]
+        # hash-equal neighbours: confirm with a string compare (exact)
+        same = np.flatnonzero(~first)
+        if same.shape[0]:
+            first[same] = ln[same] != ln[same - 1]
+        keep = first | (ln == "")  # empty lines always pass through
+        out = df.loc[keep, ["line", id_col, "line_no"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    kept = lines.groupby("line").map_groups(winner, batch_format="pandas")
+    kept = exchange_reduce(lines, "__lh", winner_bucket, num_buckets)
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("line_no", kind="stable")
-        return pd.DataFrame(
+    def assemble_bucket(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "text_deduped": pa.array([], pa.string()),
+                }
+            )
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lno = t["line_no"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lno, ids))
+        ids_s = ids[order]
+        col = t["line"]
+        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        lines_s = arr.take(pa.array(order))
+        bnd = np.flatnonzero(
+            np.concatenate(([True], ids_s[1:] != ids_s[:-1]))
+        )
+        offsets = np.concatenate((bnd, [ids_s.shape[0]])).astype(np.int64)
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), lines_s
+        )
+        return pa.table(
             {
-                id_col: np.asarray([g[id_col].iloc[0]], dtype=np.int64),
-                "text_deduped": [sep.join(g["line"])],
+                id_col: pa.array(ids_s[bnd], pa.int64()),
+                "text_deduped": pc.binary_join(la, sep),
             }
         )
 
-    return kept.groupby(id_col).map_groups(reassemble, batch_format="pandas")
+    return exchange_reduce(kept, id_col, assemble_bucket, num_buckets)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""Generic raw-task hash exchange for key-count ≈ row-count reductions.
+
+Ray Data's ``groupby(...).map_groups(fn)`` pays one Python call per
+group; when the number of groups approaches the number of rows (exact
+dedup winners, line dedup, per-doc top-k), that is a Python call per
+row of output — the dominant cost at corpus scale. The repo's measured
+alternative (``tools/shuffle_backend_bench.py``: 47× vs the best
+Dataset shuffle backend on 16M singleton-heavy keys) is a raw-task
+hash-bucket exchange: every block splits its rows into P buckets by
+``key % P``, one reduce task per bucket concatenates its pieces and
+runs ONE vectorized callable over the whole bucket.
+
+This module is the generic form of that pattern (the same shape as the
+hand-rolled exchanges in ``stages/cc.py`` and
+``stages/dedup._prune_singleton_buckets``).
+
+Partitioning assumption (document per use): all rows of one bucket are
+concatenated in a single reduce task, so the largest bucket must fit in
+one worker's heap. Keys are hashed 64-bit values, so buckets are
+uniform in *key* count; a single hot key still lands in one bucket —
+callers with hot-key risk must pre-salt or pre-combine. Size
+``num_buckets`` so total_bytes / P fits comfortably (default:
+max(8, cluster CPUs))."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _default_buckets() -> int:
+    try:
+        if ray.is_initialized():
+            return max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        pass
+    return 8
+
+
+@ray.remote
+def _split_block(t: pa.Table, key_col: str, P: int):
+    """One block → P row-slices by key % P (one sort, P zero-copy slices)."""
+    if t.num_rows == 0 or key_col not in t.column_names:
+        # Ray passes empty blocks through map_batches with an empty
+        # schema — they carry no rows, route nothing
+        e = t.slice(0, 0)
+        return tuple(e for _ in range(P))
+    k = t[key_col].to_numpy(zero_copy_only=False)
+    b = (k.astype(np.int64, copy=False) % P + P) % P
+    order = np.argsort(b, kind="stable")
+    st = t.take(pa.array(order))
+    bs = b[order]
+    bounds = np.searchsorted(bs, np.arange(P + 1))
+    return tuple(
+        st.slice(int(bounds[p]), int(bounds[p + 1] - bounds[p]))
+        for p in range(P)
+    )
+
+
+@ray.remote
+def _reduce_bucket(fn, *pieces):
+    parts = [p for p in pieces if p.num_rows]
+    if parts:
+        t = pa.concat_tables(parts).combine_chunks()
+    else:
+        # all-empty bucket: hand fn the widest available schema (empty
+        # passthrough blocks have zero columns)
+        t = max(pieces, key=lambda p: p.num_columns)
+    return fn(t)
+
+
+def exchange_reduce(ds, key_col: str, fn, num_buckets: int | None = None):
+    """Hash-exchange ``ds`` by integer column ``key_col`` into P buckets
+    and apply ``fn(bucket_table) -> pa.Table`` once per bucket.
+
+    ``fn`` must be a pure vectorized callable (it sees EVERY row of its
+    bucket in one Arrow table, including a possible 0-row table) and
+    all rows sharing a key value land in the same bucket — so any
+    per-key reduction computed inside ``fn`` is globally correct.
+    String keys: add a ``hash64`` column first. Returns a Dataset built
+    from the P reduce outputs."""
+    P = num_buckets or _default_buckets()
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return ds.map_batches(fn, batch_format="pyarrow")
+    splits = [
+        _split_block.options(num_returns=P).remote(r, key_col, P)
+        for r in refs
+    ]
+    if P == 1:  # options(num_returns=1) unwraps the tuple
+        splits = [[s] for s in splits]
+    outs = [
+        _reduce_bucket.remote(fn, *[s[p] for s in splits]) for p in range(P)
+    ]
+    import ray.data as rd
+
+    return rd.from_arrow_refs(outs)

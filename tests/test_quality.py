@@ -85,7 +85,9 @@ def test_gopher_null_text():
 
 
 def _line_dedup_ref(docs: dict[int, str]) -> dict[int, str]:
-    """Brute-force reference: global first-occurrence line dedup."""
+    """Brute-force reference: global first-occurrence line dedup.
+    Empty lines are structural (paragraph separators) and exempt —
+    they always pass through."""
     seen = {}
     for did in sorted(docs):
         for no, line in enumerate(docs[did].split("\n")):
@@ -96,7 +98,7 @@ def _line_dedup_ref(docs: dict[int, str]) -> dict[int, str]:
         kept = [
             line
             for no, line in enumerate(docs[did].split("\n"))
-            if seen[line] == (did, no)
+            if line == "" or seen[line] == (did, no)
         ]
         if kept:
             out[did] = "\n".join(kept)
