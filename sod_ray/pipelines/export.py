@@ -129,14 +129,24 @@ def _load_decision(pdir: str):
 def _summarize_cfg(cfg: CurateConfig) -> dict:
     """JSON-safe config view for report.json and the resume
     fingerprint: list fields (e.g. a multi-MB benchmark suite) are
-    replaced by a count + sha256 — same identity, bounded size."""
+    replaced by a count + sha256 — same identity, bounded size.
+    Non-scalar values INSIDE dict fields (e.g. a nested lsh_kwargs
+    value) are hashed the same way rather than dropped, so two configs
+    differing only there cannot share a fingerprint."""
     import hashlib
 
     out = {}
     for k, v in sorted(cfg.__dict__.items()):
         if isinstance(v, dict):
-            out[k] = {kk: vv for kk, vv in sorted(v.items())
-                      if isinstance(vv, (int, float, str, bool, type(None)))}
+            sub = {}
+            for kk, vv in sorted(v.items()):
+                if isinstance(vv, (int, float, str, bool, type(None))):
+                    sub[kk] = vv
+                else:
+                    sub[kk] = {
+                        "sha256": hashlib.sha256(repr(vv).encode()).hexdigest()
+                    }
+            out[k] = sub
         elif isinstance(v, (list, tuple)):
             h = hashlib.sha256()
             for item in v:
@@ -146,6 +156,77 @@ def _summarize_cfg(cfg: CurateConfig) -> dict:
         else:
             out[k] = v
     return out
+
+
+def _loser_nodes(d, key_col: str, node_col: str = "node"):
+    """Vectorized keep-min-id loser selection over slim (node, key)
+    rows: hash-exchange by hash64(key) then ONE sort + shifted-compare
+    per bucket — every row that is not the first of its key group is a
+    loser (key strings are compared only where the 64-bit hashes
+    collide, so collisions cannot merge distinct keys). Replaces
+    ``groupby(key).map_groups(losers)``, which paid a Python call per
+    distinct key (≈ per doc at corpus scale)."""
+    from ..stages.exchange import exchange_reduce
+    from ..state.sketches import hash64
+
+    def add_kh(t: pa.Table) -> pa.Table:
+        kh = hash64(t[key_col].combine_chunks()).view(np.int64)
+        return t.append_column("__kh", pa.array(kh, pa.int64()))
+
+    keyed = d.map_batches(add_kh, batch_format="pyarrow")
+
+    def losers_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table({node_col: pa.array([], pa.int64())})
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        df = t.to_pandas()
+        df.sort_values(
+            ["__kh", key_col, node_col], kind="stable", inplace=True
+        )
+        kh = df["__kh"].to_numpy()
+        kv = df[key_col].to_numpy()
+        first = np.empty(len(df), dtype=bool)
+        first[0] = True
+        first[1:] = kh[1:] != kh[:-1]
+        same = np.flatnonzero(~first)
+        if same.shape[0]:
+            first[same] = kv[same] != kv[same - 1]
+        nodes = df.loc[~first, node_col].to_numpy().astype(np.int64)
+        if nodes.shape[0] == 0:
+            return empty
+        return pa.table({node_col: pa.array(nodes, pa.int64())})
+
+    return exchange_reduce(keyed, "__kh", losers_bucket)
+
+
+def _input_signature(input_path: str) -> dict:
+    """Cheap input-corpus identity for the resume fingerprint: absolute
+    path + sorted (relative file name, size) list hash + parquet-footer
+    row count. No data scan. A resume against a different or updated
+    input must refuse instead of applying drop-id checkpoints computed
+    on the old corpus (ADVICE r2)."""
+    import hashlib
+
+    root = os.path.abspath(input_path)
+    entries = []
+    if os.path.isdir(root):
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                p = os.path.join(dirpath, fn)
+                entries.append((os.path.relpath(p, root), os.path.getsize(p)))
+    elif os.path.exists(root):
+        entries.append((os.path.basename(root), os.path.getsize(root)))
+    entries.sort()
+    h = hashlib.sha256()
+    for name, size in entries:
+        h.update(f"{name}:{size}".encode())
+        h.update(b"\x00")
+    return {
+        "path": root,
+        "n_files": len(entries),
+        "files_sha256": h.hexdigest(),
+        "rows": _meta_row_count(input_path),
+    }
 
 
 def run_export(
@@ -180,14 +261,15 @@ def run_export(
     ddir = os.path.join(out_dir, "decisions")
     os.makedirs(ddir, exist_ok=True)
 
-    # config fingerprint: a checkpointed decision is only valid under
-    # the config that computed it — refuse to resume across a config
-    # change instead of silently mixing funnels. resume=False clears
-    # ALL prior checkpoint state first, so a crashed fresh run can
-    # never poison a later resume with stale-config decisions; the
-    # fingerprint itself is committed tmp+rename (a kill mid-write
-    # must not brick the checkpoint dir).
-    cfg_fp = _summarize_cfg(cfg)
+    # config+input fingerprint: a checkpointed decision is only valid
+    # under the config AND input corpus that computed it — refuse to
+    # resume across a config change or an input change (same out_dir,
+    # different/updated input_path would otherwise silently apply old
+    # drop ids to new docs). resume=False clears ALL prior checkpoint
+    # state first, so a crashed fresh run can never poison a later
+    # resume with stale decisions; the fingerprint itself is committed
+    # tmp+rename (a kill mid-write must not brick the checkpoint dir).
+    cfg_fp = {**_summarize_cfg(cfg), "__input__": _input_signature(input_path)}
     cfg_path = os.path.join(out_dir, "config.json")
     if not resume:
         for sub in ("manifest", "decisions", "corpus", "corpus.tmp"):
@@ -204,8 +286,8 @@ def run_export(
             prev = None  # torn legacy write — treat as absent
         if prev is not None and prev != json.loads(json.dumps(cfg_fp)):
             raise ValueError(
-                f"{out_dir} holds checkpoints from a different CurateConfig; "
-                "pass resume=False or use a fresh out_dir"
+                f"{out_dir} holds checkpoints from a different CurateConfig "
+                "or input corpus; pass resume=False or use a fresh out_dir"
             )
     tmp_cfg = cfg_path + ".tmp"
     with open(tmp_cfg, "w") as f:
@@ -343,20 +425,9 @@ def run_export(
                     }
                 )
 
-            def losers(g: pd.DataFrame) -> pd.DataFrame:
-                if len(g) < 2:
-                    return pd.DataFrame({"node": pd.Series(dtype="int64")})
-                keep = g["node"].min()
-                return pd.DataFrame(
-                    {"node": g.loc[g["node"] != keep, "node"].astype("int64")}
-                )
-
-            d = (
-                base.map_batches(norm, batch_format="pyarrow")
-                .groupby("norm_url")
-                .map_groups(losers, batch_format="pandas")
-                .materialize()
-            )
+            d = _loser_nodes(
+                base.map_batches(norm, batch_format="pyarrow"), "norm_url"
+            ).materialize()
             return d if d.count() else None
 
         decision("url", url_drops)
@@ -385,20 +456,9 @@ def run_export(
                     {"node": t[id_col].cast(pa.int64()), "h": pa.array(h)}
                 )
 
-            def losers(g: pd.DataFrame) -> pd.DataFrame:
-                if len(g) < 2:
-                    return pd.DataFrame({"node": pd.Series(dtype="int64")})
-                keep = g["node"].min()
-                return pd.DataFrame(
-                    {"node": g.loc[g["node"] != keep, "node"].astype("int64")}
-                )
-
-            d = (
-                base.map_batches(add_hash, batch_format="pyarrow")
-                .groupby("h")
-                .map_groups(losers, batch_format="pandas")
-                .materialize()
-            )
+            d = _loser_nodes(
+                base.map_batches(add_hash, batch_format="pyarrow"), "h"
+            ).materialize()
             return d if d.count() else None
 
         decision("exact", exact_drops)

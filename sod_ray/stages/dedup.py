@@ -276,6 +276,13 @@ def minhash_lsh_dedup(
     the driver."""
     import ray.data as rd
 
+    if pair_emission not in ("pairs", "star"):
+        # a typo ('Star', 'stars') would otherwise silently fall
+        # through to the exhaustive all-pairs path
+        raise ValueError(
+            f"pair_emission must be 'pairs' or 'star', got {pair_emission!r}"
+        )
+
     if ds.count() < small_corpus_rows:
         small = _minhash_small(
             ds, text_col, id_col, n_perm, bands, shingle_k, jaccard_threshold, seed

@@ -177,6 +177,52 @@ def test_export_rejects_config_change_on_resume(ray_session, tmp_path):
     assert r.report["rows_out"] == 54  # no url dedup in this config
 
 
+def test_export_rejects_input_change_on_resume(ray_session, tmp_path):
+    """Same out_dir + same config but a different/updated input corpus
+    must refuse to resume (checkpointed drop ids were computed on the
+    old corpus) — ADVICE r2."""
+    inp = _mk_corpus(str(tmp_path))
+    out = os.path.join(str(tmp_path), "outi")
+    run_export(inp, out, CurateConfig(), resume=True)
+    # grow the input in place (new shard) — resume must refuse
+    extra = pa.table(
+        {
+            "doc_id": pa.array([1000], pa.int64()),
+            "text": pa.array([GOOD + " brand new arrival doc"], pa.string()),
+            "url": pa.array(["https://new.org/n"], pa.string()),
+            "lang": pa.array(["en"], pa.string()),
+        }
+    )
+    pq.write_table(extra, os.path.join(inp, "part-1.parquet"))
+    with pytest.raises(ValueError, match="different CurateConfig"):
+        run_export(inp, out, CurateConfig(), resume=True)
+    # resume=False recomputes against the new input
+    r = run_export(inp, out, CurateConfig(), resume=False)
+    assert r.report["rows_in"] == 61
+
+
+def test_summarize_cfg_nested_values_fingerprint():
+    """Non-scalar values inside dict fields must change the resume
+    fingerprint (ADVICE r2: they were silently dropped)."""
+    from sod_ray.pipelines.export import _summarize_cfg
+
+    a = _summarize_cfg(CurateConfig(lsh_kwargs={"x": [1, 2]}))
+    b = _summarize_cfg(CurateConfig(lsh_kwargs={"x": [1, 3]}))
+    c = _summarize_cfg(CurateConfig(lsh_kwargs={"x": 1}))
+    assert a != b and a != c
+
+
+def test_pair_emission_validated(ray_session):
+    """A pair_emission typo must raise, not silently run all-pairs."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import minhash_lsh_dedup
+
+    ds = rd.from_items([{"doc_id": 1, "text": "a b c"}])
+    with pytest.raises(ValueError, match="pair_emission"):
+        minhash_lsh_dedup(ds, "text", "doc_id", pair_emission="Star")
+
+
 def test_export_null_url_and_empty_output(ray_session, tmp_path):
     """Null URLs are exempt from canonical-url dedup; an all-dropped
     corpus produces an empty output without crashing the PII totals."""
