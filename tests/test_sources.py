@@ -267,3 +267,81 @@ def test_landing_zone_grace_window(ray_session, tmp_path):
     pq.write_table(pa.table({"doc_id": pa.array([7], pa.int64())}), partial)
     ds2, files2 = lz.poll()
     assert files2 == ["inflight.parquet"] and ds2.count() == 1
+
+
+def test_scrape_transport_parity(tmp_path):
+    """S3 transport tail: injectable fetch delivering the reference wire
+    format end-to-end — gunzip sniff, response-entity wins, per-response
+    createdAt sort, NewMetric projection, parse errors as violation
+    rows, transport failures as error records (scrape.go:132-213)."""
+    import gzip
+    import json
+
+    from sod_ray.sources.scrape import gunzip_if_needed, scrape_targets
+
+    ok_payload = json.dumps(
+        {
+            "entity": "srv-a",
+            "data": [
+                {"vector": [3.0], "createdAt": "2026-01-01T00:00:09Z"},
+                {"vector": [1.0], "createdAt": "2026-01-01T00:00:01Z",
+                 "extra": {"n": 1}},
+            ],
+        }
+    ).encode()
+    store = {
+        "http://a/metrics": gzip.compress(ok_payload),  # gzip-encoded
+        "http://b/metrics": b'{"entity": "srv-b", "data": [{"vector": [5.0], "createdAt": "2026-01-01T00:00:03Z"}]}',
+        "http://c/metrics": b"{ not json at all",
+    }
+
+    def fetch(url: str) -> bytes:
+        if url == "http://down/metrics":
+            raise ConnectionError("refused")
+        return store[url]
+
+    targets = [
+        {"url": "http://a/metrics", "entityId": "ignored-a"},
+        {"url": "http://b/metrics", "entityId": "ignored-b"},
+        {"url": "http://c/metrics", "entityId": "ignored-c"},
+        {"url": "http://down/metrics", "entityId": "d"},
+    ]
+    rows, errors = scrape_targets(targets, fetch)
+    assert [e["url"] for e in errors] == ["http://down/metrics"]
+    df = rows.to_pandas()
+    good = df[df["parse_error"] == ""]
+    bad = df[df["parse_error"] != ""]
+    # response entity names the stream; per-response sort by createdAt
+    a = good[good["entity_id"] == "srv-a"].reset_index(drop=True)
+    assert list(a["vector"].map(lambda v: v[0])) == [1.0, 3.0]
+    assert set(good["entity_id"]) == {"srv-a", "srv-b"}
+    assert len(bad) == 1  # the malformed body became a violation row
+    # deterministic metric projection on every valid row
+    assert good["row_id"].notna().all()
+    assert good["status"].notna().all()
+    assert gunzip_if_needed(b"plain") == b"plain"
+
+
+def test_scrape_to_landing(tmp_path):
+    """A pull wave lands as one decodable JSON-lines shard; undecodable
+    responses are skipped with a typed error (reference logs+skips)."""
+    import json
+
+    from sod_ray.sources.scrape import scrape_to_landing
+
+    ok = json.dumps(
+        {"entity": "e", "data": [{"vector": [1.0],
+                                  "createdAt": "2026-01-01T00:00:01Z"}]}
+    ).encode()
+    fetch = lambda url: ok if "good" in url else b"broken{{"
+    path, errors = scrape_to_landing(
+        [{"url": "http://good/1"}, {"url": "http://bad/2"}],
+        fetch,
+        str(tmp_path / "landing"),
+        "wave-000.jsonl",
+    )
+    assert path and path.endswith("wave-000.jsonl")
+    assert [e["url"] for e in errors] == ["http://bad/2"]
+    with open(path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln]
+    assert len(lines) == 1 and json.loads(lines[0])["entity"] == "e"
