@@ -1362,6 +1362,263 @@ def psi_events_halves(sf_dir: str):
     return drift_check(column_stats(second, ["value"], key="event_type"), baseline)
 
 
+def sketch_stats_checked(sf_dir: str):
+    """Oracle-backed sketch validation (r2 verdict item #9): the exact
+    per-lang stats (count/mean/min/max/median/distinct — all
+    SQL-reproducible) ride next to two booleans asserting the SKETCHES
+    hit their published guarantees: ``tdigest_ok`` = |t-digest p50 −
+    exact median| ≤ 5% of the value range, ``hll_ok`` = |HLL estimate −
+    exact distinct| ≤ 3σ (σ = 1.04/√2^14 ≈ 0.81% rel). The SQL twin
+    emits the exact stats + TRUE for both booleans, so a sketch
+    drifting out of band hash-mismatches in the driver — a genuine
+    correctness gate on the approximate path, within its tolerance."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    from ..stages.stats import column_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    sk = (
+        column_stats(ds, ["n_chars"], key="lang")
+        .select_columns(["part_key", "p50", "distinct_est"])
+        .to_pandas()
+        .set_index("part_key")
+    )
+    exact = (
+        ds.groupby("lang")
+        .aggregate(
+            Count(alias_name="n"),
+            Mean("n_chars", alias_name="mean_n_chars"),
+            Min("n_chars", alias_name="min_n_chars"),
+            Max("n_chars", alias_name="max_n_chars"),
+        )
+        .to_pandas()
+        .set_index("lang")
+    )
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_chars"].to_numpy().astype(np.float64))
+        n = v.shape[0]
+        m = v[n // 2] if n % 2 else (v[n // 2 - 1] + v[n // 2]) / 2.0
+        return pd.DataFrame({"lang": [g["lang"].iloc[0]], "p50_exact": [m]})
+
+    med_df = (
+        ds.groupby("lang")
+        .map_groups(med, batch_format="pandas")
+        .to_pandas()
+        .set_index("lang")
+    )
+    nd = (
+        ds.groupby(["lang", "n_chars"])
+        .count()
+        .groupby("lang")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_distinct"})
+        .set_index("lang")
+    )
+
+    langs = sorted(exact.index)
+    rows = []
+    for lang in langs:
+        p50_e = float(med_df.loc[lang, "p50_exact"])
+        rng = float(exact.loc[lang, "max_n_chars"]) - float(
+            exact.loc[lang, "min_n_chars"]
+        )
+        ndist = int(nd.loc[lang, "n_distinct"])
+        td_ok = abs(float(sk.loc[lang, "p50"]) - p50_e) <= max(
+            0.05 * rng, 1e-6
+        )
+        hll_ok = abs(float(sk.loc[lang, "distinct_est"]) - ndist) <= (
+            3 * 1.04 / np.sqrt(1 << 14) * ndist + 1.0
+        )
+        rows.append(
+            (
+                lang,
+                int(exact.loc[lang, "n"]),
+                round(float(exact.loc[lang, "mean_n_chars"]), 6),
+                float(exact.loc[lang, "min_n_chars"]),
+                float(exact.loc[lang, "max_n_chars"]),
+                round(p50_e, 6),
+                ndist,
+                bool(td_ok),
+                bool(hll_ok),
+            )
+        )
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "n": pa.array([r[1] for r in rows], pa.int64()),
+            "mean_n_chars": pa.array([r[2] for r in rows], pa.float64()),
+            "min_n_chars": pa.array([r[3] for r in rows], pa.float64()),
+            "max_n_chars": pa.array([r[4] for r in rows], pa.float64()),
+            "p50_exact": pa.array([r[5] for r in rows], pa.float64()),
+            "n_distinct": pa.array([r[6] for r in rows], pa.int64()),
+            "tdigest_ok": pa.array([r[7] for r in rows], pa.bool_()),
+            "hll_ok": pa.array([r[8] for r in rows], pa.bool_()),
+        }
+    )
+
+
+SKETCH_CHECKED_SQL = """
+SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 6) AS mean_n_chars,
+       CAST(MIN(n_chars) AS DOUBLE) AS min_n_chars,
+       CAST(MAX(n_chars) AS DOUBLE) AS max_n_chars,
+       ROUND(MEDIAN(CAST(n_chars AS DOUBLE)), 6) AS p50_exact,
+       COUNT(DISTINCT n_chars) AS n_distinct,
+       TRUE AS tdigest_ok, TRUE AS hll_ok
+FROM documents GROUP BY lang
+"""
+
+
+def hll_distinct_checked(sf_dir: str):
+    """Oracle-backed HLL validation: exact COUNT(DISTINCT user_id)
+    (slim two-level groupby) next to ``hll_ok`` = |HLL estimate −
+    exact| ≤ 3σ of the sketch's published error (p=14 → σ≈0.81%).
+    The SQL twin emits the exact count + TRUE, so an out-of-band
+    estimate fails the driver's hash compare."""
+    from ..stages.constraints import uniqueness_estimate
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    exact = ds.groupby("user_id").count().count()
+    est = float(
+        uniqueness_estimate(ds, "user_id").to_pandas()["distinct_est"].iloc[0]
+    )
+    ok = abs(est - exact) <= 3 * 1.04 / np.sqrt(1 << 14) * exact + 1.0
+    return pa.table(
+        {
+            "n_users": pa.array([exact], pa.int64()),
+            "hll_ok": pa.array([bool(ok)], pa.bool_()),
+        }
+    )
+
+
+HLL_CHECKED_SQL = """
+SELECT COUNT(DISTINCT user_id) AS n_users, TRUE AS hll_ok FROM events
+"""
+
+
+def psi_events_halves_exact(sf_dir: str):
+    """Oracle-backed drift math: PSI + binned-KS of `value` between the
+    first and second time-half of the events stream per event_type,
+    with an EXACTLY SQL-reproducible recipe — time split at the
+    midpoint of the ts range (integer µs), 10 equal-width value bins
+    over the global [min, max] (identical IEEE op order both sides),
+    Laplace-smoothed fractions (c+1)/(N+10). The sketch-based
+    ``psi_events_halves`` stays the scale path; this twin pins the
+    drift formulas themselves against DuckDB. Types missing from
+    either half are dropped (the SQL's inner join)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    b = (
+        ds.map_batches(
+            lambda t: pa.table(
+                {
+                    "tus": t["ts"].cast(pa.int64()),
+                    "value": t["value"].cast(pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .aggregate(
+            Min("tus", alias_name="t0"),
+            Max("tus", alias_name="t1"),
+            Min("value", alias_name="v0"),
+            Max("value", alias_name="v1"),
+        )
+    )
+    t0, t1, v0, v1 = int(b["t0"]), int(b["t1"]), float(b["v0"]), float(b["v1"])
+    cut = t0 + (t1 - t0) // 2
+
+    def binned(t: pa.Table) -> pa.Table:
+        tus = t["ts"].cast(pa.int64()).to_numpy()
+        v = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        half = (tus >= cut).astype(np.int64)
+        bins = np.minimum(
+            np.floor((v - v0) / (v1 - v0) * 10).astype(np.int64), 9
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "half": pa.array(half),
+                "bin": pa.array(bins),
+                "c": pa.array(np.ones(len(t), dtype=np.int64)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(binned, batch_format="pyarrow")
+        .groupby(["event_type", "half", "bin"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+    )  # ≤ n_types × 2 × 10 rows — driver-tiny by construction
+    out_rows = []
+    for et, g in counts.groupby("event_type"):
+        cs = {}
+        for half in (0, 1):
+            gh = g[g["half"] == half]
+            n = gh["c"].sum()
+            c = np.zeros(10, dtype=np.float64)
+            c[gh["bin"].to_numpy()] = gh["c"].to_numpy()
+            cs[half] = (c + 1.0) / (n + 10.0) if n else None
+        if cs[0] is None or cs[1] is None:
+            continue  # type missing from one half — SQL inner join drops it
+        p, q = cs[0], cs[1]
+        psi = float(np.sum((p - q) * np.log(p / q)))
+        ks = float(np.max(np.abs(np.cumsum(p) - np.cumsum(q))))
+        out_rows.append((et, round(psi, 6), round(ks, 6)))
+    out_rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in out_rows], pa.string()),
+            "psi": pa.array([r[1] for r in out_rows], pa.float64()),
+            "ks": pa.array([r[2] for r in out_rows], pa.float64()),
+        }
+    )
+
+
+PSI_EXACT_SQL = """
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS t0, MAX(epoch_us(ts)) AS t1,
+         MIN(value) AS v0, MAX(value) AS v1 FROM events
+), binned AS (
+  SELECT event_type,
+         CASE WHEN epoch_us(ts) >= t0 + (t1 - t0) // 2 THEN 1 ELSE 0 END
+           AS half,
+         LEAST(CAST(FLOOR((value - v0) / (v1 - v0) * 10) AS BIGINT), 9)
+           AS bin
+  FROM events, bounds
+), counts AS (
+  SELECT event_type, half, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2, 3
+), tot AS (
+  SELECT event_type, half, SUM(c) AS n FROM counts GROUP BY 1, 2
+), grid AS (
+  SELECT DISTINCT event_type FROM events
+), bins AS (
+  SELECT UNNEST(generate_series(0, 9)) AS bin
+), frac AS (
+  SELECT g.event_type, b.bin,
+         (COALESCE(c0.c, 0) + 1.0) / (t0x.n + 10.0) AS p,
+         (COALESCE(c1.c, 0) + 1.0) / (t1x.n + 10.0) AS q
+  FROM grid g CROSS JOIN bins b
+  LEFT JOIN counts c0
+    ON c0.event_type = g.event_type AND c0.half = 0 AND c0.bin = b.bin
+  LEFT JOIN counts c1
+    ON c1.event_type = g.event_type AND c1.half = 1 AND c1.bin = b.bin
+  JOIN tot t0x ON t0x.event_type = g.event_type AND t0x.half = 0
+  JOIN tot t1x ON t1x.event_type = g.event_type AND t1x.half = 1
+), cum AS (
+  SELECT event_type, bin, p, q,
+         SUM(p) OVER (PARTITION BY event_type ORDER BY bin) AS cp,
+         SUM(q) OVER (PARTITION BY event_type ORDER BY bin) AS cq
+  FROM frac
+)
+SELECT event_type, ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+       ROUND(MAX(ABS(cp - cq)), 6) AS ks
+FROM cum GROUP BY event_type
+"""
+
+
 def minhash_pairs_documents(sf_dir: str):
     """MinHash-LSH near-dup pairs over documents (rows-only)."""
     from ..stages.dedup import minhash_lsh_dedup
@@ -2317,9 +2574,16 @@ QUERIES = {
     "doc_perplexity": doc_perplexity,
     "users_intersect_sides": users_intersect_sides,
     "users_except_sides": users_except_sides,
+    # oracle-backed sketch/drift validation twins (r2 verdict #9):
+    "sketch_stats_checked": sketch_stats_checked,
+    "hll_distinct_checked": hll_distinct_checked,
+    "psi_events_halves_exact": psi_events_halves_exact,
 }
 
 ORACLES = {
+    "sketch_stats_checked": SKETCH_CHECKED_SQL,
+    "hll_distinct_checked": HLL_CHECKED_SQL,
+    "psi_events_halves_exact": PSI_EXACT_SQL,
     "doc_stats_by_lang": DOC_STATS_SQL,
     "doc_median_by_lang": DOC_MEDIAN_SQL,
     "doc_gmean_hmean_by_lang": DOC_GMEAN_SQL,
