@@ -585,3 +585,209 @@ def run_export(
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=1)
     return ExportResult(out_dir=out_dir, report=report)
+
+
+# ---------------------------------------------------------------------------
+# Incremental export: landing zone → per-batch funnel with CROSS-BATCH
+# exact dedup against the accumulated corpus hash index (r2 verdict #6)
+# ---------------------------------------------------------------------------
+
+
+def _batch_run_id(files: list[str]) -> str:
+    import hashlib as _hl
+
+    return "batch-" + _hl.sha1("\n".join(sorted(files)).encode()).hexdigest()[:12]
+
+
+def run_export_incremental(
+    landing_dir: str,
+    out_root: str,
+    cfg: CurateConfig | None = None,
+    interval_s: float = 0.2,
+    max_polls: int | None = None,
+    max_empty_polls: int | None = 1,
+    quarantine_grace_s: float = 5.0,
+    index_broadcast_limit: int = 5_000_000,
+) -> dict:
+    """Continuous curation loop: poll the landing zone, run the export
+    funnel over each arrival batch with cross-batch exact dedup against
+    the accumulated corpus hash index.
+
+    Layout::
+
+        out_root/
+          hash_index/batch-<id>.parquet   md5 of every doc each batch INGESTED
+          batch-<id>/staged/input/        batch minus already-seen docs (atomic)
+          batch-<id>/staged/new_hashes/   this batch's distinct md5s
+          batch-<id>/out/                 that batch's run_export directory
+
+    Cross-batch semantics: "seen" = every doc a previous batch INGESTED
+    (post-filter input), so a doc the funnel later rejected (quality,
+    near-dup loser) stays rejected when it arrives again — this is
+    dedup-against-history, not re-curation. The index probe broadcasts
+    a sorted fixed-width (S32) md5 array below ``index_broadcast_limit``
+    entries (one searchsorted per batch block); above it the filter is
+    the bucketed hash-exchange anti-join on the md5 string.
+
+    Crash safety: the landing ledger commits a batch only after the
+    funnel AND the index shard land. A kill mid-batch retries into the
+    SAME batch id (content hash of the shard list): the staged filter
+    is one atomic directory rename, ``run_export`` resumes from its own
+    checkpoints, and the index-shard write is idempotent tmp+rename.
+    The probe excludes the same-batch index shard, so a retry can never
+    drop its own documents."""
+    import ray
+    import ray.data as rd
+
+    from ..sources.landing import LandingZone
+    from ..stages.constraints import bucketed_anti_join
+
+    cfg = cfg or CurateConfig()
+    id_col, text_col = cfg.id_col, cfg.text_col
+    os.makedirs(out_root, exist_ok=True)
+    index_dir = os.path.join(out_root, "hash_index")
+    os.makedirs(index_dir, exist_ok=True)
+    lz = LandingZone(
+        landing_dir,
+        expected_columns=[id_col, text_col],
+        quarantine_grace_s=quarantine_grace_s,
+    )
+    batches: list[dict] = []
+
+    def _index_shards(exclude_rid: str) -> list[str]:
+        return [
+            os.path.join(index_dir, f)
+            for f in sorted(os.listdir(index_dir))
+            if f.endswith(".parquet") and f != f"{exclude_rid}.parquet"
+        ]
+
+    def _md5_col(t: pa.Table) -> pa.Table:
+        import hashlib as _hl
+
+        h = [
+            _hl.md5(s.encode("utf-8")).hexdigest()
+            if s is not None
+            else "\x00null"
+            for s in t[text_col].to_pylist()
+        ]
+        return t.append_column("__h", pa.array(h, pa.string()))
+
+    def _stage_batch(paths: list[str], staged: str, rid: str) -> None:
+        tmp = staged + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        batch = rd.read_parquet(paths).map_batches(
+            _md5_col, batch_format="pyarrow"
+        )
+        shards = _index_shards(rid)
+        if shards:
+            n_idx = _meta_row_count(shards)
+            if n_idx <= index_broadcast_limit:
+                import pyarrow.parquet as pq
+
+                seen = np.sort(
+                    np.asarray(
+                        pa.concat_tables(
+                            [pq.read_table(s, columns=["h"]) for s in shards]
+                        )["h"].to_pylist(),
+                        dtype="S32",
+                    )
+                )
+                ref = ray.put(seen)
+
+                def drop_seen(t: pa.Table) -> pa.Table:
+                    s = ray.get(ref)
+                    if s.shape[0] == 0 or t.num_rows == 0:
+                        return t
+                    hs = np.asarray(t["__h"].to_pylist(), dtype="S32")
+                    pos = np.minimum(np.searchsorted(s, hs), s.shape[0] - 1)
+                    return t.filter(pa.array(s[pos] != hs))
+
+                batch = batch.map_batches(drop_seen, batch_format="pyarrow")
+            else:
+                idx_ds = rd.read_parquet(shards)
+                batch = bucketed_anti_join(batch, idx_ds, fk="__h", pk="h")
+        batch = batch.materialize()
+        batch.map_batches(
+            lambda t: t.drop_columns(["__h"]) if "__h" in t.column_names else t,
+            batch_format="pyarrow",
+        ).write_parquet(os.path.join(tmp, "input"))
+        (
+            batch.map_batches(
+                lambda t: pa.table(
+                    {"h": t["__h"] if "__h" in t.column_names
+                     else pa.array([], pa.string())}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("h")
+            .count()
+            .map_batches(
+                lambda t: t.select(["h"]) if "h" in t.column_names
+                else pa.table({"h": pa.array([], pa.string())}),
+                batch_format="pyarrow",
+            )
+            .write_parquet(os.path.join(tmp, "new_hashes"))
+        )
+        # an all-duplicates batch writes no files — pin empty schemas so
+        # a later resume can still read the staged dirs
+        import pyarrow.parquet as pq
+
+        schema = rd.read_parquet(paths).schema().base_schema
+        for sub, sch in (
+            ("input", schema),
+            ("new_hashes", pa.schema([("h", pa.string())])),
+        ):
+            p = os.path.join(tmp, sub)
+            os.makedirs(p, exist_ok=True)
+            if not any(f.endswith(".parquet") for f in os.listdir(p)):
+                pq.write_table(sch.empty_table(), os.path.join(p, "empty.parquet"))
+        os.rename(tmp, staged)
+
+    def export_batch(_ds, files):
+        rid = _batch_run_id(files)
+        bdir = os.path.join(out_root, rid)
+        os.makedirs(bdir, exist_ok=True)
+        staged = os.path.join(bdir, "staged")
+        paths = [os.path.join(lz.landing_dir, f) for f in files]
+        if not os.path.exists(staged):
+            _stage_batch(paths, staged, rid)
+        inp = os.path.join(staged, "input")
+        n_new = _meta_row_count(inp)
+        rec = {
+            "batch_id": rid,
+            "files": files,
+            "rows_arrived": _meta_row_count(paths),
+            "rows_new": n_new,
+        }
+        if n_new:
+            res = run_export(inp, os.path.join(bdir, "out"), cfg, resume=True)
+            rec["rows_out"] = res.report["rows_out"]
+            rec["out_dir"] = res.out_dir
+        else:
+            rec["rows_out"] = 0
+        # idempotent index append — the ledger commit comes after this,
+        # so a kill here retries the whole batch into the same state
+        import pyarrow.parquet as pq
+
+        nh = pq.ParquetDataset(os.path.join(staged, "new_hashes")).read()
+        tmpf = os.path.join(index_dir, f".{rid}.tmp")
+        pq.write_table(nh, tmpf)
+        os.replace(tmpf, os.path.join(index_dir, f"{rid}.parquet"))
+        batches.append(rec)
+
+    n = lz.run_loop(
+        export_batch,
+        interval_s=interval_s,
+        max_polls=max_polls,
+        max_empty_polls=max_empty_polls,
+    )
+    return {
+        "shards_processed": n,
+        "batches": batches,
+        "quarantined": lz.quarantined(),
+        "index_dir": index_dir,
+        "index_rows": _meta_row_count(index_dir)
+        if os.listdir(index_dir)
+        else 0,
+    }

@@ -279,30 +279,18 @@ DOC_MD5_SQL = "SELECT doc_id, md5(text) AS text_md5 FROM documents"
 
 def dedup_first_doc(sf_dir: str):
     """Exact dedup keep-lowest-id. Output is only the winner ids, so
-    the whole query is one slim (md5, id) scan + a vectorized
-    ``groupby(md5).aggregate(Min(id))`` — no per-group Python, no
-    winner-row fetch (``stages.dedup.exact_dedup`` adds the semi-join
-    when full rows are needed)."""
-    import hashlib
-
-    from ray.data.aggregate import Min
+    the whole query is one slim (md5, id) scan + ONE raw-task hash
+    exchange (``stages.dedup.group_min_count``) — no per-group Python,
+    no sort-based string-key shuffle, no winner-row fetch
+    (``stages.dedup.exact_dedup`` adds the semi-join when full rows
+    are needed)."""
+    from ..stages.dedup import group_min_count, md5_slim
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def slim(batch: pa.Table) -> pa.Table:
-        h = [
-            hashlib.md5(t.encode()).hexdigest() if t is not None else ""
-            for t in batch["text"].to_pylist()
-        ]
-        return pa.table(
-            {"__md5": pa.array(h, pa.string()), "doc_id": batch["doc_id"]}
-        )
-
-    return (
-        ds.map_batches(slim, batch_format="pyarrow")
-        .groupby("__md5")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .select_columns(["doc_id"])
+    return group_min_count(
+        md5_slim(ds, "text", "doc_id"), "__md5", "doc_id"
+    ).map_batches(
+        lambda t: pa.table({"doc_id": t["win_id"]}), batch_format="pyarrow"
     )
 
 
@@ -311,37 +299,25 @@ DEDUP_FIRST_SQL = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text
 
 def dup_text_groups(sf_dir: str):
     """Duplicate-text groups (uniqueness exact fallback); empty when the
-    table has no dup texts — still a valid constraint result."""
-    import hashlib
+    table has no dup texts — still a valid constraint result. One slim
+    scan + one raw-task hash exchange (group_min_count) — no per-group
+    Python, no string-key sort shuffle."""
+    from ..stages.dedup import group_min_count, md5_slim
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = [
-            hashlib.md5(t.encode()).hexdigest() if t else ""
-            for t in batch["text"].to_pylist()
-        ]
-        return batch.append_column("text_md5", pa.array(h, pa.string()))
-
-    from ray.data.aggregate import Count, Min
 
     def dup_only(t: pa.Table) -> pa.Table:
         out = pa.table(
             {
-                "text_md5": t["text_md5"],
-                "dup_count": t["count()"].cast(pa.int64()),
-                "first_doc_id": t["first_doc_id"].cast(pa.int64()),
+                "text_md5": t["__md5"],
+                "dup_count": t["count"].cast(pa.int64()),
+                "first_doc_id": t["win_id"].cast(pa.int64()),
             }
         )
         return out.filter(pc.greater(out["dup_count"], pa.scalar(1)))
 
-    # vectorized aggregate reduce (count + min per md5), no per-group
-    # Python; the old map_groups paid one pandas call per distinct doc
     out = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .select_columns(["text_md5", "doc_id"])
-        .groupby("text_md5")
-        .aggregate(Count(), Min("doc_id", alias_name="first_doc_id"))
+        group_min_count(md5_slim(ds, "text", "doc_id"), "__md5", "doc_id")
         .map_batches(dup_only, batch_format="pyarrow")
     ).to_pandas()
     schema = pa.schema(
@@ -370,40 +346,37 @@ def dup_cluster_ids(sf_dir: str):
     operator (stages/cc.py): same-md5 groups emit star pairs, CC
     labels them, singletons keep their own id. Oracle-checked end to
     end (the SQL twin is a window-min over the text partition)."""
-    import hashlib
-
-    from ..stages.dedup import connected_components_distributed
+    from ..stages.dedup import (
+        connected_components_distributed,
+        group_min_count,
+        md5_slim,
+    )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def add_hash(batch: pa.Table) -> pa.Table:
-        h = [
-            hashlib.md5(t.encode()).hexdigest() if t else ""
-            for t in batch["text"].to_pylist()
-        ]
-        return pa.table({"doc_id": batch["doc_id"], "text_md5": pa.array(h)})
+    hashed = md5_slim(ds, "text", "doc_id").map_batches(
+        lambda t: t.rename_columns(["text_md5", "doc_id"]),
+        batch_format="pyarrow",
+    ).materialize()
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
-
-    # star pairs without per-group Python: a vectorized aggregate finds
-    # each md5 group's root (min id) + size; the dup-group mapping is
-    # dup-rate-sized by construction, so it broadcasts (hash-keyed
-    # sorted arrays + a string confirm on hash hits — exact); one more
-    # scan emits (root, id) star edges
-    from ray.data.aggregate import Count, Min
-
+    # star pairs without per-group Python: one raw-task hash exchange
+    # (group_min_count) finds each md5 group's root (min id) + size;
+    # the dup-group mapping is dup-rate-sized by construction, so it
+    # broadcasts (hash-keyed sorted arrays + a string confirm on hash
+    # hits — exact); one more scan emits (root, id) star edges
     from ..state.sketches import hash64 as _h64
 
-    groups = (
-        hashed.groupby("text_md5")
-        .aggregate(Min("doc_id", alias_name="root"), Count())
+    dup_pdf = (
+        group_min_count(hashed, "text_md5", "doc_id")
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["count"], pa.scalar(1))).select(
+                ["text_md5", "win_id"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .rename(columns={"win_id": "root"})
     )
-    dup_pdf = groups.map_batches(
-        lambda t: t.filter(pc.greater(t["count()"], pa.scalar(1))).select(
-            ["text_md5", "root"]
-        ),
-        batch_format="pyarrow",
-    ).to_pandas()
 
     import ray
 

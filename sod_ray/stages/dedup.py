@@ -34,31 +34,76 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup(
-    ds,
-    text_col: str,
+def group_min_count(
+    slim,
+    key_col: str,
     id_col: str,
     keep: str = "min",
-    broadcast_limit: int = 5_000_000,
     num_buckets: int | None = None,
 ):
-    """Hash-partitioned exact dedup, vectorized end to end.
+    """(key, win_id, count) per distinct string key via ONE raw-task
+    hash exchange (``stages.exchange``): blocks split by hash64(key),
+    each bucket reduced with a single vectorized sort + shifted-compare
+    (key strings compared only where the 64-bit hashes collide —
+    collision-exact). This is the key-count≈row-count reduce where
+    Ray's sort-based ``groupby(str_key)`` measured 78 s on 10M md5
+    keys vs ~2 s for the exchange (tools/exact_dedup_bench.py).
+    Serves exact dedup, dup-group stats and cluster roots."""
+    from ..state.sketches import hash64
+    from .exchange import exchange_reduce
 
-    Scale shape: (1) one scan emits slim (md5, id) rows — the text never
-    shuffles; (2) winner ids come from
-    ``groupby("__md5").aggregate(Min/Max(id))`` — Ray's vectorized
-    reduce, no per-group Python callable (the old
-    ``map_groups(head(1))`` paid one pandas call per *distinct
-    document*); (3) winner rows are fetched with a semi-join on the id
-    column — a broadcast membership filter below ``broadcast_limit``
-    winners (one ``ray.put`` of a sorted int64 array + searchsorted per
-    batch), a bucketed hash join above it."""
+    asc = keep == "min"
+
+    def add_kh(t: pa.Table) -> pa.Table:
+        kh = hash64(t[key_col].combine_chunks()).view(np.int64)
+        return t.append_column("__kh", pa.array(kh, pa.int64()))
+
+    keyed = slim.map_batches(add_kh, batch_format="pyarrow")
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.string()),
+                "win_id": pa.array([], pa.int64()),
+                "count": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return empty
+        df = t.to_pandas()
+        df.sort_values(
+            ["__kh", key_col, id_col],
+            ascending=[True, True, asc],
+            kind="stable",
+            inplace=True,
+        )
+        kh = df["__kh"].to_numpy()
+        kv = df[key_col].to_numpy()
+        first = np.empty(len(df), dtype=bool)
+        first[0] = True
+        first[1:] = kh[1:] != kh[:-1]
+        same = np.flatnonzero(~first)
+        if same.shape[0]:
+            first[same] = kv[same] != kv[same - 1]
+        bounds = np.flatnonzero(first)
+        counts = np.diff(np.concatenate((bounds, [len(df)])))
+        return pa.table(
+            {
+                key_col: pa.array(kv[bounds], pa.string()),
+                "win_id": pa.array(
+                    df[id_col].to_numpy().astype(np.int64)[bounds], pa.int64()
+                ),
+                "count": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return exchange_reduce(keyed, "__kh", reduce_bucket, num_buckets)
+
+
+def md5_slim(ds, text_col: str, id_col: str):
+    """One scan → slim (md5(text), id) rows; text never leaves the
+    scan task. Null text gets "" (distinct from md5(""))."""
     import hashlib
-
-    from ray.data.aggregate import Max, Min
-
-    if keep not in ("min", "max"):
-        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
 
     def slim_hash(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
@@ -73,22 +118,40 @@ def exact_dedup(
             }
         )
 
-    agg = (
-        Min(id_col, alias_name="__win")
-        if keep == "min"
-        else Max(id_col, alias_name="__win")
-    )
-    winners = (
-        ds.map_batches(slim_hash, batch_format="pyarrow")
-        .groupby("__md5")
-        .aggregate(agg)
-        .materialize()
-    )
+    return ds.map_batches(slim_hash, batch_format="pyarrow")
+
+
+def exact_dedup(
+    ds,
+    text_col: str,
+    id_col: str,
+    keep: str = "min",
+    broadcast_limit: int = 5_000_000,
+    num_buckets: int | None = None,
+):
+    """Hash-partitioned exact dedup, vectorized end to end.
+
+    Scale shape: (1) one scan emits slim (md5, id) rows — the text never
+    shuffles; (2) winner ids come from ONE raw-task hash exchange over
+    the 8-byte hash64(md5) key (``group_min_count``) — no per-group
+    Python callable (the old ``map_groups(head(1))`` paid one pandas
+    call per *distinct document*) and no sort-based string-key shuffle
+    (measured 78 s vs ~2 s at 10M keys); (3) winner rows are fetched
+    with a semi-join on the id column — a broadcast membership filter
+    below ``broadcast_limit`` winners (one ``ray.put`` of a sorted
+    int64 array + searchsorted per batch), a bucketed hash join above
+    it. Assumes ``id_col`` is unique (it is the semi-join key)."""
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
+
+    winners = group_min_count(
+        md5_slim(ds, text_col, id_col), "__md5", id_col, keep, num_buckets
+    ).materialize()
     n_win = winners.count()
 
     if n_win <= broadcast_limit:
         win_np = np.sort(
-            winners.select_columns(["__win"]).to_pandas()["__win"]
+            winners.select_columns(["win_id"]).to_pandas()["win_id"]
             .to_numpy()
             .astype(np.int64)
         )
@@ -111,7 +174,7 @@ def exact_dedup(
     from .joins import bucketed_equi_join
 
     win_ds = winners.map_batches(
-        lambda t: pa.table({id_col: t["__win"].cast(pa.int64())}),
+        lambda t: pa.table({id_col: t["win_id"].cast(pa.int64())}),
         batch_format="pyarrow",
     )
     return bucketed_equi_join(

@@ -303,3 +303,84 @@ def test_export_decontaminate(ray_session, tmp_path):
     assert res.report["stages"]["decontaminate"]["dropped"] == 1
     got = pq.read_table(res.corpus_dir).to_pandas()
     assert sorted(got["doc_id"]) == [1, 2]
+
+
+def _write_shard(d, name, ids, texts):
+    os.makedirs(d, exist_ok=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    tmp = os.path.join(d, "." + name + ".tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(d, name))
+
+
+def test_export_incremental_cross_batch_dedup(ray_session, tmp_path):
+    """r2 verdict #6: two arrival batches with cross-batch duplicates —
+    the second batch drops every doc already ingested by the first; a
+    crash mid-batch retries into the same batch id and resumes clean."""
+    from sod_ray.pipelines import export as ex
+
+    landing = os.path.join(str(tmp_path), "landing")
+    out = os.path.join(str(tmp_path), "inc_out")
+    cfg = ex.CurateConfig(quality_filter=False, pii_redact=False)
+
+    texts1 = [f"document body number {i} with words" for i in range(10)]
+    _write_shard(landing, "b1.parquet", list(range(10)), texts1)
+    s1 = ex.run_export_incremental(landing, out, cfg, max_polls=1)
+    assert len(s1["batches"]) == 1
+    b1 = s1["batches"][0]
+    assert b1["rows_arrived"] == 10 and b1["rows_new"] == 10
+    assert b1["rows_out"] == 10
+    assert s1["index_rows"] == 10
+
+    # batch 2: 5 cross-batch dups of batch 1 + 5 genuinely new docs
+    texts2 = texts1[:5] + [f"fresh body {i} arrives later" for i in range(5)]
+    _write_shard(landing, "b2.parquet", list(range(100, 110)), texts2)
+    s2 = ex.run_export_incremental(landing, out, cfg, max_polls=1)
+    b2 = s2["batches"][0]
+    assert b2["rows_arrived"] == 10 and b2["rows_new"] == 5
+    assert b2["rows_out"] == 5
+    assert s2["index_rows"] == 15
+    got = pq.ParquetDataset(os.path.join(b2["out_dir"], "corpus")).read()
+    assert sorted(got["doc_id"].to_pylist()) == list(range(105, 110))
+
+    # batch 3 arrives; the funnel crashes mid-batch → shards stay
+    # uncommitted; the retry resumes into the SAME batch dir and the
+    # same-batch index exclusion keeps its own docs alive
+    texts3 = texts2[5:8] + [f"third wave body {i}" for i in range(3)]
+    _write_shard(landing, "b3.parquet", list(range(200, 206)), texts3)
+
+    real_run_export = ex.run_export
+    calls = {"n": 0}
+
+    def crashing_run_export(*a, **k):
+        calls["n"] += 1
+        res = real_run_export(*a, **k)
+        raise RuntimeError("simulated crash after funnel, before commit")
+
+    ex.run_export = crashing_run_export
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ex.run_export_incremental(landing, out, cfg, max_polls=1)
+    finally:
+        ex.run_export = real_run_export
+    assert calls["n"] == 1
+    # index must NOT contain batch 3 yet (kill was before index append)
+    s3 = ex.run_export_incremental(landing, out, cfg, max_polls=1)
+    b3 = s3["batches"][0]
+    assert b3["rows_arrived"] == 6 and b3["rows_new"] == 3  # 3 dups of b2
+    assert b3["rows_out"] == 3
+    assert s3["index_rows"] == 18
+    got3 = pq.ParquetDataset(os.path.join(b3["out_dir"], "corpus")).read()
+    assert sorted(got3["doc_id"].to_pylist()) == [203, 204, 205]
+
+    # an all-duplicate batch ingests nothing but still commits cleanly
+    _write_shard(landing, "b4.parquet", [300, 301], [texts1[0], texts1[1]])
+    s4 = ex.run_export_incremental(landing, out, cfg, max_polls=1)
+    b4 = s4["batches"][0]
+    assert b4["rows_new"] == 0 and b4["rows_out"] == 0
+    assert s4["index_rows"] == 18
