@@ -110,10 +110,62 @@ def main_export(argv) -> int:
     return 0
 
 
+def main_export_incremental(argv) -> int:
+    """Continuous curation: poll a landing directory of parquet shards,
+    run the export funnel per arrival batch with cross-batch exact
+    dedup against the accumulated corpus hash index."""
+    p = argparse.ArgumentParser(prog="sod_ray export-incremental")
+    p.add_argument("--landing", required=True, help="landing dir (parquet shards)")
+    p.add_argument("--out", required=True, help="output root (batches + hash index)")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--no-quality", action="store_true")
+    p.add_argument("--no-exact", action="store_true")
+    p.add_argument("--no-pii", action="store_true")
+    p.add_argument("--neardup", action="store_true")
+    p.add_argument("--line-dedup", action="store_true")
+    p.add_argument("--interval-s", type=float, default=1.0)
+    p.add_argument("--max-polls", type=int, default=None)
+    p.add_argument(
+        "--max-empty-polls", type=int, default=1,
+        help="stop after this many consecutive empty polls",
+    )
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--object-store-gb", type=float, default=None)
+    args = p.parse_args(argv)
+    _init_ray(args.num_cpus, args.object_store_gb)
+    import ray
+
+    from sod_ray.pipelines.export import CurateConfig, run_export_incremental
+
+    cfg = CurateConfig(
+        text_col=args.text_col,
+        id_col=args.id_col,
+        quality_filter=not args.no_quality,
+        exact_dedup=not args.no_exact,
+        neardup=args.neardup,
+        line_dedup=args.line_dedup,
+        pii_redact=not args.no_pii,
+    )
+    summary = run_export_incremental(
+        args.landing,
+        args.out,
+        cfg,
+        interval_s=args.interval_s,
+        max_polls=args.max_polls,
+        max_empty_polls=args.max_empty_polls,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "export":
         return main_export(argv[1:])
+    if argv and argv[0] == "export-incremental":
+        return main_export_incremental(argv[1:])
     return main_validate(argv)
 
 
