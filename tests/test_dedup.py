@@ -351,3 +351,86 @@ def test_minhash_star_emission_same_clusters(ray_session):
     cp = clusters("pairs")
     cs = clusters("star")
     assert cp == cs and len(cp) > 0
+
+
+def test_exchange_reduce_basic(ray_session):
+    """Generic raw-task exchange: every key's rows land in one bucket;
+    the reduce sees each bucket exactly once; empty buckets keep a
+    schema the reducer can handle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sod_ray.stages.exchange import exchange_reduce
+
+    rows = [{"k": i % 7, "v": i} for i in range(1000)]
+    ds = rd.from_items(rows).repartition(5)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        k = t["k"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        b = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        sums = np.add.reduceat(v, b)
+        return pa.table({"k": pa.array(k[b]), "s": pa.array(sums)})
+
+    got = (
+        exchange_reduce(ds, "k", per_bucket, num_buckets=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    want = (
+        pd.DataFrame(rows).groupby("k", as_index=False)["v"].sum()
+        .rename(columns={"v": "s"})
+    )
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["s"].tolist() == want["s"].tolist()
+
+
+def test_group_min_count_min_max(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import group_min_count
+
+    t = pa.table(
+        {
+            "key": pa.array(["a", "b", "a", "c", "b", "a"], pa.string()),
+            "id": pa.array([5, 2, 3, 9, 7, 4], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(3)
+    got = (
+        group_min_count(ds, "key", "id")
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert got["key"].tolist() == ["a", "b", "c"]
+    assert got["win_id"].tolist() == [3, 2, 9]
+    assert got["count"].tolist() == [3, 2, 1]
+    got_max = (
+        group_min_count(ds, "key", "id", keep="max")
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    assert got_max["win_id"].tolist() == [5, 7, 9]
+
+
+def test_exact_dedup_keep_max(ray_session, doc_table):
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import exact_dedup
+
+    out = exact_dedup(rd.from_arrow(doc_table), "text", "doc_id", keep="max").to_pandas()
+    assert len(out) == len(doc_table) - 1
+    assert 1 in set(out["doc_id"]) and 0 not in set(out["doc_id"])  # max id kept
