@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "lof_events_outliers",
     "doc_token_counts",
     "minhash_pairs_documents",
+    "jaccard_exact_pairs",
     "knn_cosine_top5",
     "events_asof_prior_click",
     "dup_cluster_ids",

@@ -1600,6 +1600,46 @@ def minhash_pairs_documents(sf_dir: str):
     return minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.8)
 
 
+def jaccard_exact_pairs(sf_dir: str):
+    """EXACT all-pairs 3-gram Jaccard (threshold 0.8) over documents —
+    the ground truth `minhash_pairs_documents` approximates, computed
+    with three slim raw-task exchanges (stages.dedup.jaccard_all_pairs)
+    and SQL-oracle checked value-for-value (the jaccard column is an
+    exact int/int division on both sides, so doubles match bitwise).
+    `tests/test_dedup.py::test_minhash_recall_vs_exact` pins the LSH
+    chain's recall against this op."""
+    from ..stages.dedup import jaccard_all_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = jaccard_all_pairs(ds, "text", "doc_id", n=3, threshold=0.8)
+    return out.sort(["id_a", "id_b"])
+
+
+JACCARD_EXACT_SQL = r"""
+WITH tt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+  FROM tt, UNNEST(range(1, len(arr) - 1)) AS t(i)
+  WHERE len(arr) >= 3
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id
+), co AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c::DOUBLE / (sa.n + sb.n - c) AS jaccard
+FROM co
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c::DOUBLE / (sa.n + sb.n - c) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
 def simhash_pairs_documents(sf_dir: str):
     from ..stages.dedup import simhash_dedup
 
@@ -2535,6 +2575,7 @@ QUERIES = {
     "hll_distinct_urls": hll_distinct_urls,
     "psi_events_halves": psi_events_halves,
     "minhash_pairs_documents": minhash_pairs_documents,
+    "jaccard_exact_pairs": jaccard_exact_pairs,
     "simhash_pairs_documents": simhash_pairs_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "docs_neardup_dedup": docs_neardup_dedup,
@@ -2554,6 +2595,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "jaccard_exact_pairs": JACCARD_EXACT_SQL,
     "sketch_stats_checked": SKETCH_CHECKED_SQL,
     "hll_distinct_checked": HLL_CHECKED_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,

@@ -899,6 +899,257 @@ def ngram_jaccard_pairs(
     return src.groupby(key).map_groups(per_bucket, batch_format="pandas")
 
 
+def jaccard_all_pairs(
+    ds,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_buckets: int | None = None,
+    broadcast_limit: int = 5_000_000,
+    max_shingle_df: int | None = None,
+):
+    """Globally EXACT n-gram Jaccard pairs (id_a < id_b, jaccard >=
+    threshold) — the exact ground truth the MinHash-LSH chain
+    approximates. `tests/test_dedup.py` pins the LSH path's recall
+    against this op, and the SQL twin (JACCARD_EXACT_SQL in
+    pipelines/queries.py) checks it value-for-value against DuckDB.
+
+    Shape (three slim raw-task exchanges; text never leaves the scan):
+      1. one scan → distinct (shingle_hash, doc_id) rows per doc —
+         same whitespace tokenization as the LSH chain, but docs with
+         fewer than ``n`` tokens have NO shingles and never pair
+         (clean set-Jaccard, which is what SQL can express; the LSH
+         verify's first-token fallback for short docs is the one
+         documented divergence),
+      2. hash exchange on shingle → vectorized upper-triangle pair
+         expansion per shingle group (no per-group Python callable),
+      3. hash exchange on the pair key → run-length co-occurrence
+         counts; |A∪B| = n_a + n_b − inter via a broadcast sizes
+         lookup (≤ ``broadcast_limit`` docs) or two bucketed
+         equi-joins above it.
+
+    SCALE CAVEAT (inherent to exactness): a shingle shared by g docs
+    emits g(g−1)/2 pair rows, so boilerplate-heavy corpora blow up
+    step 2 quadratically — which is exactly why the LSH chain exists.
+    ``max_shingle_df`` optionally drops shingles with document
+    frequency above a cap (stopword-like n-grams); that UNDERCOUNTS
+    intersections, so leave it None for exact semantics.
+    """
+    from .exchange import exchange_reduce
+
+    def to_shingle_rows(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        tids = _token_ids(texts)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        shs, docs = [], []
+        for i, tid in enumerate(tids):
+            if tid.shape[0] < n:
+                continue  # no shingles — mirrors the SQL twin exactly
+            s = _shingle_hashes(tid, n)  # already np.unique'd
+            shs.append(s)
+            docs.append(np.full(s.shape[0], ids[i], dtype=np.int64))
+        if not shs:
+            return pa.table(
+                {
+                    "sh": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "sh": pa.array(np.concatenate(shs).view(np.int64), pa.int64()),
+                "doc": pa.array(np.concatenate(docs), pa.int64()),
+            }
+        )
+
+    slim = ds.map_batches(to_shingle_rows, batch_format="pyarrow").materialize()
+
+    def emit_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "pk": pa.array([], pa.int64()),
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or "sh" not in t.column_names:
+            return empty
+        sh = t["sh"].to_numpy(zero_copy_only=False)
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, sh))
+        sh, doc = sh[order], doc[order]
+        new = np.concatenate(([True], sh[1:] != sh[:-1]))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [sh.shape[0]])))
+        # per row: how many later rows of its shingle group it pairs with
+        pos = np.arange(sh.shape[0]) - np.repeat(starts, sizes)
+        gsz = np.repeat(sizes, sizes)
+        cnt = gsz - 1 - pos
+        if max_shingle_df is not None:
+            cnt[gsz > max_shingle_df] = 0
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(sh.shape[0]), cnt)
+        cum = np.cumsum(cnt)
+        offset = np.arange(total) - np.repeat(cum - cnt, cnt) + 1
+        right = left + offset
+        # doc ascending within a shingle group and unique per (doc, sh)
+        # → left index < right index implies id_a < id_b
+        ia, ib = doc[left], doc[right]
+        pk = (
+            ia.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ ib.astype(np.uint64)
+        ).view(np.int64)  # routing key only; reduce compares real ids
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.int64()),
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+            }
+        )
+
+    pair_rows = exchange_reduce(slim, "sh", emit_pairs, num_buckets)
+
+    def count_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "inter": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return empty
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+        )
+        starts = np.flatnonzero(new)
+        cnts = np.diff(np.concatenate((starts, [a.shape[0]])))
+        return pa.table(
+            {
+                "id_a": pa.array(a[starts], pa.int64()),
+                "id_b": pa.array(b[starts], pa.int64()),
+                "inter": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    inter = exchange_reduce(pair_rows, "pk", count_pairs, num_buckets)
+
+    def count_docs(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc": pa.array([], pa.int64()),
+                "n_sh": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0 or "doc" not in t.column_names:
+            return empty
+        d = np.sort(t["doc"].to_numpy(zero_copy_only=False))
+        new = np.concatenate(([True], d[1:] != d[:-1]))
+        starts = np.flatnonzero(new)
+        cnts = np.diff(np.concatenate((starts, [d.shape[0]])))
+        return pa.table(
+            {
+                "doc": pa.array(d[starts], pa.int64()),
+                "n_sh": pa.array(cnts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    sizes = exchange_reduce(slim, "doc", count_docs, num_buckets)
+    thr = float(threshold)
+
+    if sizes.count() <= broadcast_limit:
+        parts = [p for p in ray.get(sizes.to_arrow_refs()) if p.num_rows]
+        if not parts:
+            return inter.map_batches(
+                lambda t: t.slice(0, 0).append_column(
+                    "jaccard", pa.array([], pa.float64())
+                ).drop_columns(["inter"]),
+                batch_format="pyarrow",
+            )
+        st = pa.concat_tables(parts)
+        dn = st["doc"].to_numpy(zero_copy_only=False)
+        sn = st["n_sh"].to_numpy(zero_copy_only=False)
+        order = np.argsort(dn)
+        size_ref = ray.put((dn[order], sn[order]))
+
+        def finish_bcast(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+            if t.num_rows == 0 or "id_a" not in t.column_names:
+                return empty
+            docs_sorted, ns = ray.get(size_ref)
+            a = t["id_a"].to_numpy(zero_copy_only=False)
+            b = t["id_b"].to_numpy(zero_copy_only=False)
+            c = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+            na = ns[np.searchsorted(docs_sorted, a)]
+            nb = ns[np.searchsorted(docs_sorted, b)]
+            jac = c / (na + nb - c)
+            keep = jac >= thr
+            if not keep.any():
+                return empty
+            return pa.table(
+                {
+                    "id_a": pa.array(a[keep], pa.int64()),
+                    "id_b": pa.array(b[keep], pa.int64()),
+                    "jaccard": pa.array(jac[keep], pa.float64()),
+                }
+            )
+
+        return inter.map_batches(finish_bcast, batch_format="pyarrow")
+
+    # sizes too large to broadcast: two bucketed hash equi-joins
+    from .joins import bucketed_equi_join
+
+    sa = sizes.map_batches(
+        lambda t: pa.table({"id_a": t["doc"], "n_a": t["n_sh"]}),
+        batch_format="pyarrow",
+    )
+    sb = sizes.map_batches(
+        lambda t: pa.table({"id_b": t["doc"], "n_b": t["n_sh"]}),
+        batch_format="pyarrow",
+    )
+    joined = bucketed_equi_join(
+        bucketed_equi_join(inter, sa, key="id_a"), sb, key="id_b"
+    )
+
+    def finish_joined(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return empty
+        c = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["n_a"].to_numpy(zero_copy_only=False)
+        nb = t["n_b"].to_numpy(zero_copy_only=False)
+        jac = c / (na + nb - c)
+        keep = jac >= thr
+        return pa.table(
+            {
+                "id_a": t["id_a"].cast(pa.int64()).filter(pa.array(keep)),
+                "id_b": t["id_b"].cast(pa.int64()).filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    return joined.map_batches(finish_joined, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -434,3 +434,106 @@ def test_exact_dedup_keep_max(ray_session, doc_table):
     out = exact_dedup(rd.from_arrow(doc_table), "text", "doc_id", keep="max").to_pandas()
     assert len(out) == len(doc_table) - 1
     assert 1 in set(out["doc_id"]) and 0 not in set(out["doc_id"])  # max id kept
+
+
+def _brute_jaccard_pairs(docs, n=3, threshold=0.8):
+    """Reference: distinct n-token shingles (docs with <n tokens have
+    none), Jaccard over shingle sets, pairs with jac >= threshold."""
+    grams = []
+    for t in docs:
+        toks = t.split() if isinstance(t, str) else []
+        if len(toks) < n:
+            grams.append(set())
+        else:
+            grams.append(
+                {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            )
+    out = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            gi, gj = grams[i], grams[j]
+            if not gi or not gj:
+                continue
+            jac = len(gi & gj) / len(gi | gj)
+            if jac >= threshold:
+                out[(i, j)] = jac
+    return out
+
+
+def test_jaccard_all_pairs_matches_brute(ray_session, doc_table):
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import jaccard_all_pairs
+
+    docs = doc_table["text"].to_pylist()
+    # add edge cases: short doc (<3 tokens), empty doc, exact twin of 0
+    docs = docs + ["two tokens", "", docs[0]]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    expect = _brute_jaccard_pairs(docs, n=3, threshold=0.5)
+    out = jaccard_all_pairs(
+        rd.from_arrow(t), "text", "doc_id", n=3, threshold=0.5
+    ).to_pandas()
+    got = {
+        (int(a), int(b)): j
+        for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"])
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], abs=0)
+
+
+def test_jaccard_all_pairs_bucketed_fallback_parity(ray_session, doc_table):
+    """broadcast_limit=0 forces the two bucketed equi-joins; output
+    must be identical to the broadcast path."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import jaccard_all_pairs
+
+    a = (
+        jaccard_all_pairs(
+            rd.from_arrow(doc_table), "text", "doc_id", threshold=0.5
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        jaccard_all_pairs(
+            rd.from_arrow(doc_table),
+            "text",
+            "doc_id",
+            threshold=0.5,
+            broadcast_limit=0,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_minhash_recall_vs_exact(ray_session):
+    """Pin the LSH chain's recall AND precision against the exact op on
+    the sf0.001 fixture (both 1.0 — near-dup families there sit well
+    above the 0.8 threshold, random pairs well below)."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import jaccard_all_pairs, minhash_lsh_dedup
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    ds = ds.select_columns(["doc_id", "text"])
+    exact = jaccard_all_pairs(ds, "text", "doc_id", threshold=0.8).to_pandas()
+    lsh = minhash_lsh_dedup(ds, "text", "doc_id", jaccard_threshold=0.8)
+    ep = set(zip(exact["id_a"].astype(int), exact["id_b"].astype(int)))
+    lp = set(
+        zip(
+            lsh["id_a"].to_numpy().astype(int),
+            lsh["id_b"].to_numpy().astype(int),
+        )
+    )
+    assert ep == lp  # recall 1.0 and precision 1.0 on this fixture
