@@ -635,14 +635,16 @@ WHERE c >= 8 AND s > 0 AND ABS((value - m) / s) > 3
 
 def events_retention_top3(sf_dir: str):
     """Grouped keep-newest-N (reference db_scheduler retention,
-    db_scheduler.go:53-71): newest 3 events per user."""
+    db_scheduler.go:53-71): newest 3 events per user — vectorized
+    exchange + run-rank (stages/window.retention_topk_by_recency), no
+    per-user Python callable."""
+    from ..stages.window import retention_topk_by_recency
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-
-    def newest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
-        return g.tail(3)[["event_id", "user_id"]]
-
-    return ds.groupby("user_id").map_groups(newest, batch_format="pandas")
+    out = retention_topk_by_recency(
+        ds, "user_id", "ts", 3, tie_cols=["event_id"]
+    )
+    return out.select_columns(["event_id", "user_id"])
 
 
 EVENTS_RETENTION_SQL = """
@@ -714,28 +716,15 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
 
 def events_sessionize(sf_dir: str):
     """Session windows per user (gap > 30 min splits): the engine's
-    tumbling/session-window surface, computed per sorted group inside
-    map_groups (the Ray translation of event-time sessionization)."""
+    event-time session-window surface — vectorized exchange +
+    cumsum-of-breaks (stages/window.sessionize_agg), one bucket kernel
+    instead of a Python callable per user."""
+    from ..stages.window import sessionize_agg
+
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    gap = pd.Timedelta(minutes=30)
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
-        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-        g["session_id"] = brk.cumsum().astype("int64") - 1
-        out = (
-            g.groupby("session_id")
-            .agg(
-                n_events=("event_id", "size"),
-                first_event_id=("event_id", "min"),
-            )
-            .reset_index()
-        )
-        out["user_id"] = g["user_id"].iloc[0]
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[["user_id", "session_id", "n_events", "first_event_id"]]
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sessionize_agg(
+        ds, "user_id", "ts", "event_id", gap=pd.Timedelta(minutes=30)
+    )
 
 
 EVENTS_SESSIONIZE_SQL = """

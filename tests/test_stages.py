@@ -339,6 +339,53 @@ def test_retention_reference_fixture(ray_session):
         assert sorted(out["v"].tolist()) == expect
 
 
+def test_sessionize_agg_matches_brute(ray_session):
+    """sessionize_agg (vectorized exchange kernel) vs a per-key pandas
+    brute force — string keys (hash-routed path), duplicate timestamps
+    (id tie-break), numeric ts, and a gap that splits mid-stream."""
+    import ray.data as rd
+
+    from sod_ray.stages.window import sessionize_agg
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.choice([f"u{i}" for i in range(40)], size=n),
+            "ts": rng.integers(0, 3000, size=n).astype("int64"),
+            "eid": rng.permutation(n).astype("int64"),
+        }
+    )
+    gap = 25
+
+    def brute(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "eid"], kind="stable").reset_index(drop=True)
+        brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+        sid = brk.cumsum().astype("int64") - 1
+        out = (
+            g.assign(session_id=sid)
+            .groupby("session_id")
+            .agg(n_events=("eid", "size"), first_eid=("eid", "min"))
+            .reset_index()
+        )
+        out.insert(0, "k", g["k"].iloc[0])
+        return out
+
+    expect = (
+        pd.concat([brute(g) for _, g in df.groupby("k")], ignore_index=True)
+        .astype({"n_events": "int64"})
+        .sort_values(["k", "session_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        sessionize_agg(rd.from_pandas(df), "k", "ts", "eid", gap=gap)
+        .to_pandas()
+        .sort_values(["k", "session_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[expect.columns.tolist()], expect)
+
+
 def test_bucketed_anti_join_int_keys(ray_session):
     """Bucketed hash anti-join with integer keys (casts through the
     tagged-union path)."""
