@@ -392,42 +392,96 @@ def minhash_lsh_dedup(
         sig_rows.map_batches(sig_to_bands, batch_format="pyarrow")
     )
 
-    def candidate_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates(id_col).sort_values(id_col, kind="stable")
-        ids = g[id_col].to_numpy()
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": pd.Series(dtype=ids.dtype if len(ids) else "int64"),
-                                 "id_b": pd.Series(dtype=ids.dtype if len(ids) else "int64")})
-        if len(ids) > max_bucket_size:
-            return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})  # chain
-        if pair_emission == "star":
-            # (bucket-min → member) edges: candidate volume ∝ members
-            return pd.DataFrame(
-                {"id_a": ids[:1].repeat(len(ids) - 1), "id_b": ids[1:]}
-            )
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju]})
+    # Candidate emission + pair dedup as two raw-task hash exchanges
+    # (stages/exchange) — the former sort-based
+    # groupby(band,band_hash).map_groups + groupby(pair).aggregate pair
+    # was one Python call per dup bucket on top of two all-to-all
+    # Dataset sorts (679 s of a 1666 s 30M-doc run). Per bucket: one
+    # lexsort, run detection, and a single vectorized expansion that
+    # covers all three emission shapes (triangle = full per-row counts,
+    # star = counts only on run heads, oversize chain = count 1/row).
+    from .exchange import exchange_reduce
 
-    from ray.data.aggregate import Count
+    def add_bk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "band" not in t.column_names:
+            return t
+        return t.append_column("bk", _bucket_key64(t))
 
-    pairs = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(candidate_pairs, batch_format="pandas")
-        .groupby(["id_a", "id_b"])
-        .aggregate(Count(alias_name="__n"))  # vectorized pair dedup
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "id_a": t["id_a"].cast(pa.int64()),
-                    "id_b": t["id_b"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        # land the (small) pair list: fusing the banding sort straight
-        # into the verify joins stalls the streaming executor
-        .materialize()
+    keyed = band_rows.map_batches(add_bk, batch_format="pyarrow")
+    pair_schema = pa.schema(
+        [("pk", pa.int64()), ("id_a", pa.int64()), ("id_b", pa.int64())]
     )
+    emission_star = pair_emission == "star"
+    cap = max_bucket_size
+
+    def emit_candidates(t: pa.Table) -> pa.Table:
+        empty = pair_schema.empty_table()
+        if t.num_rows == 0 or "bk" not in t.column_names:
+            return empty
+        bk = t["bk"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        bk, ids = bk[order], ids[order]
+        # drop duplicate (bucket, id) rows — a doc appears once per band
+        keep = np.concatenate(
+            ([True], (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1]))
+        )
+        bk, ids = bk[keep], ids[keep]
+        new = np.concatenate(([True], bk[1:] != bk[:-1]))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [bk.shape[0]])))
+        pos = np.arange(bk.shape[0]) - np.repeat(starts, sizes)
+        gsz = np.repeat(sizes, sizes)
+        if emission_star:
+            cnt = np.where(pos == 0, gsz - 1, 0)
+        else:
+            cnt = gsz - 1 - pos  # upper triangle
+        big = gsz > cap  # giant dup cluster: consecutive-id chain
+        if big.any():
+            cnt = np.where(big, (pos < gsz - 1).astype(np.int64), cnt)
+        total = int(cnt.sum())
+        if total == 0:
+            return empty
+        left = np.repeat(np.arange(bk.shape[0]), cnt)
+        cum = np.cumsum(cnt)
+        offset = np.arange(total) - np.repeat(cum - cnt, cnt) + 1
+        ia, ib = ids[left], ids[left + offset]
+        pk = (
+            ia.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ ib.astype(np.uint64)
+        ).view(np.int64)  # routing key only; dedup compares real ids
+        return pa.table(
+            {
+                "pk": pa.array(pk, pa.int64()),
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+            }
+        )
+
+    cand = exchange_reduce(keyed, "bk", emit_candidates)
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64())]
+        ).empty_table()
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return empty
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+        )
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    # land the (small) distinct pair list before the verify joins
+    pairs = exchange_reduce(cand, "pk", distinct_pairs).materialize()
 
     verified = _verify_pairs_distributed(
         pairs, sig_rows, id_col, jaccard_threshold
@@ -593,8 +647,28 @@ def _join_partitions(requested: int | None) -> int:
     return min(requested, auto) if requested else auto
 
 
+@ray.remote
+def _pair_endpoints(t: pa.Table) -> np.ndarray:
+    """Distinct endpoint ids of one candidate-pair block."""
+    if t.num_rows == 0 or "id_a" not in t.column_names:
+        return np.empty(0, np.int64)
+    return np.unique(
+        np.concatenate(
+            (
+                t["id_a"].to_numpy(zero_copy_only=False),
+                t["id_b"].to_numpy(zero_copy_only=False),
+            )
+        )
+    )
+
+
 def _verify_pairs_distributed(
-    pairs, sig_rows, id_col: str, threshold: float, num_partitions: int | None = None
+    pairs,
+    sig_rows,
+    id_col: str,
+    threshold: float,
+    num_partitions: int | None = None,
+    endpoint_broadcast_limit: int = 20_000_000,
 ):
     """Distributed signature-agreement verify: two native hash joins
     attach each endpoint's signature to its candidate pairs, then one
@@ -602,8 +676,41 @@ def _verify_pairs_distributed(
     estimate) and filters by threshold. The joins shuffle pair ids +
     one signature per row (KBs per partition), never text; nothing
     touches the driver. Returns a Dataset of (id_a, id_b,
-    jaccard_est)."""
+    jaccard_est).
+
+    Endpoint pre-filter: the candidate list is usually orders of
+    magnitude smaller than the corpus, yet a naive join re-shuffles the
+    FULL signature table both times (~4.2 GB twice at 30M docs for
+    ~300k pairs — measured 432 s of a 1666 s run). When the distinct
+    endpoint count fits ``endpoint_broadcast_limit`` (8 B/id — 160 MB
+    at the default), broadcast it once and filter sig_rows to only the
+    referenced docs in one scan, so the joins shuffle candidate-sized
+    tables. Dup-heavy corpora past the limit fall back to the full
+    join, which is then the right shape anyway."""
     num_partitions = _join_partitions(num_partitions)
+    n_pairs = pairs.count()
+    if 0 < 2 * n_pairs <= endpoint_broadcast_limit:
+        parts = ray.get(
+            [_pair_endpoints.remote(r) for r in pairs.to_arrow_refs()]
+        )
+        eps = (
+            np.unique(np.concatenate(parts))
+            if parts
+            else np.empty(0, np.int64)
+        )
+        ep_ref = ray.put(pa.array(eps, pa.int64()))
+
+        def sig_filter(t: pa.Table) -> pa.Table:
+            # plain task: the broadcast id array is a zero-copy local read
+            return t.filter(
+                pc.is_in(t[id_col].cast(pa.int64()), value_set=ray.get(ep_ref))
+            )
+
+        # land the (endpoint-sized) subset: sa and sb both branch off it,
+        # so an unlanded filter would rescan the full sig table twice
+        sig_rows = sig_rows.map_batches(
+            sig_filter, batch_format="pyarrow"
+        ).materialize()
 
     def as_a(t: pa.Table) -> pa.Table:
         return pa.table({"id_a": t[id_col].cast(pa.int64()), "sig_a": t["sig"]})
