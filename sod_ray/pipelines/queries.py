@@ -1107,9 +1107,9 @@ def embedding_norms(sf_dir: str):
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def norms(t: pa.Table) -> pa.Table:
-        V = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
-        )
+        from ..stages.similarity import _to_matrix
+
+        V = _to_matrix(t["embedding"], np.float64)  # zero-copy reshape
         n = np.round(np.sqrt(np.einsum("ij,ij->i", V, V)), 4)
         return pa.table(
             {"vec_id": t["vec_id"], "l2_norm": pa.array(n, pa.float64())}
@@ -1637,10 +1637,77 @@ def simhash_pairs_documents(sf_dir: str):
 
 
 def embedding_neardup_pairs(sf_dir: str):
+    """Hyperplane-LSH near-dup pairs (rows-only: the LSH is
+    approximate; its exact ground truth is `cosine_exact_pairs`, and
+    `tests/test_dedup.py::test_embedding_neardup_recall_vs_exact` pins
+    recall/precision against it on a planted near-dup corpus)."""
     from ..stages.dedup import embedding_neardup
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return embedding_neardup(ds, "embedding", "vec_id", threshold=0.99)
+
+
+def cosine_exact_pairs(sf_dir: str):
+    """EXACT cosine all-pairs (threshold 0.4 — the synthetic embeddings
+    are near-isotropic, so 0.4 is the interesting tail: 59 pairs at
+    sf0.01) — the ground truth `embedding_neardup_pairs` approximates,
+    computed as one broadcast corpus matrix + streaming per-batch
+    matmul (stages.similarity.cosine_all_pairs) and SQL-oracle checked
+    value-for-value against DuckDB's list_cosine_similarity."""
+    from ..stages.similarity import cosine_all_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = cosine_all_pairs(ds, "embedding", "vec_id", threshold=0.4)
+    return out.sort(["id_a", "id_b"])
+
+
+COSINE_EXACT_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(
+         list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+         list_transform(b.embedding, x -> CAST(x AS DOUBLE))), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+def ivf_knn_full_probe(sf_dir: str):
+    """IVF kNN probing EVERY inverted list (nprobe >= n_centroids) —
+    by construction equal to exact brute force, so the IVF machinery
+    (training, assignment, probe routing, merge) is oracle-checked
+    against the same brute-force SQL as `knn_cosine_top5`; the
+    nprobe<nlist approximation path keeps its measured-recall check
+    (tools/ann_recall.py, tests/test_similarity.py)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    order = np.argsort(t["vec_id"].to_numpy())
+    qrows = [int(order[i]) for i in range(5)]
+    Q = np.stack(
+        [np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in qrows]
+    )
+    qids = [int(t["vec_id"][i].as_py()) for i in qrows]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    got = ivf_topk(
+        ds,
+        Q,
+        "embedding",
+        "vec_id",
+        k=5,
+        nprobe=1_000_000,  # probe all lists → exact
+        query_ids=qids,
+        dtype=np.float64,
+    )
+    return pa.Table.from_pandas(
+        got[["query_id", "cand_id"]].astype({"query_id": "int64", "cand_id": "int64"}),
+        preserve_index=False,
+    )
 
 
 def gopher_quality_flags(sf_dir: str):
@@ -2567,6 +2634,8 @@ QUERIES = {
     "jaccard_exact_pairs": jaccard_exact_pairs,
     "simhash_pairs_documents": simhash_pairs_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "cosine_exact_pairs": cosine_exact_pairs,
+    "ivf_knn_full_probe": ivf_knn_full_probe,
     "docs_neardup_dedup": docs_neardup_dedup,
     "docs_pii_redact": docs_pii_redact,
     "curated_docs": curated_docs,
@@ -2585,6 +2654,8 @@ QUERIES = {
 
 ORACLES = {
     "jaccard_exact_pairs": JACCARD_EXACT_SQL,
+    "cosine_exact_pairs": COSINE_EXACT_SQL,
+    "ivf_knn_full_probe": KNN_SQL,
     "sketch_stats_checked": SKETCH_CHECKED_SQL,
     "hll_distinct_checked": HLL_CHECKED_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,

@@ -1270,33 +1270,50 @@ def embedding_neardup(
     n_planes: int = 12,
     seed: int = 99,
     dim: int | None = None,
+    n_bands: int = 8,
 ):
     """Near-dup by cosine similarity over an embedding column:
-    random-hyperplane LSH buckets (seeded, deterministic) → exact
-    cosine verify within buckets. Pairs with cos ≥ threshold."""
+    ``n_bands`` independent random-hyperplane LSH tables (planes
+    seeded per band, deterministic) → exact cosine verify within
+    (band, bucket) groups → vectorized pair dedupe across bands.
 
-    state = {"planes": None}
+    A SINGLE 12-plane table catches a cos=0.95 pair with probability
+    (1 − θ/π)^12 ≈ 0.28 — banding is what buys recall: 8 bands ≈ 0.93,
+    16 ≈ 0.995 (candidate volume grows linearly with ``n_bands``).
+    Exact ground truth / recall measurement:
+    ``stages.similarity.cosine_all_pairs``; verified pairs are always a
+    subset of it (precision 1.0) because the verify recomputes the true
+    cosine."""
+
+    state: dict = {"planes": None}
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        V = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in batch[vec_col].to_pylist()]
-        )
+        from .similarity import _normalize, _to_matrix
+
+        V = _to_matrix(batch[vec_col], np.float64)
         if state["planes"] is None:
             d = dim or V.shape[1]
-            state["planes"] = np.random.default_rng(seed).normal(size=(d, n_planes))
-        proj = V @ state["planes"]
-        bits = (proj > 0).astype(np.uint64)
-        bucket = np.zeros(V.shape[0], dtype=np.uint64)
-        for p in range(n_planes):
-            bucket = (bucket << np.uint64(1)) | bits[:, p]
-        norms = np.linalg.norm(V, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        Vn = V / norms
+            state["planes"] = np.random.default_rng(seed).normal(
+                size=(d, n_planes * n_bands)
+            )
+        proj = V @ state["planes"]  # (n, n_planes*n_bands), one matmul
+        bits = (proj > 0).reshape(V.shape[0], n_bands, n_planes)
+        pows = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))[::-1]
+        bucket = (bits.astype(np.uint64) * pows).sum(axis=2)  # (n, n_bands)
+        Vn = _normalize(V).astype(np.float32)
+        n = V.shape[0]
         return pa.table(
             {
-                "bucket": pa.array(bucket),
-                id_col: batch[id_col],
-                "__vn": pa.array(list(Vn.astype(np.float32))),
+                "band": pa.array(
+                    np.repeat(np.arange(n_bands, dtype=np.int32), n)
+                ),
+                "bucket": pa.array(bucket.T.reshape(-1)),
+                id_col: pa.array(
+                    np.tile(
+                        batch[id_col].to_numpy(zero_copy_only=False), n_bands
+                    )
+                ),
+                "__vn": pa.array(list(Vn) * n_bands),
             }
         )
 
@@ -1325,7 +1342,16 @@ def embedding_neardup(
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    pairs = bucketed.groupby(["band", "bucket"]).map_groups(
+        verify, batch_format="pandas"
+    )
+    # a pair found in several bands has the SAME exact cosine everywhere
+    # — vectorized aggregate dedupe, not a Python call per pair
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("cosine", alias_name="cosine")
+    )
 
 
 # ---------------------------------------------------------------------------

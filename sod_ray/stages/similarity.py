@@ -120,6 +120,81 @@ def brute_force_topk(
     )
 
 
+def cosine_all_pairs(
+    ds,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.4,
+    round_to: int = 6,
+    max_rows: int = 2_000_000,
+    target_batch_bytes: int = 256 << 20,
+):
+    """Globally EXACT cosine all-pairs (id_a < id_b, cosine >=
+    threshold) — the ground truth ``stages.dedup.embedding_neardup``
+    (hyperplane LSH) approximates. SQL twin: COSINE_EXACT_SQL in
+    pipelines/queries.py (DuckDB ``list_cosine_similarity`` over a
+    self-join, both sides cast to DOUBLE).
+
+    Shape: one scan assembles the (id, vector) corpus matrix on the
+    driver (sorted by id, normalized in float64) and broadcasts it with
+    ONE ``ray.put``; the dataset then streams through ``map_batches``
+    where each batch computes ``batch @ corpus.T`` in float64, masks
+    ``id_a < id_b`` and the threshold, and emits slim pair rows. The
+    left side streams and scales with the cluster; the broadcast side
+    is n*d float64 (~1 GB at 1M x 128), read zero-copy per task.
+
+    SCALE CAVEAT (inherent to exactness): output and flops are O(n^2),
+    which is exactly why the LSH path exists — ``max_rows`` refuses
+    corpora where the quadratic wall makes this op the wrong tool.
+    """
+    blocks = [
+        b
+        for b in ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs())
+        if b.num_rows
+    ]
+    if not blocks:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
+    ids = np.concatenate(
+        [b[id_col].to_numpy(zero_copy_only=False) for b in blocks]
+    ).astype(np.int64)
+    if ids.shape[0] > max_rows:
+        raise ValueError(
+            f"cosine_all_pairs is O(n^2); {ids.shape[0]} rows > max_rows="
+            f"{max_rows}. Use embedding_neardup (LSH) at this scale."
+        )
+    M = np.vstack([_to_matrix(b[vec_col], np.float64) for b in blocks])
+    order = np.argsort(ids, kind="stable")
+    ids, M = ids[order], _normalize(M[order])
+    corpus_ref = ray.put((ids, M))
+    # batch_size so batch x corpus float64 scores stay under the target
+    bs = max(64, int(target_batch_bytes // (8 * max(1, ids.shape[0]))))
+
+    def batch_pairs(t: pa.Table) -> pa.Table:
+        all_ids, M = ray.get(corpus_ref)
+        Vn = _normalize(_to_matrix(t[vec_col], np.float64))
+        bids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        S = Vn @ M.T  # (n_batch, n_corpus)
+        mask = (S >= threshold) & (bids[:, None] < all_ids[None, :])
+        bi, ci = np.nonzero(mask)
+        return pa.table(
+            {
+                "id_a": pa.array(bids[bi], pa.int64()),
+                "id_b": pa.array(all_ids[ci], pa.int64()),
+                "cosine": pa.array(np.round(S[bi, ci], round_to), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(batch_pairs, batch_format="pyarrow", batch_size=bs)
+
+
 def train_centroids(
     ds, vec_col: str, n_centroids: int = 64, sample_rows: int = 10_000, seed: int = 5
 ) -> np.ndarray:
@@ -181,12 +256,16 @@ def ivf_topk(
     centroids: np.ndarray | None = None,
     nprobe: int = 8,
     query_ids: list | None = None,
+    dtype=np.float32,
 ) -> pd.DataFrame:
     """IVF-style ANN: score only vectors whose centroid is among the
-    query's nprobe nearest. centroids=None trains them on a sample."""
+    query's nprobe nearest. centroids=None trains them on a sample.
+    ``nprobe >= n_centroids`` probes every list, making the result
+    EXACT (equal to brute force) — with ``dtype=np.float64`` that mode
+    is oracle-checkable against the brute-force SQL twin."""
     if centroids is None:
         centroids = train_centroids(ds, vec_col)
-    Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float32)))
+    Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=dtype)))
     probe = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
     q_ref = ray.put((Q, centroids, probe))
     qids = query_ids if query_ids is not None else list(range(Q.shape[0]))
@@ -195,7 +274,7 @@ def ivf_topk(
         # plain task (see batch_topk): broadcast numpy payloads are
         # zero-copy reads from the local object store
         Q, C, probe = ray.get(q_ref)
-        V = _normalize(_to_matrix(batch[vec_col]))
+        V = _normalize(_to_matrix(batch[vec_col], dtype))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         assign = np.argmax(V @ C.T, axis=1)
         rows = {"query_idx": [], "cand_id": [], "cosine": []}

@@ -537,3 +537,92 @@ def test_minhash_recall_vs_exact(ray_session):
         )
     )
     assert ep == lp  # recall 1.0 and precision 1.0 on this fixture
+
+
+def test_embedding_neardup_recall_vs_exact(ray_session):
+    """Pin the hyperplane-LSH path against the exact cosine all-pairs
+    op on a planted near-dup corpus: precision must be 1.0 (the verify
+    recomputes true cosine), recall >= 0.9 with the default 8 bands
+    (single-band recall at cos 0.99 / 12 planes is only ~0.5), and the
+    reported cosine must equal the exact op's value per pair."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import embedding_neardup
+    from sod_ray.stages.similarity import cosine_all_pairs
+
+    rng = np.random.default_rng(7)
+    d, n_fam, n_noise = 32, 30, 200
+    vecs, ids = [], []
+    for i in range(n_fam):
+        base = rng.normal(size=d)
+        base /= np.linalg.norm(base)
+        vecs += [base, base + rng.normal(scale=0.008, size=d)]
+        ids += [2 * i, 2 * i + 1]
+    for j in range(n_noise):
+        vecs.append(rng.normal(size=d))
+        ids.append(2 * n_fam + j)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, dtype=np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    exact = cosine_all_pairs(ds, "embedding", "vec_id", threshold=0.99).to_pandas()
+    lsh = embedding_neardup(
+        ds, "embedding", "vec_id", threshold=0.99, n_bands=8
+    ).to_pandas()
+    ep = set(zip(exact["id_a"].astype(int), exact["id_b"].astype(int)))
+    lp = set(zip(lsh["id_a"].astype(int), lsh["id_b"].astype(int)))
+    # every planted family must be in the exact ground truth
+    assert all((2 * i, 2 * i + 1) in ep for i in range(n_fam))
+    assert lp <= ep  # precision 1.0
+    assert len(lp) / len(ep) >= 0.9  # banded recall
+    # per-pair cosine parity with the exact op (rounded to its grid)
+    ex = {(a, b): c for a, b, c in exact.itertuples(index=False)}
+    for a, b, c in lsh.itertuples(index=False):
+        assert abs(ex[(int(a), int(b))] - round(float(c), 6)) < 1e-9
+
+
+def test_cosine_all_pairs_matches_numpy(ray_session):
+    """cosine_all_pairs == driver-side numpy upper-triangle brute force
+    (values and pair set), including the id_a < id_b discipline."""
+    import ray.data as rd
+
+    from sod_ray.stages.similarity import cosine_all_pairs
+
+    rng = np.random.default_rng(11)
+    V = rng.normal(size=(120, 16))
+    ids = np.arange(120, dtype=np.int64)[::-1].copy()  # unordered ids
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in V],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    got = (
+        cosine_all_pairs(rd.from_arrow(t), "embedding", "vec_id", threshold=0.3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    Vn = V.astype(np.float32).astype(np.float64)
+    Vn /= np.linalg.norm(Vn, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    want = []
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and S[i, j] >= 0.3:
+                want.append((ids[i], ids[j], round(S[i, j], 6)))
+    want = sorted(want)
+    assert len(got) == len(want) and len(want) > 0
+    for (ga, gb, gc), (wa, wb, wc) in zip(
+        got.itertuples(index=False), want
+    ):
+        assert (ga, gb) == (wa, wb) and abs(gc - wc) < 1e-9
