@@ -1087,6 +1087,70 @@ def doc_quality_scores(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars", "n_tokens", "quality"])
 
 
+def doc_quality_checked(sf_dir: str):
+    """Oracle-backed twin of `doc_quality_scores`: the SAME TextFeatures
+    actor-pool stage and quality_score kernel, emitting the ratio
+    features + scalar score, value-for-value checked against a DuckDB
+    replica of the heuristic.
+
+    Domain caveat (documented, verified): the Python kernels use
+    unicode-aware ``\\w`` / word classes while DuckDB's RE2 is
+    ASCII-only — the two agree on ASCII text, and the synthetic
+    documents fixtures are 100% ASCII at every sf (checked); on a
+    non-ASCII corpus the Python side is the intended semantics and this
+    SQL twin would undercount words / overcount punctuation."""
+    from ..stages.textstage import TextFeatures
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(TextFeatures, batch_format="pandas", concurrency=2)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return _round_cols(t, {"punct_ratio": 6, "stopword_ratio": 6})
+
+    return out.map_batches(finish, batch_format="pyarrow").select_columns(
+        ["doc_id", "n_chars", "n_tokens", "punct_ratio", "stopword_ratio", "quality"]
+    )
+
+
+DOC_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+    CASE WHEN length(text) > 0
+         THEN len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text)
+         ELSE 0 END AS punct_ratio,
+    CASE WHEN length(text) > 0
+         THEN len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)
+         ELSE 0 END AS digit_ratio,
+    regexp_extract_all(lower(text), '[^\W\d_]+') AS words,
+    regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, n_chars, n_tokens, punct_ratio, digit_ratio,
+    CASE WHEN len(words) > 0 THEN
+      len(list_filter(words, w -> w IN
+        ('the','and','of','to','a','in','is','that','it','for','was','with')
+      ))::DOUBLE / len(words)
+    ELSE 0 END AS stopword_ratio,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, s -> length(s)))::DOUBLE / len(toks)
+         ELSE 0 END AS mean_token_len
+  FROM f
+)
+SELECT doc_id, n_chars, n_tokens,
+       ROUND(punct_ratio, 6) AS punct_ratio,
+       ROUND(stopword_ratio, 6) AS stopword_ratio,
+       GREATEST(0.0, CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+         1.0 - CASE WHEN punct_ratio > 0.2 THEN 0.3 ELSE 0 END
+             - CASE WHEN digit_ratio > 0.3 THEN 0.3 ELSE 0 END
+             - CASE WHEN stopword_ratio = 0.0 THEN 0.2 ELSE 0 END
+             - CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0 ELSE 0.2 END
+       END) AS quality
+FROM g
+"""
+
+
 def lang_id_predictions(sf_dir: str):
     """Heuristic language-ID stage (rows-only)."""
     from ..stages.textstage import LangId
@@ -1094,6 +1158,58 @@ def lang_id_predictions(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     out = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
     return out.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+def lang_id_checked(sf_dir: str):
+    """Oracle-backed twin of `lang_id_predictions`: the SAME LangId
+    actor-pool stage, checked against a DuckDB replica of the
+    heuristic. On ASCII text (all documents fixtures — verified) the
+    CJK/kana/cyrillic script branches never fire, so lang_id reduces to
+    best stopword-hit ratio over the first 2000 chars with >= 0.03
+    acceptance and alphabetical tie-break — exactly expressible in SQL.
+    On non-ASCII corpora the Python kernel's script detection is the
+    intended semantics and has no SQL twin (that path is pinned by
+    tests/test_text.py)."""
+    from ..stages.textstage import LangId
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+    return out.select_columns(["doc_id", "lang", "lang_pred"])
+
+
+_LANG_SQL_STOP = {
+    "de": "'der','die','und','das','ist','von','den','mit','für','auf','ein','nicht'",
+    "en": "'the','and','of','to','a','in','is','that','it','for','was','with'",
+    "es": "'el','la','de','que','y','en','un','los','se','del','las','por'",
+    "fr": "'le','la','les','de','des','et','est','un','une','du','que','pour'",
+    "ru": "'и','в','не','на','что','с','это','как','по','но','из','за'",
+}
+
+LANG_ID_SQL = (
+    r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(substr(text, 1, 2000)), '[^\W\d_]+') AS words
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, len(words) AS nw,
+"""
+    + ",\n".join(
+        f"    CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> x IN ({lst})))::DOUBLE / len(words) ELSE 0 END AS r_{code}"
+        for code, lst in _LANG_SQL_STOP.items()
+    )
+    + r"""
+  FROM w
+)
+SELECT doc_id, lang,
+  CASE WHEN nw = 0 OR GREATEST(r_de, r_en, r_es, r_fr, r_ru) < 0.03 THEN 'other'
+       ELSE CASE GREATEST(r_de, r_en, r_es, r_fr, r_ru)
+              WHEN r_de THEN 'de' WHEN r_en THEN 'en' WHEN r_es THEN 'es'
+              WHEN r_fr THEN 'fr' ELSE 'ru' END
+  END AS lang_pred
+FROM r
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -2620,6 +2736,8 @@ QUERIES = {
     "docs_stratified_sample": docs_stratified_sample,
     "embedding_norms": embedding_norms,
     "knn_cosine_top5": knn_cosine_top5,
+    "doc_quality_checked": doc_quality_checked,
+    "lang_id_checked": lang_id_checked,
     # rows-only (non-SQL-expressible / approximate / stateful):
     "doc_quality_scores": doc_quality_scores,
     "lang_id_predictions": lang_id_predictions,
@@ -2655,6 +2773,8 @@ QUERIES = {
 ORACLES = {
     "jaccard_exact_pairs": JACCARD_EXACT_SQL,
     "cosine_exact_pairs": COSINE_EXACT_SQL,
+    "doc_quality_checked": DOC_QUALITY_SQL,
+    "lang_id_checked": LANG_ID_SQL,
     "ivf_knn_full_probe": KNN_SQL,
     "sketch_stats_checked": SKETCH_CHECKED_SQL,
     "hll_distinct_checked": HLL_CHECKED_SQL,
