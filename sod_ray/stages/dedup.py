@@ -392,14 +392,41 @@ def minhash_lsh_dedup(
         sig_rows.map_batches(sig_to_bands, batch_format="pyarrow")
     )
 
-    # Candidate emission + pair dedup as two raw-task hash exchanges
-    # (stages/exchange) — the former sort-based
-    # groupby(band,band_hash).map_groups + groupby(pair).aggregate pair
-    # was one Python call per dup bucket on top of two all-to-all
-    # Dataset sorts (679 s of a 1666 s 30M-doc run). Per bucket: one
-    # lexsort, run detection, and a single vectorized expansion that
-    # covers all three emission shapes (triangle = full per-row counts,
-    # star = counts only on run heads, oversize chain = count 1/row).
+    pairs = _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission)
+
+    verified = _verify_pairs_distributed(
+        pairs, sig_rows, id_col, jaccard_threshold
+    )
+    if as_dataset:
+        return verified
+    pdf = verified.to_pandas()
+    if len(pdf) == 0:
+        return pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard_est": pa.array([], pa.float64()),
+            }
+        )
+    return pa.Table.from_pandas(
+        pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission):
+    """Candidate id pairs from pruned (band, band_hash, id) rows —
+    candidate emission + pair dedup as two raw-task hash exchanges
+    (stages/exchange). The former sort-based
+    groupby(band,band_hash).map_groups + groupby(pair).aggregate pair
+    was one Python call per dup bucket on top of two all-to-all
+    Dataset sorts (679 s of a 1666 s 30M-doc run). Per bucket: one
+    lexsort, run detection, and a single vectorized expansion that
+    covers all three emission shapes (triangle = full per-row counts,
+    star = counts only on run heads, oversize chain = count 1/row).
+    Shared by the MinHash and embedding LSH chains. Returns the
+    (small) distinct pair Dataset, materialized before the verify
+    joins."""
     from .exchange import exchange_reduce
 
     def add_bk(t: pa.Table) -> pa.Table:
@@ -481,26 +508,7 @@ def minhash_lsh_dedup(
         )
 
     # land the (small) distinct pair list before the verify joins
-    pairs = exchange_reduce(cand, "pk", distinct_pairs).materialize()
-
-    verified = _verify_pairs_distributed(
-        pairs, sig_rows, id_col, jaccard_threshold
-    )
-    if as_dataset:
-        return verified
-    pdf = verified.to_pandas()
-    if len(pdf) == 0:
-        return pa.table(
-            {
-                "id_a": pa.array([], pa.int64()),
-                "id_b": pa.array([], pa.int64()),
-                "jaccard_est": pa.array([], pa.float64()),
-            }
-        )
-    return pa.Table.from_pandas(
-        pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True),
-        preserve_index=False,
-    )
+    return exchange_reduce(cand, "pk", distinct_pairs).materialize()
 
 
 def _bucket_key64(t: pa.Table):
@@ -662,6 +670,14 @@ def _pair_endpoints(t: pa.Table) -> np.ndarray:
     )
 
 
+def _sig_agreement(col_a, col_b) -> np.ndarray:
+    """Default pair scorer: MinHash signature agreement fraction."""
+    n = len(col_a)
+    A = np.frombuffer(b"".join(col_a.to_pylist()), dtype=np.uint64).reshape(n, -1)
+    B = np.frombuffer(b"".join(col_b.to_pylist()), dtype=np.uint64).reshape(n, -1)
+    return (A == B).mean(axis=1)
+
+
 def _verify_pairs_distributed(
     pairs,
     sig_rows,
@@ -669,14 +685,18 @@ def _verify_pairs_distributed(
     threshold: float,
     num_partitions: int | None = None,
     endpoint_broadcast_limit: int = 20_000_000,
+    payload_col: str = "sig",
+    out_col: str = "jaccard_est",
+    scorer=None,
 ):
-    """Distributed signature-agreement verify: two native hash joins
-    attach each endpoint's signature to its candidate pairs, then one
-    vectorized map computes the per-pair agreement fraction (Jaccard
-    estimate) and filters by threshold. The joins shuffle pair ids +
-    one signature per row (KBs per partition), never text; nothing
-    touches the driver. Returns a Dataset of (id_a, id_b,
-    jaccard_est).
+    """Distributed pair verify: two native hash joins attach each
+    endpoint's binary payload (MinHash signature by default; any
+    per-doc bytes via ``payload_col``/``scorer`` — the embedding chain
+    passes normalized float32 vectors and a dot-product scorer) to its
+    candidate pairs, then one vectorized map computes the per-pair
+    score and filters by threshold. The joins shuffle pair ids + one
+    payload per row (KBs per partition), never text; nothing touches
+    the driver. Returns a Dataset of (id_a, id_b, <out_col>).
 
     Endpoint pre-filter: the candidate list is usually orders of
     magnitude smaller than the corpus, yet a naive join re-shuffles the
@@ -712,11 +732,17 @@ def _verify_pairs_distributed(
             sig_filter, batch_format="pyarrow"
         ).materialize()
 
+    score = scorer or _sig_agreement
+
     def as_a(t: pa.Table) -> pa.Table:
-        return pa.table({"id_a": t[id_col].cast(pa.int64()), "sig_a": t["sig"]})
+        return pa.table(
+            {"id_a": t[id_col].cast(pa.int64()), "pl_a": t[payload_col]}
+        )
 
     def as_b(t: pa.Table) -> pa.Table:
-        return pa.table({"id_b": t[id_col].cast(pa.int64()), "sig_b": t["sig"]})
+        return pa.table(
+            {"id_b": t[id_col].cast(pa.int64()), "pl_b": t[payload_col]}
+        )
 
     sa = sig_rows.map_batches(as_a, batch_format="pyarrow")
     sb = sig_rows.map_batches(as_b, batch_format="pyarrow")
@@ -731,21 +757,17 @@ def _verify_pairs_distributed(
                 {
                     "id_a": pa.array([], pa.int64()),
                     "id_b": pa.array([], pa.int64()),
-                    "jaccard_est": pa.array([], pa.float64()),
+                    out_col: pa.array([], pa.float64()),
                 }
             )
-        A = np.frombuffer(b"".join(t["sig_a"].to_pylist()), dtype=np.uint64)
-        B = np.frombuffer(b"".join(t["sig_b"].to_pylist()), dtype=np.uint64)
-        A = A.reshape(len(t), -1)
-        B = B.reshape(len(t), -1)
-        e = (A == B).mean(axis=1)
+        e = score(t["pl_a"].combine_chunks(), t["pl_b"].combine_chunks())
         keep = e >= threshold
         sub = t.filter(pa.array(keep))
         return pa.table(
             {
                 "id_a": sub["id_a"],
                 "id_b": sub["id_b"],
-                "jaccard_est": pa.array(e[keep], pa.float64()),
+                out_col: pa.array(e[keep], pa.float64()),
             }
         )
 
@@ -1262,28 +1284,98 @@ def jaccard_all_pairs(
 # ---------------------------------------------------------------------------
 
 
+def embedding_lsh_params(
+    n_docs: int,
+    threshold: float,
+    n_planes: int | None = None,
+    n_bands: int | None = None,
+    target_recall: float = 0.95,
+) -> tuple[int, int]:
+    """Hyperplane-LSH tuning. The plane count MUST grow with corpus
+    size: random hyperplanes cut an isotropic corpus into at most
+    2^n_planes cells, so a fixed 12-plane table over 1M docs leaves
+    ~244 docs per bucket and candidate emission goes quadratic
+    (measured: 71 GB of spilled candidate pairs at 1M×64d before this
+    guard existed). Rule: n_planes ≈ log2(n_docs) + 4 keeps expected
+    RANDOM-pair collisions per band near n_docs/16 regardless of
+    corpus size; n_bands then solves the target recall given the
+    per-band hit rate p_band = (1 − θ/π)^n_planes (capped at 64 — a
+    low threshold with many planes can make the target unreachable;
+    callers wanting exhaustive low-threshold pairs should use
+    ``similarity.cosine_all_pairs`` instead)."""
+    if n_planes is None:
+        n_planes = max(12, int(np.ceil(np.log2(max(n_docs, 2)))) + 4)
+    if n_bands is None:
+        theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
+        p_band = (1.0 - theta / np.pi) ** n_planes
+        if p_band >= 1.0:
+            n_bands = 1
+        else:
+            n_bands = int(
+                np.clip(
+                    np.ceil(np.log(1 - target_recall) / np.log(1 - p_band)),
+                    1,
+                    64,
+                )
+            )
+    return n_planes, n_bands
+
+
 def embedding_neardup(
     ds,
     vec_col: str,
     id_col: str,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    n_planes: int | None = None,
     seed: int = 99,
     dim: int | None = None,
-    n_bands: int = 8,
+    n_bands: int | None = None,
+    small_corpus_rows: int = 100_000,
+    max_bucket_size: int = 256,
+    pair_emission: str = "pairs",
 ):
     """Near-dup by cosine similarity over an embedding column:
     ``n_bands`` independent random-hyperplane LSH tables (planes
-    seeded per band, deterministic) → exact cosine verify within
-    (band, bucket) groups → vectorized pair dedupe across bands.
+    seeded per band, deterministic) → exact cosine verify → pair
+    dedupe.
 
-    A SINGLE 12-plane table catches a cos=0.95 pair with probability
-    (1 − θ/π)^12 ≈ 0.28 — banding is what buys recall: 8 bands ≈ 0.93,
-    16 ≈ 0.995 (candidate volume grows linearly with ``n_bands``).
+    ``n_planes``/``n_bands`` default to corpus-size- and
+    threshold-aware auto-tuning (``embedding_lsh_params``): planes
+    scale with log2(corpus) so buckets stay small and candidate
+    volume linear; bands solve a 0.95 target recall. A SINGLE
+    12-plane table catches a cos=0.95 pair with probability
+    (1 − θ/π)^12 ≈ 0.28 — banding is what buys recall.
     Exact ground truth / recall measurement:
     ``stages.similarity.cosine_all_pairs``; verified pairs are always a
     subset of it (precision 1.0) because the verify recomputes the true
-    cosine."""
+    cosine.
+
+    Two paths, same results (parity-tested):
+    - small (< ``small_corpus_rows``): normalized vectors ride in the
+      band rows, verify happens inside (band, bucket) groups, pair
+      dedupe is one vectorized aggregate — one execution total.
+    - large: the MinHash chain's shape — one scan lands (id, vn) rows
+      (4·d B/doc, once, NOT per band), only slim (band, bucket, id)
+      rows cross the banding shuffle, singleton buckets pruned, the
+      shared ``_candidate_pairs`` exchanges emit distinct candidate
+      pairs (``pair_emission``/``max_bucket_size`` as in
+      ``minhash_lsh_dedup``), and verify is the distributed payload
+      join with a dot-product scorer — the small path would shuffle
+      every vector ``n_bands`` times and pay a Python call per bucket.
+    """
+    if pair_emission not in ("pairs", "star"):
+        raise ValueError(
+            f"pair_emission must be 'pairs' or 'star', got {pair_emission!r}"
+        )
+    n_docs = ds.count()
+    n_planes, n_bands = embedding_lsh_params(
+        n_docs, threshold, n_planes, n_bands
+    )
+    if n_docs >= small_corpus_rows:
+        return _embedding_large(
+            ds, vec_col, id_col, threshold, n_planes, seed, dim, n_bands,
+            max_bucket_size, pair_emission,
+        )
 
     state: dict = {"planes": None}
 
@@ -1351,6 +1443,95 @@ def embedding_neardup(
 
     return pairs.groupby(["id_a", "id_b"]).aggregate(
         Min("cosine", alias_name="cosine")
+    )
+
+
+def _embedding_large(
+    ds, vec_col, id_col, threshold, n_planes, seed, dim, n_bands,
+    max_bucket_size, pair_emission,
+):
+    """Large-corpus embedding LSH (see embedding_neardup docstring):
+    lands normalized float32 vectors ONCE, shuffles only slim
+    (band, bucket, id) rows, reuses the MinHash chain's candidate
+    exchanges and distributed payload-join verify."""
+    from .similarity import _normalize, _to_matrix
+
+    def to_vec_rows(batch: pa.Table) -> pa.Table:
+        V = _to_matrix(batch[vec_col], np.float64)
+        Vn = _normalize(V).astype(np.float32)
+        return pa.table(
+            {
+                id_col: batch[id_col].cast(pa.int64()),
+                "vn": pa.array([row.tobytes() for row in Vn], pa.binary()),
+            }
+        )
+
+    # one scan; banding and the verify join both consume the landed rows
+    vec_rows = ds.map_batches(to_vec_rows, batch_format="pyarrow").materialize()
+
+    state: dict = {"planes": None}
+    empty_bands = pa.table(
+        {
+            "band": pa.array([], pa.int32()),
+            "band_hash": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+        }
+    )
+
+    def vn_to_bands(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0 or "vn" not in batch.column_names:
+            return empty_bands
+        Vn = (
+            np.frombuffer(b"".join(batch["vn"].to_pylist()), dtype=np.float32)
+            .reshape(n, -1)
+            .astype(np.float64)
+        )
+        if state["planes"] is None:
+            d = dim or Vn.shape[1]
+            state["planes"] = np.random.default_rng(seed).normal(
+                size=(d, n_planes * n_bands)
+            )
+        proj = Vn @ state["planes"]
+        bits = (proj > 0).reshape(n, n_bands, n_planes)
+        pows = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))[::-1]
+        bucket = (bits.astype(np.uint64) * pows).sum(axis=2)  # (n, n_bands)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band": pa.array(np.repeat(np.arange(n_bands, dtype=np.int32), n)),
+                "band_hash": pa.array(bucket.T.reshape(-1).view(np.int64)),
+                id_col: pa.array(np.tile(ids, n_bands)),
+            }
+        )
+
+    band_rows = _prune_singleton_buckets(
+        vec_rows.map_batches(vn_to_bands, batch_format="pyarrow")
+    )
+    pairs = _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission)
+
+    def cos_score(col_a, col_b) -> np.ndarray:
+        n = len(col_a)
+        A = (
+            np.frombuffer(b"".join(col_a.to_pylist()), dtype=np.float32)
+            .reshape(n, -1)
+            .astype(np.float64)
+        )
+        B = (
+            np.frombuffer(b"".join(col_b.to_pylist()), dtype=np.float32)
+            .reshape(n, -1)
+            .astype(np.float64)
+        )
+        return np.einsum("ij,ij->i", A, B)
+
+    return _verify_pairs_distributed(
+        pairs,
+        vec_rows,
+        id_col,
+        threshold,
+        payload_col="vn",
+        out_col="cosine",
+        scorer=cos_score,
     )
 
 

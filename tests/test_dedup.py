@@ -626,3 +626,46 @@ def test_cosine_all_pairs_matches_numpy(ray_session):
         got.itertuples(index=False), want
     ):
         assert (ga, gb) == (wa, wb) and abs(gc - wc) < 1e-9
+
+
+def test_embedding_neardup_large_path_parity(ray_session):
+    """The distributed large-corpus path (slim band rows + payload-join
+    verify) must produce exactly the small path's pair set, with equal
+    cosines."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import embedding_neardup
+
+    rng = np.random.default_rng(21)
+    d = 24
+    vecs, ids = [], []
+    for i in range(20):
+        base = rng.normal(size=d)
+        base /= np.linalg.norm(base)
+        vecs += [base, base + rng.normal(scale=0.008, size=d)]
+        ids += [2 * i, 2 * i + 1]
+    for j in range(150):
+        vecs.append(rng.normal(size=d))
+        ids.append(40 + j)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, dtype=np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    small = embedding_neardup(
+        ds, "embedding", "vec_id", threshold=0.99
+    ).to_pandas()
+    large = embedding_neardup(
+        ds, "embedding", "vec_id", threshold=0.99, small_corpus_rows=1
+    ).to_pandas()
+    s = {tuple(sorted(p)) for p in zip(small["id_a"], small["id_b"])}
+    l = {tuple(sorted(p)) for p in zip(large["id_a"], large["id_b"])}
+    assert s == l and len(s) > 0
+    sc = {(a, b): c for a, b, c in small.itertuples(index=False)}
+    for a, b, c in large.itertuples(index=False):
+        assert abs(sc[(a, b)] - c) < 1e-9
