@@ -529,9 +529,10 @@ def _bucket_key64(t: pa.Table):
 
 
 @ray.remote
-def _bucket_keys_split(t: pa.Table, P: int):
+def _bucket_keys_split(t: pa.Table, P: int, key_col: str | None = None):
     """Band-row block → P pieces of its composite keys (key % P)."""
-    k = _bucket_key64(t).to_numpy(zero_copy_only=False)
+    keys = t[key_col] if key_col else _bucket_key64(t)
+    k = keys.to_numpy(zero_copy_only=False)
     b = k % P  # keys are non-negative by construction
     return tuple(k[b == p] for p in range(P))
 
@@ -551,14 +552,17 @@ def _bucket_hot_keys(*pieces) -> np.ndarray:
     return dup[np.concatenate(([True], dup[1:] != dup[:-1]))]
 
 
-def _prune_singleton_buckets(band_rows, num_partitions: int | None = None):
+def _prune_singleton_buckets(
+    band_rows, num_partitions: int | None = None, key_col: str | None = None
+):
     """Drop band buckets holding a single doc BEFORE the per-bucket
     group pass: nearly every bucket is a singleton (no candidate pair
     can come out of it), and `groupby().map_groups` pays a Python call
     per group — pruning turns ~N·bands tiny groups into only the dup
     buckets. Hot keys come from per-batch value_counts (small inputs)
     or a raw-task key exchange (large), then one broadcast filter —
-    all distributed."""
+    all distributed. ``key_col``: use a precomputed int64 bucket-key
+    column instead of deriving band<<56|band_hash."""
     import pyarrow.compute as pc
 
     # land the band rows once: the count pass, the filter pass and the
@@ -566,7 +570,12 @@ def _prune_singleton_buckets(band_rows, num_partitions: int | None = None):
     # scan through lineage
     band_rows = band_rows.materialize()
     n_rows = band_rows.count()
-    key64_of = _bucket_key64
+    if key_col is not None:
+        def key64_of(t, _c=key_col):
+            col = t[_c]
+            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    else:
+        key64_of = _bucket_key64
 
     if n_rows <= 5_000_000:
         # partial-counts shortcut: per-batch value_counts of the
@@ -604,7 +613,8 @@ def _prune_singleton_buckets(band_rows, num_partitions: int | None = None):
     P = 32
     refs = band_rows.to_arrow_refs()
     splits = [
-        _bucket_keys_split.options(num_returns=P).remote(r, P) for r in refs
+        _bucket_keys_split.options(num_returns=P).remote(r, P, key_col)
+        for r in refs
     ]
     if P == 1:  # options(num_returns=1) would unwrap the tuple
         splits = [[s] for s in splits]
@@ -891,78 +901,142 @@ def simhash_dedup(
 ):
     """SimHash near-dup: 4×16-bit band buckets (any doc pair within
     hamming distance 3 shares ≥1 exact band by pigeonhole) → verify
-    hamming distance within buckets."""
+    hamming distance within buckets.
+
+    Scale shape (same exchange machinery as the MinHash chain, but
+    with NO verify join — the whole verify payload is the 8-byte
+    signature, so it rides the band rows): one scan emits slim
+    (bk = band<<56|band_hash, id, simhash) rows, singleton buckets are
+    pruned, ONE raw-task hash exchange runs a fully vectorized
+    per-bucket kernel (lexsort → run detection → sliced upper-triangle
+    pair expansion → XOR + table popcount → threshold), and a second
+    exchange dedupes pairs found in several bands. No per-bucket
+    Python callable, no Dataset sort shuffles."""
+    from .exchange import exchange_reduce
 
     def add_simhash(batch: pa.Table) -> pa.Table:
         sh = simhash_signatures(batch[text_col].to_pylist())
         n = len(batch)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         band_w = 64 // n_bands
         mask = np.uint64((1 << band_w) - 1)
-        tables = []
-        for b_i in range(n_bands):
-            bh = (sh >> np.uint64(b_i * band_w)) & mask
-            tables.append(
-                pa.table(
-                    {
-                        "band": pa.array(np.full(n, b_i, dtype=np.int32)),
-                        "band_hash": pa.array(bh),
-                        id_col: pa.array(ids),
-                        "simhash": pa.array(sh),
-                    }
-                )
+        shifts = np.uint64(band_w) * np.arange(n_bands, dtype=np.uint64)
+        bh = (sh[None, :] >> shifts[:, None]) & mask  # (n_bands, n)
+        bands = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+        bk = (bands << 56) | bh.reshape(-1).astype(np.int64)
+        return pa.table(
+            {
+                "bk": pa.array(bk, pa.int64()),
+                id_col: pa.array(np.tile(ids, n_bands)),
+                "simhash": pa.array(np.tile(sh, n_bands)),
+            }
+        )
+
+    band_rows = _prune_singleton_buckets(
+        ds.map_batches(add_simhash, batch_format="pyarrow"),
+        key_col="bk",
+    )
+
+    pair_schema = pa.schema(
+        [
+            ("pk", pa.int64()),
+            ("id_a", pa.int64()),
+            ("id_b", pa.int64()),
+            ("hamming", pa.int64()),
+        ]
+    )
+
+    def verify_bucket(t: pa.Table) -> pa.Table:
+        empty = pair_schema.empty_table()
+        if t.num_rows == 0 or "bk" not in t.column_names:
+            return empty
+        bk = t["bk"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, bk))
+        bk, ids, sh = bk[order], ids[order], sh[order]
+        keep = np.concatenate(
+            ([True], (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1]))
+        )
+        bk, ids, sh = bk[keep], ids[keep], sh[keep]
+        new = np.concatenate(([True], bk[1:] != bk[:-1]))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [bk.shape[0]])))
+        pos = np.arange(bk.shape[0]) - np.repeat(starts, sizes)
+        gsz = np.repeat(sizes, sizes)
+        cnt = gsz - 1 - pos  # upper-triangle expansion per row
+        cum = np.cumsum(cnt)
+        total = int(cum[-1]) if cum.size else 0
+        if total == 0:
+            return empty
+        outs = []
+        # sliced expansion: a giant bucket emits its pairs in ~8M-pair
+        # slices so candidate memory stays bounded regardless of
+        # bucket size (only pairs that PASS the hamming check persist)
+        slice_pairs = 8_000_000
+        row_bounds = np.searchsorted(
+            cum, np.arange(slice_pairs, total + slice_pairs, slice_pairs)
+        )
+        row_bounds = np.unique(
+            np.concatenate(
+                ([0], np.minimum(row_bounds + 1, cnt.shape[0]))
             )
-        return pa.concat_tables(tables)
-
-    band_rows = ds.map_batches(add_simhash, batch_format="pyarrow")
-
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "hamming": pd.Series(dtype="int64"),
-            }
         )
-        if len(group) < 2:
+        base = np.concatenate(([0], cum))
+        for s0, s1 in zip(row_bounds[:-1], row_bounds[1:]):
+            c = cnt[s0:s1]
+            tot = int(c.sum())
+            if tot == 0:
+                continue
+            left = np.repeat(np.arange(s0, s1), c)
+            ccum = base[s0:s1] + c - base[s0]
+            offset = np.arange(tot) - np.repeat(ccum - c, c) + 1
+            right = left + offset
+            ham = _popcount64(sh[left] ^ sh[right])
+            m = ham <= max_hamming
+            if m.any():
+                outs.append((ids[left[m]], ids[right[m]], ham[m]))
+        if not outs:
             return empty
-        g = group.sort_values(id_col, kind="stable").drop_duplicates(id_col)
-        ids = g[id_col].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        n = len(ids)
-        out_a, out_b, out_h = [], [], []
-        # pairwise XOR + table-lookup popcount, row-chunked so a giant
-        # bucket bounds its n×chunk matrix instead of n×n
-        for s in range(0, n, 1024):
-            blk = sh[s : s + 1024]
-            x = blk[:, None] ^ sh[None, :]
-            ham = _popcount64(x.ravel()).reshape(x.shape)
-            ii, jj = np.nonzero(ham <= max_hamming)
-            keep = (ii + s) < jj  # upper triangle only
-            if keep.any():
-                out_a.append(ids[ii[keep] + s])
-                out_b.append(ids[jj[keep]])
-                out_h.append(ham[ii[keep], jj[keep]])
-        if not out_a:
-            return empty
-        return pd.DataFrame(
+        ia = np.concatenate([o[0] for o in outs]).astype(np.int64)
+        ib = np.concatenate([o[1] for o in outs]).astype(np.int64)
+        hm = np.concatenate([o[2] for o in outs]).astype(np.int64)
+        pk = (
+            ia.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ ib.astype(np.uint64)
+        ).view(np.int64)
+        return pa.table(
             {
-                "id_a": np.concatenate(out_a).astype(np.int64),
-                "id_b": np.concatenate(out_b).astype(np.int64),
-                "hamming": np.concatenate(out_h).astype(np.int64),
+                "pk": pa.array(pk),
+                "id_a": pa.array(ia),
+                "id_b": pa.array(ib),
+                "hamming": pa.array(hm),
             }
         )
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        verify, batch_format="pandas"
-    )
-    # a pair found in multiple bands carries the same hamming value —
-    # vectorized aggregate dedupe, not a Python call per pair
-    from ray.data.aggregate import Min
+    cand = exchange_reduce(band_rows, "bk", verify_bucket)
 
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int64())]
+        ).empty_table()
+        if t.num_rows == 0 or "id_a" not in t.column_names:
+            return empty
+        a = t["id_a"].to_numpy(zero_copy_only=False)
+        b = t["id_b"].to_numpy(zero_copy_only=False)
+        h = t["hamming"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, h = a[order], b[order], h[order]
+        keep = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+        return pa.table(
+            {
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+                "hamming": pa.array(h[keep], pa.int64()),
+            }
+        )
+
+    return exchange_reduce(cand, "pk", distinct_pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -39,7 +39,9 @@ def main(out_dir: str, n_rows: int, n_shards: int = 128, mean_tokens: int = 40):
     t0 = time.perf_counter()
     out = ray.get([gen_shard.remote(s, per, 42, mean_tokens) for s in range(n_shards)])
     truths = [o[0] for o in out]
-    urls = pa.table({"url": pa.concat_arrays([o[1] for o in out])})
+    # chunked, NOT concat_arrays: >2 GiB of url bytes overflows a single
+    # string array's int32 offsets (hit at 80M rows)
+    urls = pa.table({"url": pa.chunked_array([o[1] for o in out])})
     combined = {"shards": truths, "n_rows": per * n_shards, "seed": 42}
 
     import pyarrow.parquet as pq

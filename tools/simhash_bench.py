@@ -1,0 +1,62 @@
+"""SimHash near-dup at scale: planted one-edit families (the
+dedup_bench corpus), measure wall time + family-pair recall at the
+default 4x16-bit banding / hamming <= 3.
+
+SimHash recall on 1-2-token-edit 120-token docs is softer than
+MinHash's (an edit flips several signature bits), so the number
+reported is the honest recall of the op at its defaults, not a target.
+
+Usage: python tools/simhash_bench.py [n_docs] [n_shards]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import ray
+
+sys.path.insert(0, "/root/repo")
+
+from tools.dedup_bench import gen_corpus  # noqa: E402
+
+
+def main(n_docs: int, n_shards: int) -> None:
+    from sod_ray.stages.dedup import simhash_dedup
+
+    ray.init(
+        address="local", num_cpus=32, include_dashboard=False,
+        logging_level="ERROR",
+    )
+    out = f"/tmp/simhash_bench/corpus-{n_docs}"
+    gen_s, truth = gen_corpus(out, n_docs, n_shards)
+
+    ds = ray.data.read_parquet(out)
+    t0 = time.time()
+    pairs = simhash_dedup(ds, "text", "doc_id").to_pandas()
+    wall = time.time() - t0
+
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    recall = len(found & truth) / len(truth) if truth else 1.0
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "gen_sec": round(gen_s, 1),
+                "wall_sec": round(wall, 1),
+                "docs_per_sec": round(n_docs / wall),
+                "pairs_found": len(found),
+                "truth_pairs": len(truth),
+                "family_pair_recall": round(recall, 4),
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 32,
+    )
