@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "doc_token_counts",
     "minhash_pairs_documents",
     "jaccard_exact_pairs",
+    "simhash_pairs_documents",
+    "embedding_neardup_pairs",
     "knn_cosine_top5",
     "events_asof_prior_click",
     "dup_cluster_ids",
