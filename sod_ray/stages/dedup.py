@@ -290,6 +290,7 @@ def minhash_lsh_dedup(
     small_corpus_rows: int = 100_000,
     as_dataset: bool = False,
     pair_emission: str = "pairs",
+    sig_spill_dir: str | None = None,
 ):
     """MinHash+LSH near-dup pairs, fully distributed:
 
@@ -366,8 +367,24 @@ def minhash_lsh_dedup(
         )
 
     # one text scan; landed once so banding and the verify join both
-    # consume it without recomputing signatures
-    sig_rows = ds.map_batches(to_sig_rows, batch_format="pyarrow").materialize()
+    # consume it without recomputing signatures. Default landing is the
+    # object store (fine while n_docs × (n_perm × 8 B) fits the store +
+    # spill budget); ``sig_spill_dir`` lands it as parquet instead — the
+    # 100-TB shape: the sig table is ~0.05% of corpus bytes but at 10^8+
+    # docs it exceeds a single node's store, and minhash bytes are
+    # incompressible so spill is pure disk pressure. Parquet landing
+    # frees the store for the banding/verify exchanges and both
+    # consumers stream it back (measured: the 100M-doc chain on this
+    # VM dies of store-spill ENOSPC without it).
+    sig_rows = ds.map_batches(to_sig_rows, batch_format="pyarrow")
+    if sig_spill_dir is not None:
+        import shutil as _shutil
+
+        _shutil.rmtree(sig_spill_dir, ignore_errors=True)
+        sig_rows.write_parquet(sig_spill_dir)
+        sig_rows = rd.read_parquet(sig_spill_dir)
+    else:
+        sig_rows = sig_rows.materialize()
 
     def sig_to_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)

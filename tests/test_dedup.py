@@ -143,6 +143,35 @@ def test_minhash_large_path_parity(ray_session, doc_table):
     pd.testing.assert_series_equal(sj, lj)
 
 
+def test_minhash_sig_spill_dir_parity(ray_session, doc_table, tmp_path):
+    """Landing the signature table as parquet (the 10^8+-doc shape —
+    sig bytes exceed the object store and are incompressible) must not
+    change a single pair or estimate vs the in-store large path."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import minhash_lsh_dedup
+
+    instore = minhash_lsh_dedup(
+        rd.from_arrow(doc_table), "text", "doc_id", jaccard_threshold=0.5,
+        small_corpus_rows=1,
+    ).to_pandas()
+    spilled = minhash_lsh_dedup(
+        rd.from_arrow(doc_table), "text", "doc_id", jaccard_threshold=0.5,
+        small_corpus_rows=1, sig_spill_dir=str(tmp_path / "sigs"),
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        instore.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        spilled.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+    )
+    # and the landed dir is real parquet with the expected columns
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(tmp_path / "sigs"))
+    assert set(t.column_names) == {"doc_id", "sig"} and t.num_rows == len(
+        doc_table
+    )
+
+
 def test_connected_components_distributed(ray_session):
     """Distributed min-label propagation == driver union-find on a
     graph with several components AND a long chain (the LSH

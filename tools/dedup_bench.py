@@ -10,7 +10,15 @@ threshold; 16×4 LSH banding catches J=0.85 with P ≈ 1-2e-4).
 Deterministic per shard; truth pairs are collected (∼N/100 pairs, tiny)
 for exact recall/precision scoring.
 
-Usage: python tools/dedup_bench.py [n_docs] [n_shards]
+Usage: python tools/dedup_bench.py [n_docs] [n_shards] [n_perm] [bands]
+       [pair_emission] [sig_spill(0|1)]
+
+The trailing knobs exist for the disk-bounded 10^8-doc run on this VM:
+n_perm=32 halves sig bytes (verify granularity 1/32 — families are
+planted at J≥0.85, far from the 0.7 threshold), bands=8 halves band-row
+volume (P[catch J=0.85] = 1-(1-0.85^4)^8 ≈ 0.997), star emission keeps
+candidate volume ∝ bucket members, and sig_spill=1 lands the signature
+table as parquet instead of pinning ~n_perm*8 B/doc in the object store.
 """
 from __future__ import annotations
 
@@ -82,7 +90,14 @@ def gen_corpus(out_dir: str, n_docs: int, n_shards: int, seed: int = 5):
     return time.perf_counter() - t0, truth
 
 
-def main(n_docs: int = 1_000_000, n_shards: int = 32):
+def main(
+    n_docs: int = 1_000_000,
+    n_shards: int = 32,
+    n_perm: int = 64,
+    bands: int = 16,
+    pair_emission: str = "pairs",
+    sig_spill: bool = False,
+):
     import ray
 
     if not ray.is_initialized():
@@ -110,7 +125,15 @@ def main(n_docs: int = 1_000_000, n_shards: int = 32):
 
     ds = rd.read_parquet(f"{d}/docs")
     t0 = time.perf_counter()
-    pairs = minhash_lsh_dedup(ds, "text", "doc_id")
+    pairs = minhash_lsh_dedup(
+        ds,
+        "text",
+        "doc_id",
+        n_perm=n_perm,
+        bands=bands,
+        pair_emission=pair_emission,
+        sig_spill_dir=f"/tmp/sod_dedup/sigs-{n_docs}" if sig_spill else None,
+    )
     pairs_s = time.perf_counter() - t0
     found = {
         (min(a, b), max(a, b))
@@ -174,6 +197,10 @@ def main(n_docs: int = 1_000_000, n_shards: int = 32):
         "families": len(fams),
         "family_recall": round(fam_recall, 5),
         "docs_per_sec": round(n_docs / pairs_s, 1),
+        "n_perm": n_perm,
+        "bands": bands,
+        "pair_emission": pair_emission,
+        "sig_spill": sig_spill,
     }))
     ray.shutdown()
 
@@ -182,4 +209,8 @@ if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000,
         int(sys.argv[2]) if len(sys.argv) > 2 else 32,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 64,
+        int(sys.argv[4]) if len(sys.argv) > 4 else 16,
+        sys.argv[5] if len(sys.argv) > 5 else "pairs",
+        bool(int(sys.argv[6])) if len(sys.argv) > 6 else False,
     )
