@@ -56,6 +56,33 @@ BENCH_QUERIES = [
 ]
 
 
+def contention_probe() -> dict:
+    """~1 s, one process, no Ray: a fixed single-core CPU kernel and a
+    fixed memory-bandwidth kernel. This shared VM's co-tenant load
+    swings measured wall-times 2-4x between minutes; stamping the
+    probe into every bench JSON makes per-round numbers interpretable
+    without re-running. Calm-window references on this host (measured
+    2026-08-20): probe_cpu_s ~0.50-0.57, probe_membw_gbps ~4-6 — a cpu
+    reading 2x+ the calm floor or bandwidth well under it means the
+    surrounding wall-times are inflated by contention, not code."""
+    import numpy as np
+
+    a = np.random.default_rng(0).normal(size=(600, 600))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        a = 0.5 * (a @ a) / np.abs(a).max()  # keep values bounded
+    cpu_s = time.perf_counter() - t0
+    buf = np.zeros(25_000_000)  # 200 MB of float64
+    t0 = time.perf_counter()
+    for _ in range(5):
+        buf = buf.copy()
+    membw_gbps = (2 * 5 * buf.nbytes / (time.perf_counter() - t0)) / 1e9
+    return {
+        "probe_cpu_s": round(cpu_s, 3),
+        "probe_membw_gbps": round(membw_gbps, 1),
+    }
+
+
 def sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -233,7 +260,8 @@ def run_scaling() -> dict:
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
-    else:
-        print(json.dumps(run_bench(NCPU)))
+    probe_pre = contention_probe()
+    res = run_scaling() if "--scaling" in sys.argv else run_bench(NCPU)
+    res["probe_pre"] = probe_pre
+    res["probe_post"] = contention_probe()
+    print(json.dumps(res))
