@@ -123,6 +123,11 @@ def main_export_incremental(argv) -> int:
     p.add_argument("--no-exact", action="store_true")
     p.add_argument("--no-pii", action="store_true")
     p.add_argument("--neardup", action="store_true")
+    p.add_argument(
+        "--cross-batch-neardup", action="store_true",
+        help="also drop arrivals whose MinHash signature near-matches "
+        "any previously-ingested doc (accumulated signature index)",
+    )
     p.add_argument("--line-dedup", action="store_true")
     p.add_argument("--interval-s", type=float, default=1.0)
     p.add_argument("--max-polls", type=int, default=None)
@@ -154,6 +159,7 @@ def main_export_incremental(argv) -> int:
         interval_s=args.interval_s,
         max_polls=args.max_polls,
         max_empty_polls=args.max_empty_polls,
+        cross_batch_neardup=args.cross_batch_neardup,
     )
     print(json.dumps(summary))
     ray.shutdown()

@@ -608,6 +608,7 @@ def run_export_incremental(
     max_empty_polls: int | None = 1,
     quarantine_grace_s: float = 5.0,
     index_broadcast_limit: int = 5_000_000,
+    cross_batch_neardup: bool = False,
 ) -> dict:
     """Continuous curation loop: poll the landing zone, run the export
     funnel over each arrival batch with cross-batch exact dedup against
@@ -635,7 +636,18 @@ def run_export_incremental(
     is one atomic directory rename, ``run_export`` resumes from its own
     checkpoints, and the index-shard write is idempotent tmp+rename.
     The probe excludes the same-batch index shard, so a retry can never
-    drop its own documents."""
+    drop its own documents.
+
+    ``cross_batch_neardup=True`` extends "seen" from exact to NEAR
+    duplicates: an accumulated MinHash signature index
+    (``neardup_index/``, per-batch sig + band parquet shards — see
+    stages.dedup.minhash_index_probe) is probed after the exact filter,
+    and new docs whose signature agreement with any previously-ingested
+    doc reaches ``cfg.jaccard_threshold`` are dropped before curation.
+    Surviving docs' signatures are staged with the batch and appended
+    next to the hash-index shard under the same crash contract
+    (idempotent write, same-batch exclusion on retry). LSH parameters
+    come from ``cfg.lsh_kwargs`` (n_perm/bands/shingle_k/seed)."""
     import ray
     import ray.data as rd
 
@@ -647,6 +659,12 @@ def run_export_incremental(
     os.makedirs(out_root, exist_ok=True)
     index_dir = os.path.join(out_root, "hash_index")
     os.makedirs(index_dir, exist_ok=True)
+    nd_dir = os.path.join(out_root, "neardup_index")
+    _lk = cfg.lsh_kwargs or {}
+    nd_perm = int(_lk.get("n_perm", 64))
+    nd_bands = int(_lk.get("bands", 16))
+    nd_shingle = int(_lk.get("shingle_k", 3))
+    nd_seed = int(_lk.get("seed", 1337))
     lz = LandingZone(
         landing_dir,
         expected_columns=[id_col, text_col],
@@ -708,6 +726,58 @@ def run_export_incremental(
                 idx_ds = rd.read_parquet(shards)
                 batch = bucketed_anti_join(batch, idx_ds, fk="__h", pk="h")
         batch = batch.materialize()
+        if cross_batch_neardup:
+            from ..stages.dedup import (
+                collect_minhash_sigs,
+                minhash_index_probe,
+            )
+
+            nd_ids, nd_sigs = collect_minhash_sigs(
+                batch, text_col, id_col, nd_perm, nd_shingle, nd_seed
+            )
+            nd_drop = minhash_index_probe(
+                nd_dir,
+                nd_ids,
+                nd_sigs,
+                threshold=cfg.jaccard_threshold,
+                bands=nd_bands,
+                exclude_rid=rid,
+            )
+            if nd_drop.shape[0]:
+                drop_ref = ray.put(np.sort(nd_drop))
+
+                def drop_neardups(t: pa.Table) -> pa.Table:
+                    d = ray.get(drop_ref)
+                    tid = t[id_col].cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )
+                    pos = np.minimum(np.searchsorted(d, tid), d.shape[0] - 1)
+                    return t.filter(pa.array(d[pos] != tid))
+
+                batch = batch.map_batches(
+                    drop_neardups, batch_format="pyarrow"
+                ).materialize()
+            # stage the SURVIVORS' signatures (the docs this batch
+            # ingests) for the idempotent index append after the funnel
+            keep = (
+                ~np.isin(nd_ids, nd_drop)
+                if nd_drop.shape[0]
+                else np.ones(nd_ids.shape[0], bool)
+            )
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table(
+                    {
+                        "id": pa.array(nd_ids[keep], pa.int64()),
+                        "sig": pa.array(
+                            [row.tobytes() for row in nd_sigs[keep]],
+                            pa.binary(),
+                        ),
+                    }
+                ),
+                os.path.join(tmp, "new_sigs.parquet"),
+            )
         batch.map_batches(
             lambda t: t.drop_columns(["__h"]) if "__h" in t.column_names else t,
             batch_format="pyarrow",
@@ -774,6 +844,21 @@ def run_export_incremental(
         tmpf = os.path.join(index_dir, f".{rid}.tmp")
         pq.write_table(nh, tmpf)
         os.replace(tmpf, os.path.join(index_dir, f"{rid}.parquet"))
+        if cross_batch_neardup and os.path.exists(
+            os.path.join(staged, "new_sigs.parquet")
+        ):  # exists unless the batch was staged with the flag off
+            from ..stages.dedup import minhash_index_append
+
+            ns = pq.read_table(os.path.join(staged, "new_sigs.parquet"))
+            sig_ids = ns["id"].to_numpy(zero_copy_only=False)
+            sig_arr = (
+                np.frombuffer(
+                    b"".join(ns["sig"].to_pylist()), dtype=np.uint64
+                ).reshape(-1, nd_perm)
+                if len(ns)
+                else np.empty((0, nd_perm), np.uint64)
+            )
+            minhash_index_append(nd_dir, rid, sig_ids, sig_arr, nd_bands)
         batches.append(rec)
 
     n = lz.run_loop(
@@ -790,4 +875,16 @@ def run_export_incremental(
         "index_rows": _meta_row_count(index_dir)
         if os.listdir(index_dir)
         else 0,
+        "sig_index_rows": (
+            _meta_row_count(
+                [
+                    os.path.join(nd_dir, f)
+                    for f in os.listdir(nd_dir)
+                    if f.endswith(".sig.parquet")
+                ]
+            )
+            if cross_batch_neardup and os.path.isdir(nd_dir)
+            and any(f.endswith(".sig.parquet") for f in os.listdir(nd_dir))
+            else 0
+        ),
     }

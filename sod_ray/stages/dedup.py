@@ -18,6 +18,8 @@ state.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1907,6 +1909,201 @@ def neardup_dedup_corpus(
         ds, text_col, id_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
     )
     return apply_drops(ds, drop, id_col, broadcast_limit=broadcast_limit)
+
+
+# ---------------------------------------------------------------------------
+# Cross-batch near-dup: an accumulated MinHash signature index
+# ---------------------------------------------------------------------------
+#
+# The streaming sibling of minhash_lsh_dedup for the incremental
+# landing-zone loop: previous batches' signatures persist as parquet
+# shards (the same durable-landing idea as sig_spill_dir), and each
+# new ARRIVAL BATCH probes them before curation. Scale contract:
+# arrival batches are incremental (they fit one node's memory — that
+# is what an arrival batch IS); the accumulated INDEX does not and is
+# only ever STREAMED (two column-pruned scans per batch, no shuffle).
+
+_BK_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _fold_bk(bh: np.ndarray) -> np.ndarray:
+    """(n, bands) band hashes → (n*bands,) int64 keys with the band
+    index folded in (a cross-band collision only costs a candidate the
+    verify rejects, never a wrong drop)."""
+    bands = bh.shape[1]
+    mix = np.arange(bands, dtype=np.uint64) * _BK_MIX
+    return (bh ^ mix[None, :]).reshape(-1).view(np.int64)
+
+
+def collect_minhash_sigs(
+    ds,
+    text_col: str,
+    id_col: str,
+    n_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 1337,
+):
+    """(ids int64 (n,), sigs uint64 (n, n_perm)) of one arrival batch —
+    signatures computed distributed (map_batches), gathered to the
+    caller (batch-scale by the contract above)."""
+
+    def sig_rows(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        sig = minhash_signatures(texts, n_perm, shingle_k, seed)
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "sig": pa.array([row.tobytes() for row in sig], pa.binary()),
+            }
+        )
+
+    out = ds.map_batches(sig_rows, batch_format="pyarrow").take_all()
+    if not out:
+        return np.empty(0, np.int64), np.empty((0, n_perm), np.uint64)
+    ids = np.asarray([r[id_col] for r in out], dtype=np.int64)
+    sigs = np.frombuffer(
+        b"".join(r["sig"] for r in out), dtype=np.uint64
+    ).reshape(-1, n_perm)
+    return ids, sigs
+
+
+def minhash_index_append(
+    index_dir: str,
+    rid: str,
+    ids: np.ndarray,
+    sigs: np.ndarray,
+    bands: int = 16,
+) -> None:
+    """Append one batch's signatures to the accumulated index —
+    ``<rid>.sig.parquet`` (id, sig) and ``<rid>.band.parquet``
+    (bk, id) — idempotent tmp+rename, mirroring the exact-dedup hash
+    index's crash contract (re-append after a retry overwrites with
+    identical bytes)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(index_dir, exist_ok=True)
+    sig_t = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "sig": pa.array([row.tobytes() for row in sigs], pa.binary()),
+        }
+    )
+    bk = _fold_bk(_band_hashes(sigs, bands))
+    band_t = pa.table(
+        {
+            "bk": pa.array(bk, pa.int64()),
+            "id": pa.array(np.repeat(ids, bands)),
+        }
+    )
+    for name, t in ((f"{rid}.sig.parquet", sig_t), (f"{rid}.band.parquet", band_t)):
+        tmp = os.path.join(index_dir, f".{name}.tmp")
+        pq.write_table(t, tmp)
+        os.replace(tmp, os.path.join(index_dir, name))
+
+
+def minhash_index_probe(
+    index_dir: str,
+    ids: np.ndarray,
+    sigs: np.ndarray,
+    threshold: float = 0.7,
+    bands: int = 16,
+    exclude_rid: str | None = None,
+) -> np.ndarray:
+    """ids (subset of ``ids``) having a near-twin in the ACCUMULATED
+    index: band-key intersection proposes candidates, signature
+    agreement (the same Jaccard estimate minhash_lsh_dedup verifies
+    with) >= ``threshold`` confirms. The index is streamed twice
+    (band keys, then only candidate ids' sigs), both scans
+    column-pruned and filtered by a broadcast batch-side array —
+    nothing index-sized ever reaches the caller. ``exclude_rid`` skips
+    the probing batch's own shards so a crash retry never drops its
+    own documents."""
+    import ray
+    import ray.data as rd
+
+    if ids.shape[0] == 0 or not os.path.isdir(index_dir):
+        return np.empty(0, np.int64)
+
+    def shards(kind: str) -> list[str]:
+        return [
+            os.path.join(index_dir, f)
+            for f in sorted(os.listdir(index_dir))
+            if f.endswith(f".{kind}.parquet")
+            and (exclude_rid is None or not f.startswith(f"{exclude_rid}."))
+        ]
+
+    band_files = shards("band")
+    if not band_files:
+        return np.empty(0, np.int64)
+
+    bk_new = _fold_bk(_band_hashes(sigs, bands))
+    order = np.argsort(bk_new, kind="stable")
+    # reshape(-1) of (n, bands) is row-major: flat index i came from
+    # doc row i // bands
+    bk_sorted, row_of = bk_new[order], (order // bands)
+    probe_ref = ray.put(np.unique(bk_new))
+
+    def hits(t: pa.Table) -> pa.Table:
+        probe = ray.get(probe_ref)
+        bk = t["bk"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(probe, bk), probe.shape[0] - 1)
+        m = probe[pos] == bk
+        return pa.table({"bk": t["bk"].filter(pa.array(m)),
+                         "id": t["id"].filter(pa.array(m))})
+
+    hit_rows = rd.read_parquet(band_files).map_batches(
+        hits, batch_format="pyarrow"
+    ).take_all()
+    if not hit_rows:
+        return np.empty(0, np.int64)
+    hit_bk = np.asarray([r["bk"] for r in hit_rows], dtype=np.int64)
+    hit_old = np.asarray([r["id"] for r in hit_rows], dtype=np.int64)
+
+    # expand shared band keys into (new_row, old_id) candidate pairs
+    lo = np.searchsorted(bk_sorted, hit_bk, side="left")
+    hi = np.searchsorted(bk_sorted, hit_bk, side="right")
+    counts = hi - lo
+    old_rep = np.repeat(hit_old, counts)
+    total = int(counts.sum())
+    if total:
+        # vectorized concat of [lo_i, hi_i) ranges
+        starts = np.repeat(lo, counts)
+        offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+        take = starts + offs
+    else:
+        take = np.empty(0, np.int64)
+    new_rows = row_of[take]
+    pairs = np.unique(
+        np.stack([new_rows, old_rep], axis=1), axis=0
+    ) if new_rows.shape[0] else np.empty((0, 2), np.int64)
+    if pairs.shape[0] == 0:
+        return np.empty(0, np.int64)
+
+    # fetch ONLY the candidate old ids' signatures
+    need_ref = ray.put(np.unique(pairs[:, 1]))
+
+    def sig_hits(t: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
+        tid = t["id"].to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(need, tid), need.shape[0] - 1)
+        return t.filter(pa.array(need[pos] == tid))
+
+    old_rows = rd.read_parquet(shards("sig")).map_batches(
+        sig_hits, batch_format="pyarrow"
+    ).take_all()
+    if not old_rows:
+        return np.empty(0, np.int64)
+    n_perm = sigs.shape[1]
+    old_ids = np.asarray([r["id"] for r in old_rows], dtype=np.int64)
+    old_sigs = np.frombuffer(
+        b"".join(r["sig"] for r in old_rows), dtype=np.uint64
+    ).reshape(-1, n_perm)
+    o_order = np.argsort(old_ids, kind="stable")
+    old_ids, old_sigs = old_ids[o_order], old_sigs[o_order]
+
+    opos = np.searchsorted(old_ids, pairs[:, 1])
+    agree = (sigs[pairs[:, 0]] == old_sigs[opos]).mean(axis=1)
+    return np.unique(ids[pairs[:, 0][agree >= threshold]])
 
 
 # ---------------------------------------------------------------------------

@@ -384,3 +384,78 @@ def test_export_incremental_cross_batch_dedup(ray_session, tmp_path):
     b4 = s4["batches"][0]
     assert b4["rows_new"] == 0 and b4["rows_out"] == 0
     assert s4["index_rows"] == 18
+
+
+def test_export_incremental_cross_batch_neardup(ray_session, tmp_path):
+    """cross_batch_neardup=True extends "seen" to NEAR duplicates: a
+    token-edited copy of a previously-ingested doc (exact md5 differs)
+    is dropped by the accumulated signature index; a crash between the
+    funnel and the index append retries into the same batch without
+    dropping its own docs (same-batch shard exclusion)."""
+    import numpy as np
+
+    from sod_ray.pipelines import export as ex
+
+    landing = os.path.join(str(tmp_path), "landing")
+    out = os.path.join(str(tmp_path), "ndinc_out")
+    cfg = ex.CurateConfig(quality_filter=False, pii_redact=False)
+
+    rng = np.random.default_rng(17)
+    base = [rng.integers(0, 5000, 60) for _ in range(10)]
+    mk = lambda r: " ".join(f"w{t}" for t in r)  # noqa: E731
+    texts1 = [mk(r) for r in base]
+    _write_shard(landing, "b1.parquet", list(range(10)), texts1)
+    s1 = ex.run_export_incremental(
+        landing, out, cfg, max_polls=1, cross_batch_neardup=True
+    )
+    b1 = s1["batches"][0]
+    assert b1["rows_new"] == 10 and b1["rows_out"] == 10
+    assert s1["sig_index_rows"] == 10
+
+    # batch 2: 4 NEAR dups (one token edited → different md5),
+    # 1 EXACT dup, 5 fresh docs
+    near = []
+    for i in range(4):
+        r = base[i].copy()
+        r[7] = 4999 - i
+        near.append(mk(r))
+    fresh = [mk(rng.integers(0, 5000, 60)) for _ in range(5)]
+    texts2 = near + [texts1[9]] + fresh
+    _write_shard(landing, "b2.parquet", list(range(100, 110)), texts2)
+    s2 = ex.run_export_incremental(
+        landing, out, cfg, max_polls=1, cross_batch_neardup=True
+    )
+    b2 = s2["batches"][0]
+    assert b2["rows_arrived"] == 10
+    assert b2["rows_new"] == 5 and b2["rows_out"] == 5  # 4 near + 1 exact gone
+    assert s2["sig_index_rows"] == 15
+    got = pq.ParquetDataset(os.path.join(b2["out_dir"], "corpus")).read()
+    assert sorted(got["doc_id"].to_pylist()) == list(range(105, 110))
+
+    # crash between funnel and index appends → retry must keep its own
+    # docs (probe excludes the same-batch shards) and converge
+    texts3 = [mk(base[5].copy())] + [mk(rng.integers(0, 5000, 60)) for _ in range(2)]
+    texts3[0] = texts3[0].replace("w", "x", 1)  # near-dup of base[5]
+    _write_shard(landing, "b3.parquet", [200, 201, 202], texts3)
+    real_run_export = ex.run_export
+
+    def crashing(*a, **k):
+        res = real_run_export(*a, **k)
+        raise RuntimeError("simulated crash")
+
+    ex.run_export = crashing
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            ex.run_export_incremental(
+                landing, out, cfg, max_polls=1, cross_batch_neardup=True
+            )
+    finally:
+        ex.run_export = real_run_export
+    s3 = ex.run_export_incremental(
+        landing, out, cfg, max_polls=1, cross_batch_neardup=True
+    )
+    b3 = s3["batches"][0]
+    assert b3["rows_new"] == 2 and b3["rows_out"] == 2  # near-dup of b1 gone
+    assert s3["sig_index_rows"] == 17
+    got3 = pq.ParquetDataset(os.path.join(b3["out_dir"], "corpus")).read()
+    assert sorted(got3["doc_id"].to_pylist()) == [201, 202]
