@@ -312,6 +312,23 @@ class LofWindow:
             Verdict(float(s), bool(s > LOF_THRESHOLD)) for s in scores
         ]
 
+    def rank_boundary_tie(self, Q) -> np.ndarray:
+        """True where KNN(q, k) membership is ambiguous: the k-th and
+        (k+1)-th order statistics of the query→stored distances are
+        equal, so which point makes the cut depends on scan/queue
+        insertion order (reference pqueue, queue.go:81-94 — order-,
+        not data-, determined). The oracle-checked predict query
+        excludes those rows on both sides; tie-free verdicts are
+        exactly reproducible in SQL. Pure read-only util — not part
+        of the reference surface."""
+        Qm = np.atleast_2d(np.asarray(Q, dtype=np.float64))
+        S, _ = self._matrices()
+        if S.shape[0] <= self.k:
+            return np.zeros(Qm.shape[0], dtype=bool)
+        dq = pairwise(Qm, S, self.metric)
+        part = np.partition(dq, [self.k - 1, self.k], axis=1)
+        return part[:, self.k - 1] == part[:, self.k]
+
     def predict(self, vec) -> Verdict:
         """Score without mutating the window (lof.go:106-118,153-166)."""
         if len(self) == 0:

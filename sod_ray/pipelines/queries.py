@@ -1353,6 +1353,113 @@ def lof_predict_events(sf_dir: str):
     )
 
 
+def lof_predict_checked(sf_dir: str):
+    """PREDICT-path LOF with a full SQL oracle twin (LOF_PREDICT_SQL).
+
+    Same engine path as ``lof_predict_events`` (build_entity_windows →
+    broadcast → PredictScorer actor pool, lof.go:106-143 semantics via
+    ``predict_batch``) but with every approximate/order-dependent knob
+    pinned so DuckDB can reproduce the verdicts bit-for-bit:
+
+    - the build/query split is event_id parity (even builds, odd
+      queries) instead of the t-digest ts-median — deterministic and
+      SQL-trivial;
+    - rows whose k-th-rank neighbour distance is TIED (KNN membership
+      then depends on the reference pqueue's insertion order, not the
+      data — 18 of ~5k rows at sf0.01) are excluded on BOTH sides by
+      the same data-deterministic mask (`LofWindow.rank_boundary_tie`
+      / the `tied` CTE);
+    - under the reference's kDistance quirk lrd(p) = k / Σ(k nearest
+      distances) (see functions/lof.py:263-276), which the SQL twin
+      computes directly; zero distance sums map to +Infinity exactly
+      as IEEE (DuckDB yields NULL on /0, so the CASE emits Infinity;
+      NaN — Inf/Inf — is excluded explicitly since DuckDB's NaN > 1
+      is TRUE while Go/numpy say False);
+    - metric = manhattan: on the 1-D feature it equals euclidean
+      mathematically but is computed as a bare |a-b| (EXACT in fp, no
+      rounding), so SQL's ABS reproduces every distance bit-for-bit —
+      the euclidean kernel's dot-expansion sqrt(p²+q²-2pq) rounds
+      differently from ABS by ~1 ulp on this quantized fixture and
+      flips tie membership.
+
+    Emits flagged (event_id, user_id). Windows respect max_items=256
+    newest-by-ts eviction (ts is unique per user in the fixtures, so
+    eviction is deterministic too)."""
+    from ..stages.predictor import build_entity_windows, predict_against_windows
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    build = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    query = ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+    windows = build_entity_windows(
+        build,
+        key="user_id",
+        ts_col="ts",
+        feature_cols=["value"],
+        max_items=256,
+        metric="manhattan",
+    )
+    out = predict_against_windows(
+        query, windows, key="user_id", feature_cols=["value"], tie_mask=True
+    ).to_pandas()
+    flagged = out[out["outlier"] & ~out["rank_tie"]]
+    return pa.Table.from_pandas(
+        flagged[["event_id", "user_id"]].reset_index(drop=True), preserve_index=False
+    )
+
+
+LOF_PREDICT_SQL = """
+WITH build AS (
+  SELECT user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn_new
+  FROM events WHERE event_id % 2 = 0
+),
+stored AS (SELECT user_id, ts, value FROM build WHERE rn_new <= 256),
+wsize AS (SELECT user_id, COUNT(*) AS w FROM stored GROUP BY user_id HAVING COUNT(*) >= 3),
+sdist AS (
+  SELECT a.user_id, a.ts AS a_ts, ABS(a.value - b.value) AS d,
+         ROW_NUMBER() OVER (PARTITION BY a.user_id, a.ts ORDER BY ABS(a.value - b.value)) AS rn
+  FROM stored a JOIN stored b USING (user_id)
+  WHERE a.user_id IN (SELECT user_id FROM wsize)
+),
+slrd AS (
+  SELECT user_id, a_ts,
+         CASE WHEN SUM(d) = 0 THEN 'Infinity'::DOUBLE ELSE 3.0::DOUBLE / SUM(d) END AS lrd
+  FROM sdist WHERE rn <= 3 GROUP BY user_id, a_ts
+),
+q AS (
+  SELECT event_id, user_id, value FROM events
+  WHERE event_id % 2 = 1 AND user_id IN (SELECT user_id FROM wsize)
+),
+qdist AS (
+  SELECT q.event_id, q.user_id, s.ts AS s_ts, ABS(q.value - s.value) AS d,
+         ROW_NUMBER() OVER (PARTITION BY q.event_id ORDER BY ABS(q.value - s.value)) AS rn
+  FROM q JOIN stored s USING (user_id)
+),
+tied AS (
+  SELECT a.event_id
+  FROM qdist a JOIN qdist b ON a.event_id = b.event_id AND a.rn = 3 AND b.rn = 4 AND a.d = b.d
+),
+scored AS (
+  SELECT qd.event_id, qd.user_id,
+         CASE WHEN SUM(qd.d) = 0 THEN 'Infinity'::DOUBLE ELSE 3.0::DOUBLE / SUM(qd.d) END AS lrd_q,
+         SUM(sl.lrd) / 3.0::DOUBLE AS avg_lrd
+  FROM qdist qd JOIN slrd sl ON qd.user_id = sl.user_id AND qd.s_ts = sl.a_ts
+  WHERE qd.rn <= 3
+  GROUP BY qd.event_id, qd.user_id
+)
+SELECT event_id, user_id FROM scored
+WHERE event_id NOT IN (SELECT event_id FROM tied)
+  AND (avg_lrd / lrd_q) > 1.0::DOUBLE
+  AND NOT isnan(avg_lrd / lrd_q)
+"""
+
+
 def lof_docs_chunked(sf_dir: str):
     """Chunked hot-key LOF replay over documents keyed by lang (the
     skewed coarse key): state-handoff chains, no task ever holds a
@@ -2743,6 +2850,7 @@ QUERIES = {
     "lang_id_predictions": lang_id_predictions,
     "lof_events_outliers": lof_events_outliers,
     "lof_predict_events": lof_predict_events,
+    "lof_predict_checked": lof_predict_checked,
     "lof_docs_chunked": lof_docs_chunked,
     "ivf_knn_top5": ivf_knn_top5,
     "sketch_stats_documents": sketch_stats_documents,
@@ -2779,6 +2887,7 @@ ORACLES = {
     "sketch_stats_checked": SKETCH_CHECKED_SQL,
     "hll_distinct_checked": HLL_CHECKED_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
+    "lof_predict_checked": LOF_PREDICT_SQL,
     "doc_stats_by_lang": DOC_STATS_SQL,
     "doc_median_by_lang": DOC_MEDIAN_SQL,
     "doc_gmean_hmean_by_lang": DOC_GMEAN_SQL,

@@ -143,12 +143,22 @@ class PredictScorer:
     """Actor: fetch the broadcast window dict once; score batches
     read-only (no state mutation — predict path)."""
 
-    def __init__(self, windows_ref, key: str, feature_cols: list[str]):
+    def __init__(
+        self,
+        windows_ref,
+        key: str,
+        feature_cols: list[str],
+        tie_mask: bool = False,
+    ):
         self.windows = (
             ray.get(windows_ref) if not isinstance(windows_ref, dict) else windows_ref
         )
         self.key = key
         self.feature_cols = feature_cols
+        # emit a `rank_tie` column marking rows whose kNN membership is
+        # distance-tied at the k-th rank (order-dependent verdicts);
+        # used by the oracle-checked predict query to exclude them.
+        self.tie_mask = tie_mask
         self._empty = LofWindow()
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
@@ -167,6 +177,7 @@ class PredictScorer:
             np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
         )
         bounds = np.append(bounds, len(keys))
+        ties = np.zeros(len(batch), dtype=bool) if self.tie_mask else None
         for b0, b1 in zip(bounds[:-1], bounds[1:]):
             idx = order[b0:b1]
             w = self.windows.get(sorted_keys[b0], self._empty)
@@ -174,9 +185,13 @@ class PredictScorer:
             lofs[idx] = [v.lof for v in verdicts]
             outliers[idx] = [v.outlier for v in verdicts]
             errors[idx] = [v.error or "" for v in verdicts]
+            if ties is not None and len(w):
+                ties[idx] = w.rank_boundary_tie(feats[idx])
         batch["lof"] = lofs
         batch["outlier"] = outliers
         batch["verdict_error"] = errors
+        if ties is not None:
+            batch["rank_tie"] = ties
         return batch
 
 
@@ -187,6 +202,7 @@ def predict_against_windows(
     feature_cols: list[str],
     concurrency=(1, 8),
     batch_size: int = 4096,
+    tie_mask: bool = False,
 ):
     """Score a query Dataset against prebuilt windows (broadcast once,
     read per actor — never re-shipped per batch)."""
@@ -197,6 +213,7 @@ def predict_against_windows(
             "windows_ref": ref,
             "key": key,
             "feature_cols": feature_cols,
+            "tie_mask": tie_mask,
         },
         batch_format="pandas",
         batch_size=batch_size,

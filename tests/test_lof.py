@@ -9,6 +9,7 @@ verdict edges, warmup (manager.go:374-379), and verdict-gated append
 import math
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from sod_ray.functions.lof import LOF_THRESHOLD, LofWindow, score_stream
@@ -278,3 +279,47 @@ def test_lof_kdtree_readme_fixture():
     out = w.predict([100.0])
     inl = w.predict([10.0])
     assert out.outlier and not inl.outlier
+
+
+def test_rank_boundary_tie_mask():
+    """Tie iff the k-th and (k+1)-th order stats of query->stored
+    distances are equal — the only case where KNN membership (and so
+    avg-lrd) depends on scan order rather than the data."""
+    w = window_of([0.0, 2.0, 4.0, 6.0])
+    # query 3: d = [3,1,1,3] -> sorted [1,1,3,3]: rank-3 == rank-4 tie
+    # query 1.5: d = [1.5,.5,2.5,4.5]: distinct boundary -> no tie
+    mask = w.rank_boundary_tie([[3.0], [1.5]])
+    assert mask.tolist() == [True, False]
+    # a window of exactly k points can never have a boundary tie
+    assert window_of([0.0, 2.0, 4.0]).rank_boundary_tie([[3.0]]).tolist() == [False]
+
+
+def test_lof_predict_checked_matches_sql_oracle(ray_session):
+    """End-to-end pin of the oracle-checked predict query: the Ray
+    engine path (build_entity_windows -> PredictScorer actor pool)
+    reproduces the DuckDB LOF transcription bit-for-bit on the
+    tie-free rows at sf0.001."""
+    import duckdb
+
+    from sod_ray.pipelines.queries import LOF_PREDICT_SQL, lof_predict_checked
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        lof_predict_checked(sf)
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    oracle = (
+        con.sql(LOF_PREDICT_SQL)
+        .df()
+        .astype({"event_id": "int64", "user_id": "int64"})
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(mine) > 0
+    pd.testing.assert_frame_equal(mine, oracle)
