@@ -1460,6 +1460,75 @@ WHERE event_id NOT IN (SELECT event_id FROM tied)
 """
 
 
+def lof_stream_frozen_checked(sf_dir: str):
+    """COLLECT-path streaming LOF with a full SQL oracle twin
+    (LOF_STREAM_SQL) — the same ``windowed_lof`` stage as
+    ``lof_events_outliers`` run in the reference's pure-scoring mode
+    (``allow_append_data=False``, manager.go:409-414): the per-user
+    window FREEZES at the 3 warmup rows, so every later verdict is a
+    read-only score against a static window. That pins the streaming
+    stage's plumbing (per-key grouping, ts sort, warmup-append
+    semantics) in SQL, complementing ``lof_predict_checked`` which
+    pins the predictor path.
+
+    Why it's exactly reproducible: window size == k == 3, so KNN
+    membership is the whole window — no rank-boundary ties exist —
+    and the manhattan metric makes every 1-D distance a bare |a-b|
+    (fp-exact, matches DuckDB's ABS bit-for-bit). Inf/NaN edges are
+    handled as in LOF_PREDICT_SQL. Emits flagged (event_id, user_id);
+    warmup rows are never flagged (verdicts carry error='warmup')."""
+    from ..stages.window import windowed_lof
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = windowed_lof(
+        ds,
+        key="user_id",
+        ts_col="ts",
+        feature_cols=["value"],
+        id_cols=["event_id"],
+        k=3,
+        metric="manhattan",
+        allow_append_data=False,
+        flagged_only=True,
+    )
+    return out.select_columns(["event_id", "user_id"])
+
+
+LOF_STREAM_SQL = """
+WITH ordered AS (
+  SELECT event_id, user_id, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+),
+stored AS (SELECT user_id, ts, value FROM ordered WHERE rn <= 3),
+wsize AS (SELECT user_id FROM stored GROUP BY user_id HAVING COUNT(*) = 3),
+slrd AS (
+  SELECT a.user_id, a.ts AS a_ts,
+         CASE WHEN SUM(ABS(a.value - b.value)) = 0 THEN 'Infinity'::DOUBLE
+              ELSE 3.0::DOUBLE / SUM(ABS(a.value - b.value)) END AS lrd
+  FROM stored a JOIN stored b USING (user_id)
+  WHERE a.user_id IN (SELECT user_id FROM wsize)
+  GROUP BY a.user_id, a.ts
+),
+q AS (
+  SELECT event_id, user_id, value FROM ordered
+  WHERE rn > 3 AND user_id IN (SELECT user_id FROM wsize)
+),
+scored AS (
+  SELECT q.event_id, q.user_id,
+         CASE WHEN SUM(ABS(q.value - s.value)) = 0 THEN 'Infinity'::DOUBLE
+              ELSE 3.0::DOUBLE / SUM(ABS(q.value - s.value)) END AS lrd_q,
+         SUM(sl.lrd) / 3.0::DOUBLE AS avg_lrd
+  FROM q
+  JOIN stored s USING (user_id)
+  JOIN slrd sl ON s.user_id = sl.user_id AND s.ts = sl.a_ts
+  GROUP BY q.event_id, q.user_id
+)
+SELECT event_id, user_id FROM scored
+WHERE (avg_lrd / lrd_q) > 1.0::DOUBLE AND NOT isnan(avg_lrd / lrd_q)
+"""
+
+
 def lof_docs_chunked(sf_dir: str):
     """Chunked hot-key LOF replay over documents keyed by lang (the
     skewed coarse key): state-handoff chains, no task ever holds a
@@ -2851,6 +2920,7 @@ QUERIES = {
     "lof_events_outliers": lof_events_outliers,
     "lof_predict_events": lof_predict_events,
     "lof_predict_checked": lof_predict_checked,
+    "lof_stream_frozen_checked": lof_stream_frozen_checked,
     "lof_docs_chunked": lof_docs_chunked,
     "ivf_knn_top5": ivf_knn_top5,
     "sketch_stats_documents": sketch_stats_documents,
@@ -2888,6 +2958,7 @@ ORACLES = {
     "hll_distinct_checked": HLL_CHECKED_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
+    "lof_stream_frozen_checked": LOF_STREAM_SQL,
     "doc_stats_by_lang": DOC_STATS_SQL,
     "doc_median_by_lang": DOC_MEDIAN_SQL,
     "doc_gmean_hmean_by_lang": DOC_GMEAN_SQL,

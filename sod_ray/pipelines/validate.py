@@ -76,6 +76,7 @@ except Exception:  # pragma: no cover - aiohttp absent in container
 from ..state.manifest import Manifest, PartitionRecord, _is_flag
 from ..stages.constraints import schema_check
 from ..stages.stats import column_stats
+from ..stages.blocks import arrow_block_refs
 
 WEBPAGE_SCHEMA = {
     "url": pa.string(),
@@ -1126,8 +1127,8 @@ def _harvest_urls(featured):
             lambda t: pa.table({"url": pc.unique(t["url"]).drop_null()}),
             batch_format="pyarrow",
         )
-        .to_arrow_refs()
     )
+    refs_blocks = arrow_block_refs(refs_blocks)
     return [t["url"] for t in ray.get(refs_blocks) if t.num_rows]
 
 

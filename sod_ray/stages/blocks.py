@@ -1,0 +1,42 @@
+"""Block-ref extraction without Dataset.to_arrow_refs()'s double execution.
+
+``Dataset.to_arrow_refs()`` calls ``self.schema(fetch_if_missing=True)``
+AFTER draining ``iter_internal_ref_bundles()`` — and for any plan whose
+schema isn't already cached that re-executes the ENTIRE plan a second
+time as ``... -> limit=1``. A map-only plan re-reads its first block;
+a shuffle-terminated plan (sort/aggregate) pays its FULL all-to-all
+again: the flagship's 150M-row peaks sort ran twice (1016.8 s + 977.0 s
+for the limit-1 re-execution) before this helper existed. Reproduced on
+a toy dataset: ``rd.range(...).sort("id").to_arrow_refs()`` logs two
+Sort executions.
+
+``arrow_block_refs`` replicates to_arrow_refs' contract — a list of
+ObjectRef[pyarrow.Table], zero-copy when blocks are already Arrow,
+per-block remote conversion otherwise — using ``RefBundle.schema``
+(carried on every bundle, no execution needed) to decide.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+
+
+@ray.remote(num_cpus=0.5)
+def _to_arrow_block(block) -> pa.Table:
+    from ray.data.block import BlockAccessor
+
+    return BlockAccessor.for_block(block).to_arrow()
+
+
+def arrow_block_refs(ds) -> list:
+    """Executed block refs of ``ds`` as ObjectRef[pyarrow.Table], without
+    to_arrow_refs' plan re-execution. Bundles whose schema is an Arrow
+    schema pass through zero-copy; pandas-block bundles get a per-block
+    remote conversion (same behavior as to_arrow_refs' fallback path)."""
+    out = []
+    for bundle in ds.iter_internal_ref_bundles():
+        zero_copy = bundle.schema is None or isinstance(bundle.schema, pa.Schema)
+        for br in bundle.block_refs:
+            out.append(br if zero_copy else _to_arrow_block.remote(br))
+    return out

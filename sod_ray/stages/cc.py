@@ -33,6 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray
+from .blocks import arrow_block_refs
 
 
 def _np_i64(col) -> np.ndarray:
@@ -241,7 +242,7 @@ def connected_components_bucketed(
 
     edge_refs = [
         _block_to_edges.remote(r, id_a, id_b)
-        for r in pairs_ds.to_arrow_refs()
+        for r in arrow_block_refs(pairs_ds)
     ]
     if not edge_refs:
         return rd.from_arrow(

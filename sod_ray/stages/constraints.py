@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..state.sketches import HyperLogLog, hash64
+from .blocks import arrow_block_refs
 
 # per-worker-process cache of broadcast-probe hash indexes, keyed by
 # the parent key set's object ref (see _broadcast_membership)
@@ -472,11 +473,11 @@ def bucketed_anti_join(
 
     parent_splits = [
         split_parent.options(num_returns=P).remote(r)
-        for r in parent_ds.to_arrow_refs()
+        for r in arrow_block_refs(parent_ds)
     ]
     child_splits = [
         split_child.options(num_returns=P).remote(r)
-        for r in child_ds.to_arrow_refs()
+        for r in arrow_block_refs(child_ds)
     ]
     buckets = [
         anti_bucket.remote(
@@ -516,8 +517,8 @@ def referential_check(
                 lambda t: pa.table({pk: pc.unique(t[pk])}),
                 batch_format="pyarrow",
             )
-            .to_arrow_refs()
         )
+        refs = arrow_block_refs(refs)
         blocks = [t for t in ray.get(refs) if t.num_rows]
         keys = (
             pa.concat_tables(blocks)[pk]

@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 import ray
 
 from ..state.sketches import hash64
+from .blocks import arrow_block_refs
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -630,7 +631,7 @@ def _prune_singleton_buckets(
     # sort-based count groupby measured 80+ s on 16M rows; this moves
     # the same bytes in one O(n) pass — same pattern as stages/cc.py)
     P = 32
-    refs = band_rows.to_arrow_refs()
+    refs = arrow_block_refs(band_rows)
     splits = [
         _bucket_keys_split.options(num_returns=P).remote(r, P, key_col)
         for r in refs
@@ -740,7 +741,7 @@ def _verify_pairs_distributed(
     n_pairs = pairs.count()
     if 0 < 2 * n_pairs <= endpoint_broadcast_limit:
         parts = ray.get(
-            [_pair_endpoints.remote(r) for r in pairs.to_arrow_refs()]
+            [_pair_endpoints.remote(r) for r in arrow_block_refs(pairs)]
         )
         eps = (
             np.unique(np.concatenate(parts))
@@ -1287,7 +1288,7 @@ def jaccard_all_pairs(
     thr = float(threshold)
 
     if sizes.count() <= broadcast_limit:
-        parts = [p for p in ray.get(sizes.to_arrow_refs()) if p.num_rows]
+        parts = [p for p in ray.get(arrow_block_refs(sizes)) if p.num_rows]
         if not parts:
             return inter.map_batches(
                 lambda t: t.slice(0, 0).append_column(

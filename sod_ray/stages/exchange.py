@@ -27,6 +27,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray
+from .blocks import arrow_block_refs
 
 
 def _default_buckets() -> int:
@@ -81,7 +82,7 @@ def exchange_reduce(ds, key_col: str, fn, num_buckets: int | None = None):
     String keys: add a ``hash64`` column first. Returns a Dataset built
     from the P reduce outputs."""
     P = num_buckets or _default_buckets()
-    refs = ds.to_arrow_refs()
+    refs = arrow_block_refs(ds)
     if not refs:
         return ds.map_batches(fn, batch_format="pyarrow")
     splits = [

@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from .blocks import arrow_block_refs
 
 
 def asof_join(
@@ -392,7 +393,7 @@ def bucketed_equi_join(
     P = num_buckets
 
     def _split(t, schema: pa.Schema):
-        if isinstance(t, pd.DataFrame):  # to_arrow_refs passes pandas
+        if isinstance(t, pd.DataFrame):  # defensive: arrow_block_refs converts these
             t = pa.Table.from_pandas(t, preserve_index=False)
         if key not in t.column_names:  # schema-less empty block upstream
             empty = schema.empty_table()
@@ -431,11 +432,11 @@ def bucketed_equi_join(
 
     left_splits = [
         split_left.options(num_returns=P).remote(r)
-        for r in left_ds.to_arrow_refs()
+        for r in arrow_block_refs(left_ds)
     ]
     right_splits = [
         split_right.options(num_returns=P).remote(r)
-        for r in right_ds.to_arrow_refs()
+        for r in arrow_block_refs(right_ds)
     ]
     buckets = [
         join_bucket.remote(

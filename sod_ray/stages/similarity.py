@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
+from .blocks import arrow_block_refs
 
 
 def _to_matrix(col, dtype=np.float32) -> np.ndarray:
@@ -149,7 +150,7 @@ def cosine_all_pairs(
     """
     blocks = [
         b
-        for b in ray.get(ds.select_columns([id_col, vec_col]).to_arrow_refs())
+        for b in ray.get(arrow_block_refs(ds.select_columns([id_col, vec_col])))
         if b.num_rows
     ]
     if not blocks:

@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 from ..functions.lof import score_stream
 from ..functions.zscore import rolling_zscore
+from .blocks import arrow_block_refs
 
 
 def windowed_zscore(
@@ -218,7 +219,7 @@ def windowed_zscore_manual(
         return pd.DataFrame({key: [key_val], "n_flagged": [len(flagged)]})
 
     split_fn = split_block.options(num_returns=len(keys))
-    block_refs = slim.to_arrow_refs()
+    block_refs = arrow_block_refs(slim)
     per_key: list[list] = [[] for _ in keys]
     for ref in block_refs:
         outs = split_fn.remote(ref)
@@ -271,7 +272,7 @@ def windowed_zscore_sorted(
     slim = ds.select_columns(cols)
     sort_keys = [key, ts_col] + [c for c in (id_cols or []) if c not in (key, ts_col)]
     sorted_ds = slim.sort(sort_keys)
-    block_refs = sorted_ds.to_arrow_refs()
+    block_refs = arrow_block_refs(sorted_ds)
     if not block_refs:
         return pd.DataFrame(columns=[key, "n_flagged"] if sink_dir else cols + ["z", "is_peak"])
 
@@ -398,7 +399,7 @@ def windowed_rolling_sorted(
     slim = ds.select_columns(cols)
     sort_keys = [key, ts_col] + [c for c in (id_cols or []) if c not in (key, ts_col)]
     sorted_ds = slim.sort(sort_keys)
-    block_refs = sorted_ds.to_arrow_refs()
+    block_refs = arrow_block_refs(sorted_ds)
     if not block_refs:
         return rd.from_pandas(pd.DataFrame(columns=cols + [out_col]))
 
@@ -511,7 +512,7 @@ def windowed_lof_chunked(
         c for c in (id_cols or []) if c not in (key, ts_col)
     ]
     sorted_ds = slim.sort(sort_keys)
-    block_refs = sorted_ds.to_arrow_refs()
+    block_refs = arrow_block_refs(sorted_ds)
     out_cols = keep + ["lof", "outlier", "verdict_error", "norm_vec"]
     if not block_refs:
         return pd.DataFrame(columns=out_cols)

@@ -323,3 +323,33 @@ def test_lof_predict_checked_matches_sql_oracle(ray_session):
     )
     assert len(mine) > 0
     pd.testing.assert_frame_equal(mine, oracle)
+
+
+def test_lof_stream_frozen_checked_matches_sql_oracle(ray_session):
+    """COLLECT-path pin: windowed_lof in pure-scoring mode (frozen
+    3-row warmup window) reproduces the DuckDB transcription exactly
+    at sf0.001 — window == k means no rank ties can occur."""
+    import duckdb
+
+    from sod_ray.pipelines.queries import LOF_STREAM_SQL, lof_stream_frozen_checked
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        lof_stream_frozen_checked(sf)
+        .to_pandas()
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    oracle = (
+        con.sql(LOF_STREAM_SQL)
+        .df()
+        .astype({"event_id": "int64", "user_id": "int64"})
+        .sort_values(["event_id"])
+        .reset_index(drop=True)
+    )
+    assert len(mine) > 0
+    pd.testing.assert_frame_equal(mine, oracle)
