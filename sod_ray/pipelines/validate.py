@@ -813,9 +813,12 @@ def _run_wave(
     intermediate_dir = cfg.intermediate_dir
     if intermediate_dir is None:
         # auto-spill: the slim table is ~64 B/row; when the estimate
-        # would crowd the object store (>25%), land it on disk instead
+        # would crowd the object store (>15%), land it on disk instead
         # of pinning it — the flagged-on-size version of the explicit
-        # intermediate_dir flag
+        # intermediate_dir flag. 15% not 25%: the store also carries
+        # the concurrent consumers' sort/aggregate intermediates, and
+        # the 150M-row run (slim 9.6 GB = 24% of a 37.6 GiB store)
+        # missed the old threshold by 5% and thrashed raylet spill
         try:
             import ray
 
@@ -823,7 +826,7 @@ def _run_wave(
                 ray.cluster_resources().get("object_store_memory", 0)
             )
             est_rows = pads.dataset(input_path, format="parquet").count_rows()
-            if store_bytes and est_rows * 64 > 0.25 * store_bytes:
+            if store_bytes and est_rows * 64 > 0.15 * store_bytes:
                 intermediate_dir = os.path.join(out_dir, "_intermediate")
         except Exception:
             pass
