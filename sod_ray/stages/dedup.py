@@ -1427,6 +1427,7 @@ def embedding_neardup(
     small_corpus_rows: int = 100_000,
     max_bucket_size: int = 256,
     pair_emission: str = "pairs",
+    vec_spill_dir: str | None = None,
 ):
     """Near-dup by cosine similarity over an embedding column:
     ``n_bands`` independent random-hyperplane LSH tables (planes
@@ -1468,7 +1469,7 @@ def embedding_neardup(
     if n_docs >= small_corpus_rows:
         return _embedding_large(
             ds, vec_col, id_col, threshold, n_planes, seed, dim, n_bands,
-            max_bucket_size, pair_emission,
+            max_bucket_size, pair_emission, vec_spill_dir,
         )
 
     state: dict = {"planes": None}
@@ -1542,12 +1543,19 @@ def embedding_neardup(
 
 def _embedding_large(
     ds, vec_col, id_col, threshold, n_planes, seed, dim, n_bands,
-    max_bucket_size, pair_emission,
+    max_bucket_size, pair_emission, vec_spill_dir=None,
 ):
     """Large-corpus embedding LSH (see embedding_neardup docstring):
     lands normalized float32 vectors ONCE, shuffles only slim
     (band, bucket, id) rows, reuses the MinHash chain's candidate
-    exchanges and distributed payload-join verify."""
+    exchanges and distributed payload-join verify.
+
+    ``vec_spill_dir`` is the ``sig_spill_dir`` idea for vectors: the
+    normalized table (4·d B/doc — 7.7 GB at 30M×64d, incompressible)
+    is landed as parquet and STREAMED by both consumers instead of
+    pinned in the object store, where it competes with the banding
+    and verify shuffles for spill budget (a 30M×64d run without it
+    died in raylet-spill ENOSPC on this VM's ~80 GB disk)."""
     from .similarity import _normalize, _to_matrix
 
     def to_vec_rows(batch: pa.Table) -> pa.Table:
@@ -1561,7 +1569,17 @@ def _embedding_large(
         )
 
     # one scan; banding and the verify join both consume the landed rows
-    vec_rows = ds.map_batches(to_vec_rows, batch_format="pyarrow").materialize()
+    vec_rows = ds.map_batches(to_vec_rows, batch_format="pyarrow")
+    if vec_spill_dir is not None:
+        import shutil as _shutil
+
+        import ray.data as rd
+
+        _shutil.rmtree(vec_spill_dir, ignore_errors=True)
+        vec_rows.write_parquet(vec_spill_dir)
+        vec_rows = rd.read_parquet(vec_spill_dir)
+    else:
+        vec_rows = vec_rows.materialize()
 
     state: dict = {"planes": None}
     empty_bands = pa.table(

@@ -698,3 +698,47 @@ def test_embedding_neardup_large_path_parity(ray_session):
     sc = {(a, b): c for a, b, c in small.itertuples(index=False)}
     for a, b, c in large.itertuples(index=False):
         assert abs(sc[(a, b)] - c) < 1e-9
+
+
+def test_embedding_neardup_vec_spill_parity(ray_session, tmp_path):
+    """vec_spill_dir (normalized vectors landed as parquet instead of
+    store-pinned — the sig_spill_dir idea for embeddings) must yield
+    the identical pair set and cosines as the materialized large path."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import embedding_neardup
+
+    rng = np.random.default_rng(22)
+    d = 24
+    vecs, ids = [], []
+    for i in range(15):
+        base = rng.normal(size=d)
+        base /= np.linalg.norm(base)
+        vecs += [base, base + rng.normal(scale=0.008, size=d)]
+        ids += [2 * i, 2 * i + 1]
+    for j in range(100):
+        vecs.append(rng.normal(size=d))
+        ids.append(30 + j)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.asarray(v, dtype=np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = rd.from_arrow(t)
+    mat = embedding_neardup(
+        ds, "embedding", "vec_id", threshold=0.99, small_corpus_rows=1
+    ).to_pandas()
+    spill = embedding_neardup(
+        ds, "embedding", "vec_id", threshold=0.99, small_corpus_rows=1,
+        vec_spill_dir=str(tmp_path / "vecs"),
+    ).to_pandas()
+    m = {tuple(sorted(p)) for p in zip(mat["id_a"], mat["id_b"])}
+    sp = {tuple(sorted(p)) for p in zip(spill["id_a"], spill["id_b"])}
+    assert m == sp and len(m) > 0
+    mc = {(a, b): c for a, b, c in mat.itertuples(index=False)}
+    for a, b, c in spill.itertuples(index=False):
+        assert abs(mc[(a, b)] - c) < 1e-9

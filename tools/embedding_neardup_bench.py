@@ -55,15 +55,25 @@ def main(n_docs: int, dim: int, n_bands: int) -> None:
     )
     # even block size so planted pairs never span generator blocks
     ds = ray.data.range(n_docs, override_num_blocks=max(32, n_docs // 250_000))
-    ds = ds.map_batches(
+    gen = ds.map_batches(
         lambda b: gen_block(b, dim, 12345), batch_format="pyarrow"
-    ).materialize()
+    )
+    # land the corpus on disk instead of pinning ~8-16 GB of
+    # incompressible vectors in the object store for the whole run —
+    # at 30M x 64d the pinned corpus + pinned normalized copy +
+    # shuffle spill exceeded this VM's real disk headroom (ENOSPC)
+    import shutil
+    corpus_dir = "/tmp/embed_bench/corpus"
+    shutil.rmtree("/tmp/embed_bench", ignore_errors=True)
+    gen.write_parquet(corpus_dir)
+    ds = ray.data.read_parquet(corpus_dir)
 
     t0 = time.time()
     pairs = embedding_neardup(
         ds, "embedding", "vec_id", threshold=0.99,
         n_bands=(n_bands or None),  # 0 → corpus-aware auto-tune
         small_corpus_rows=1,
+        vec_spill_dir="/tmp/embed_bench/vn",
     )
     pdf = pairs.to_pandas()
     wall = time.time() - t0

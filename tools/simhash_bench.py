@@ -22,7 +22,8 @@ sys.path.insert(0, "/root/repo")
 from tools.dedup_bench import gen_corpus  # noqa: E402
 
 
-def main(n_docs: int, n_shards: int) -> None:
+def main(n_docs: int, n_shards: int, n_bands: int = 4,
+         max_hamming: int = 3) -> None:
     from sod_ray.stages.dedup import simhash_dedup
 
     ray.init(
@@ -34,7 +35,9 @@ def main(n_docs: int, n_shards: int) -> None:
 
     ds = ray.data.read_parquet(out)
     t0 = time.time()
-    pairs = simhash_dedup(ds, "text", "doc_id").to_pandas()
+    pairs = simhash_dedup(
+        ds, "text", "doc_id", max_hamming=max_hamming, n_bands=n_bands
+    ).to_pandas()
     wall = time.time() - t0
 
     found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
@@ -43,6 +46,8 @@ def main(n_docs: int, n_shards: int) -> None:
         json.dumps(
             {
                 "n_docs": n_docs,
+                "n_bands": n_bands,
+                "max_hamming": max_hamming,
                 "gen_sec": round(gen_s, 1),
                 "wall_sec": round(wall, 1),
                 "docs_per_sec": round(n_docs / wall),
@@ -59,4 +64,6 @@ if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000,
         int(sys.argv[2]) if len(sys.argv) > 2 else 32,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 4,
+        int(sys.argv[4]) if len(sys.argv) > 4 else 3,
     )
