@@ -742,6 +742,8 @@ def run_export_incremental(
                 threshold=cfg.jaccard_threshold,
                 bands=nd_bands,
                 exclude_rid=rid,
+                shingle_k=nd_shingle,
+                seed=nd_seed,
             )
             if nd_drop.shape[0]:
                 drop_ref = ray.put(np.sort(nd_drop))
@@ -858,7 +860,10 @@ def run_export_incremental(
                 if len(ns)
                 else np.empty((0, nd_perm), np.uint64)
             )
-            minhash_index_append(nd_dir, rid, sig_ids, sig_arr, nd_bands)
+            minhash_index_append(
+                nd_dir, rid, sig_ids, sig_arr, nd_bands,
+                shingle_k=nd_shingle, seed=nd_seed,
+            )
         batches.append(rec)
 
     n = lz.run_loop(

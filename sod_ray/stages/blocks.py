@@ -36,7 +36,16 @@ def arrow_block_refs(ds) -> list:
     remote conversion (same behavior as to_arrow_refs' fallback path)."""
     out = []
     for bundle in ds.iter_internal_ref_bundles():
-        zero_copy = bundle.schema is None or isinstance(bundle.schema, pa.Schema)
+        # A None schema does NOT guarantee Arrow blocks (a pandas-block
+        # bundle can carry one too) — peek at the first block to decide.
+        # ray.get on an Arrow block is zero-copy, so the probe is cheap;
+        # only genuinely non-Arrow bundles pay the remote conversion.
+        if isinstance(bundle.schema, pa.Schema):
+            zero_copy = True
+        elif bundle.block_refs:
+            zero_copy = isinstance(ray.get(bundle.block_refs[0]), pa.Table)
+        else:
+            zero_copy = True
         for br in bundle.block_refs:
             out.append(br if zero_copy else _to_arrow_block.remote(br))
     return out

@@ -32,6 +32,23 @@ from .blocks import arrow_block_refs
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _land_parquet(rows, spill_dir: str, subname: str):
+    """Land ``rows`` as parquet under a function-owned subdirectory of
+    ``spill_dir`` and return a streaming reader over it. Only that
+    subdirectory is ever cleared between runs — pointing ``spill_dir``
+    at a pre-existing directory can never delete caller data (the old
+    behavior rmtree'd the caller-supplied path unconditionally)."""
+    import shutil
+
+    import ray.data as rd
+
+    sub = os.path.join(spill_dir, subname)
+    shutil.rmtree(sub, ignore_errors=True)
+    os.makedirs(sub, exist_ok=True)
+    rows.write_parquet(sub)
+    return rd.read_parquet(sub)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -381,11 +398,7 @@ def minhash_lsh_dedup(
     # VM dies of store-spill ENOSPC without it).
     sig_rows = ds.map_batches(to_sig_rows, batch_format="pyarrow")
     if sig_spill_dir is not None:
-        import shutil as _shutil
-
-        _shutil.rmtree(sig_spill_dir, ignore_errors=True)
-        sig_rows.write_parquet(sig_spill_dir)
-        sig_rows = rd.read_parquet(sig_spill_dir)
+        sig_rows = _land_parquet(sig_rows, sig_spill_dir, "_sod_sigs")
     else:
         sig_rows = sig_rows.materialize()
 
@@ -1571,13 +1584,7 @@ def _embedding_large(
     # one scan; banding and the verify join both consume the landed rows
     vec_rows = ds.map_batches(to_vec_rows, batch_format="pyarrow")
     if vec_spill_dir is not None:
-        import shutil as _shutil
-
-        import ray.data as rd
-
-        _shutil.rmtree(vec_spill_dir, ignore_errors=True)
-        vec_rows.write_parquet(vec_spill_dir)
-        vec_rows = rd.read_parquet(vec_spill_dir)
+        vec_rows = _land_parquet(vec_rows, vec_spill_dir, "_sod_vecs")
     else:
         vec_rows = vec_rows.materialize()
 
@@ -1986,21 +1993,64 @@ def collect_minhash_sigs(
     return ids, sigs
 
 
+def _index_meta_guard(
+    index_dir: str,
+    n_perm: int,
+    bands: int,
+    shingle_k: int | None,
+    seed: int | None,
+    write: bool,
+) -> None:
+    """Pin the LSH params an index was built with. First append writes
+    ``_meta.json``; every later append/probe asserts the caller's
+    params match — a changed ``n_perm`` would otherwise reshape the
+    persisted signatures silently and produce garbage agreement scores
+    that can wrongly DROP new documents (silent data loss)."""
+    import json
+
+    meta_path = os.path.join(index_dir, "_meta.json")
+    mine = {"n_perm": int(n_perm), "bands": int(bands),
+            "shingle_k": shingle_k, "seed": seed}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            rec = json.load(f)
+        for k, v in mine.items():
+            if v is not None and rec.get(k) is not None and rec[k] != v:
+                raise ValueError(
+                    f"minhash index {index_dir} was built with {k}="
+                    f"{rec[k]}; caller passed {v}. Refusing to mix "
+                    "signature parameters within one index — rebuild "
+                    "the index or match its recorded params."
+                )
+    elif write:
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(mine, f)
+        os.replace(tmp, meta_path)
+
+
 def minhash_index_append(
     index_dir: str,
     rid: str,
     ids: np.ndarray,
     sigs: np.ndarray,
     bands: int = 16,
+    shingle_k: int | None = None,
+    seed: int | None = None,
 ) -> None:
     """Append one batch's signatures to the accumulated index —
     ``<rid>.sig.parquet`` (id, sig) and ``<rid>.band.parquet``
     (bk, id) — idempotent tmp+rename, mirroring the exact-dedup hash
     index's crash contract (re-append after a retry overwrites with
-    identical bytes)."""
+    identical bytes). The first append records the LSH params in
+    ``_meta.json``; later appends fail loudly on mismatch."""
     import pyarrow.parquet as pq
 
     os.makedirs(index_dir, exist_ok=True)
+    _index_meta_guard(
+        index_dir, sigs.shape[1] if sigs.ndim == 2 else 0, bands,
+        shingle_k, seed, write=True,
+    )
     sig_t = pa.table(
         {
             "id": pa.array(ids, pa.int64()),
@@ -2027,6 +2077,8 @@ def minhash_index_probe(
     threshold: float = 0.7,
     bands: int = 16,
     exclude_rid: str | None = None,
+    shingle_k: int | None = None,
+    seed: int | None = None,
 ) -> np.ndarray:
     """ids (subset of ``ids``) having a near-twin in the ACCUMULATED
     index: band-key intersection proposes candidates, signature
@@ -2042,6 +2094,10 @@ def minhash_index_probe(
 
     if ids.shape[0] == 0 or not os.path.isdir(index_dir):
         return np.empty(0, np.int64)
+    _index_meta_guard(
+        index_dir, sigs.shape[1] if sigs.ndim == 2 else 0, bands,
+        shingle_k, seed, write=False,
+    )
 
     def shards(kind: str) -> list[str]:
         return [
@@ -2120,8 +2176,16 @@ def minhash_index_probe(
     o_order = np.argsort(old_ids, kind="stable")
     old_ids, old_sigs = old_ids[o_order], old_sigs[o_order]
 
-    opos = np.searchsorted(old_ids, pairs[:, 1])
-    agree = (sigs[pairs[:, 0]] == old_sigs[opos]).mean(axis=1)
+    # clamp + equality-mask: a band shard whose .sig sibling is missing
+    # (partial index deletion/corruption) would otherwise index past the
+    # end or score against the WRONG document's signature
+    opos = np.minimum(np.searchsorted(old_ids, pairs[:, 1]),
+                      old_ids.shape[0] - 1)
+    valid = old_ids[opos] == pairs[:, 1]
+    agree = np.full(pairs.shape[0], -1.0)
+    agree[valid] = (
+        sigs[pairs[:, 0][valid]] == old_sigs[opos[valid]]
+    ).mean(axis=1)
     return np.unique(ids[pairs[:, 0][agree >= threshold]])
 
 

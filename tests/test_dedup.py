@@ -166,10 +166,19 @@ def test_minhash_sig_spill_dir_parity(ray_session, doc_table, tmp_path):
     # and the landed dir is real parquet with the expected columns
     import pyarrow.parquet as pq
 
-    t = pq.read_table(str(tmp_path / "sigs"))
+    # files live in a function-owned subdir so a re-run can never
+    # rmtree caller data sitting in the spill_dir itself
+    t = pq.read_table(str(tmp_path / "sigs" / "_sod_sigs"))
     assert set(t.column_names) == {"doc_id", "sig"} and t.num_rows == len(
         doc_table
     )
+    sentinel = tmp_path / "sigs" / "precious.txt"
+    sentinel.write_text("do not delete")
+    minhash_lsh_dedup(
+        rd.from_arrow(doc_table), "text", "doc_id", jaccard_threshold=0.5,
+        small_corpus_rows=1, sig_spill_dir=str(tmp_path / "sigs"),
+    ).to_pandas()
+    assert sentinel.read_text() == "do not delete"
 
 
 def test_connected_components_distributed(ray_session):
@@ -742,3 +751,65 @@ def test_embedding_neardup_vec_spill_parity(ray_session, tmp_path):
     mc = {(a, b): c for a, b, c in mat.itertuples(index=False)}
     for a, b, c in spill.itertuples(index=False):
         assert abs(mc[(a, b)] - c) < 1e-9
+
+
+def test_minhash_index_meta_guard(ray_session, tmp_path):
+    """The incremental near-dup index records the LSH params it was
+    built with; an append or probe under DIFFERENT params must fail
+    loudly instead of silently reinterpreting persisted signatures
+    (which can wrongly drop new documents)."""
+    import pytest
+
+    from sod_ray.stages.dedup import (
+        minhash_index_append,
+        minhash_index_probe,
+    )
+
+    idx = str(tmp_path / "ndidx")
+    ids = np.arange(4, dtype=np.int64)
+    sigs = np.arange(4 * 64, dtype=np.uint64).reshape(4, 64)
+    minhash_index_append(idx, "b1", ids, sigs, bands=16, shingle_k=3, seed=7)
+    assert (tmp_path / "ndidx" / "_meta.json").exists()
+    # matching params: fine (idempotent retry)
+    minhash_index_append(idx, "b1", ids, sigs, bands=16, shingle_k=3, seed=7)
+    # n_perm mismatch on probe
+    with pytest.raises(ValueError, match="n_perm"):
+        minhash_index_probe(
+            idx, ids, np.zeros((4, 32), np.uint64), bands=16
+        )
+    # bands mismatch on append
+    with pytest.raises(ValueError, match="bands"):
+        minhash_index_append(idx, "b2", ids, sigs, bands=8)
+    # shingle_k mismatch
+    with pytest.raises(ValueError, match="shingle_k"):
+        minhash_index_append(idx, "b2", ids, sigs, bands=16, shingle_k=5)
+
+
+def test_minhash_index_probe_orphan_band_shard(ray_session, tmp_path):
+    """A .band.parquet shard without its .sig.parquet sibling (partial
+    index corruption) must degrade to no-match, not IndexError or a
+    score against the wrong document's signature."""
+    import os
+
+    from sod_ray.stages.dedup import (
+        minhash_index_append,
+        minhash_index_probe,
+    )
+
+    idx = str(tmp_path / "ndidx")
+    rng = np.random.default_rng(0)
+    ids = np.arange(6, dtype=np.int64)
+    sigs = rng.integers(0, 2**63, size=(6, 64)).astype(np.uint64)
+    minhash_index_append(idx, "b1", ids[:3], sigs[:3], bands=16)
+    minhash_index_append(idx, "b2", ids[3:], sigs[3:], bands=16)
+    # new batch duplicates doc 4 (lives in shard b2) — then orphan b2's
+    # band shard by deleting its sig sibling
+    os.remove(os.path.join(idx, "b2.sig.parquet"))
+    new_ids = np.array([100], np.int64)
+    new_sigs = sigs[4:5].copy()
+    hit = minhash_index_probe(idx, new_ids, new_sigs, threshold=0.7, bands=16)
+    assert hit.shape[0] == 0  # orphaned candidates treated as no-match
+    # sanity: with the sibling intact the same probe DOES hit
+    minhash_index_append(idx, "b2", ids[3:], sigs[3:], bands=16)
+    hit2 = minhash_index_probe(idx, new_ids, new_sigs, threshold=0.7, bands=16)
+    assert list(hit2) == [100]
