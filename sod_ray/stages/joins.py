@@ -30,6 +30,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
 from .blocks import arrow_block_refs
 
 
@@ -42,6 +44,7 @@ def asof_join(
     suffix: str = "_right",
     direction: str = "backward",
     allow_exact_matches: bool = True,
+    num_buckets: int | None = None,
 ):
     """As-of join: for each left row, the single right row with the
     largest ``on`` ≤ left's ``on`` (direction="backward"; "forward" =
@@ -49,14 +52,29 @@ def asof_join(
     left rows keep nulls in the right columns.
 
     Implementation: tag each side, align schemas (missing columns are
-    null), union → ONE ``groupby(by)`` shuffle → per-group
-    ``pd.merge_asof`` over the ts-sorted sides. The tagged-union trick
-    makes the co-group a single Dataset groupby instead of a two-sided
-    join the API doesn't have.
+    null), union with a ``hash64(by)`` routing column → ONE raw-task
+    hash exchange (``stages.exchange.exchange_reduce``) → per-bucket
+    vectorized merge: dictionary-encode ``by`` (collision-exact — real
+    values compared, the hash only routes), ONE lexsort over
+    (key, on, side), then a running-maximum backward fill of right-row
+    positions resolves every left row's match in O(bucket) numpy work —
+    no per-key Python callable (the r2/r3 ``map_groups``-per-key shape
+    measured one Python call per entity; at 10^8 ``by`` keys that was
+    the dominant cost, see tools/shuffle_backend_bench.py 47×).
+    Partitioning contract: one BUCKET (≈ total/num_buckets, hot keys
+    included whole) must fit in one worker's heap.
+
+    Null handling: null ``by`` on either side never matches (SQL
+    semantics); null ``on`` is undefined (pandas merge_asof rejects it
+    too). Tie-break parity with ``pd.merge_asof``: among right rows
+    with equal ``on``, backward picks the last, forward the first.
 
     Returns a Dataset with the left columns plus ``right_cols``
     (renamed with ``suffix`` when they collide with left names).
     """
+    from ..state.sketches import hash64
+    from .exchange import exchange_reduce
+
     left_schema = left.schema()
     left_names = list(left_schema.names)
     right_keep = [by, on] + [c for c in right_cols if c not in (by, on)]
@@ -73,6 +91,11 @@ def asof_join(
     }
     ltypes = {n: t for n, t in zip(left_schema.names, left_schema.types)}
 
+    def _kh(col) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.array(hash64(col).view(np.int64), pa.int64())
+
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {c: t[c] for c in left_names}
         for c in right_cols:
@@ -80,6 +103,7 @@ def asof_join(
                 continue
             cols["__r_" + c] = pa.nulls(len(t), rtypes[c])
         cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8))
+        cols["__kh"] = _kh(t[by])
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -96,48 +120,93 @@ def asof_join(
                 continue
             cols["__r_" + c] = t[c]
         cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8))
+        cols["__kh"] = _kh(t[by])
         return pa.table(cols)
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right_slim.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    final_cols = left_names + list(out_names.values())
-    int_left = [
-        n
-        for n, t in zip(left_schema.names, left_schema.types)
-        if pa.types.is_integer(t)
-    ]
+    merge_bucket = _asof_kernel(
+        by, on, left_names, right_cols, out_names, ltypes, rtypes,
+        forward=direction == "forward",
+        allow_exact_matches=allow_exact_matches,
+    )
+    return exchange_reduce(tagged, "__kh", merge_bucket, num_buckets)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == 1]
-        rg = g[g["__side"] == 0]
-        lg = lg[left_names].sort_values(on, kind="stable")
-        for c in int_left:
-            # the null-padded union floats left int columns; left rows
-            # themselves are never null there — restore the dtype
-            lg[c] = lg[c].astype("int64")
-        r_proj = [on] + ["__r_" + c for c in right_cols if c != by]
-        rg = rg[r_proj].sort_values(on, kind="stable")
-        merged = pd.merge_asof(
-            lg,
-            rg,
-            on=on,
-            direction=direction,
-            allow_exact_matches=allow_exact_matches,
-            suffixes=("", "__rr"),
+
+def _asof_kernel(
+    by: str,
+    on: str,
+    left_names: list[str],
+    right_cols: list[str],
+    out_names: dict,
+    ltypes: dict,
+    rtypes: dict,
+    forward: bool,
+    allow_exact_matches: bool,
+):
+    """The per-bucket vectorized as-of merge shared by ``asof_join``
+    and ``asof_join_salted``: dictionary-encode ``by``, one lexsort
+    over (key, on, side), running-maximum backward fill. See
+    ``asof_join``'s docstring for semantics."""
+    empty = pa.schema(
+        [pa.field(c, ltypes[c]) for c in left_names]
+        + [pa.field(out_names[c], rtypes[c]) for c in right_cols if c != by]
+    ).empty_table()
+
+    def merge_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return empty
+        n = t.num_rows
+        side = t["__side"].combine_chunks().to_numpy(zero_copy_only=False)
+        enc = t[by].combine_chunks().dictionary_encode()
+        codes = pc.fill_null(enc.indices, -1).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        onc = t[on].combine_chunks()
+        if pa.types.is_floating(onc.type):
+            onv = onc.to_numpy(zero_copy_only=False)
+        else:
+            onv = onc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if forward:
+            onv = -onv  # forward asof == backward over negated time
+        # at equal `on`: exact matches in-window → right before left
+        ordk = side if allow_exact_matches else (1 - side)
+        # equal-`on` right-row tie-break parity with merge_asof:
+        # backward picks the LAST right row, forward the FIRST
+        tie = -np.arange(n) if forward else np.arange(n)
+        order = np.lexsort((tie, ordk, onv, codes))
+        codes_s = codes[order]
+        is_right_s = side[order] == 0
+        gstart = np.empty(n, dtype=bool)
+        gstart[0] = True
+        gstart[1:] = codes_s[1:] != codes_s[:-1]
+        group_start = np.maximum.accumulate(
+            np.where(gstart, np.arange(n), 0)
         )
-        # the matched right `on` value rides along as __r_<on> (tag_right
-        # duplicates it), so merge_asof consuming the join column is fine
-        rename = {}
+        # backward fill: for each row, the latest right-row position at
+        # or before it; invalidated when it precedes the row's group
+        r_idx = np.where(is_right_s & (codes_s >= 0), np.arange(n), -1)
+        cm = np.maximum.accumulate(r_idx)
+        match = np.where(cm >= group_start, cm, -1)
+        left_pos = np.flatnonzero(~is_right_s)
+        lmatch = match[left_pos]
+        st = t.take(pa.array(order))
+        lt = st.take(pa.array(left_pos))
+        ridx = pa.array(
+            np.where(lmatch < 0, 0, lmatch), pa.int64(), mask=lmatch < 0
+        )
+        cols = {c: lt[c] for c in left_names}
         for c in right_cols:
             if c == by:
                 continue
-            rename["__r_" + c] = out_names[c]
-        merged = merged.rename(columns=rename)
-        return merged[[c for c in final_cols if c in merged.columns]]
+            cols[out_names[c]] = pc.take(
+                st["__r_" + c].combine_chunks(), ridx
+            )
+        return pa.table(cols)
 
-    return tagged.groupby(by).map_groups(per_group, batch_format="pandas")
+    return merge_bucket
 
 
 def asof_join_salted(
@@ -150,23 +219,29 @@ def asof_join_salted(
     suffix: str = "_right",
     allow_exact_matches: bool = True,
 ):
-    """Hot-key-parallel as-of join (backward direction): salt the
-    group key with a coarse time bucket (``floor(on / bucket_us)``) so
-    one hot ``by`` key spreads across many merge tasks instead of
-    serializing on one.
+    """Hot-key-parallel as-of join (backward direction): the exchange
+    routing key is ``hash64(by)`` MIXED with a coarse time bucket
+    (``floor(on / bucket_us)``) so one hot ``by`` key spreads across
+    many reduce buckets instead of loading a single worker's heap.
 
     EXACT despite the salt: a left row in bucket t can only match
-    right rows inside bucket t (merge_asof handles those) or the
-    single latest right row from any earlier bucket — the "carry" row.
-    Carries come from the per-(by, bucket) latest-right summary (one
-    tiny row per group), cumulated per key on the driver and broadcast
-    back via ``ray.put``; each salted group prepends its carry before
-    the merge. Driver-side state is #(by, bucket) summary rows — fine
-    for any realistic bucket count; for extreme key×bucket
-    cardinality, pick a coarser bucket.
+    right rows inside bucket t or the single latest right row from any
+    earlier bucket — the "carry" row. Carries are computed from the
+    per-(by, bucket) latest-right summary (vectorized exchange kernel,
+    one tiny row per group), resolved on the driver with ONE
+    ``merge_asof`` over the summary frames, and injected into the
+    union as extra right-tagged rows routed to their target bucket —
+    the shared ``_asof_kernel`` then needs no special cases (a carry
+    duplicating an in-bucket right row ties on (by, on) with identical
+    payload, so the fill's pick is value-identical either way).
+    Driver-side state is #(by, bucket) summary rows — pick a coarser
+    bucket for extreme key×bucket cardinality.
 
     Semantics and output match ``asof_join(direction="backward")``."""
-    import ray
+    import ray.data as rd
+
+    from ..state.sketches import hash64
+    from .exchange import exchange_reduce
 
     left_schema = left.schema()
     left_names = list(left_schema.names)
@@ -180,18 +255,19 @@ def asof_join_salted(
         for c in right_cols
         if c not in (by,)
     }
-    int_left = [
-        n
-        for n, t in zip(left_schema.names, left_schema.types)
-        if pa.types.is_integer(t)
-    ]
     r_payload = ["__r_" + c for c in right_cols if c != by]
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
 
-    def bucket_of(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    def _on_i64(col) -> np.ndarray:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        us = col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.array(us // bucket_us)
+        return col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def _salted_kh(by_col, bkt: np.ndarray) -> pa.Array:
+        if isinstance(by_col, pa.ChunkedArray):
+            by_col = by_col.combine_chunks()
+        kh = hash64(by_col) ^ (bkt.astype(np.uint64) * _MIX)
+        return pa.array(kh.view(np.int64), pa.int64())
 
     def tag_left(t: pa.Table) -> pa.Table:
         cols = {c: t[c] for c in left_names}
@@ -200,7 +276,7 @@ def asof_join_salted(
                 continue
             cols["__r_" + c] = pa.nulls(len(t), rtypes[c])
         cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8))
-        cols["__bucket"] = bucket_of(t[on])
+        cols["__kh"] = _salted_kh(t[by], _on_i64(t[on]) // bucket_us)
         return pa.table(cols)
 
     def tag_right(t: pa.Table) -> pa.Table:
@@ -217,90 +293,136 @@ def asof_join_salted(
                 continue
             cols["__r_" + c] = t[c]
         cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8))
-        cols["__bucket"] = bucket_of(t[on])
+        cols["__kh"] = _salted_kh(t[by], _on_i64(t[on]) // bucket_us)
         return pa.table(cols)
 
-    # --- carry rows: per (by, bucket) latest right row, cumulated ---
-    def latest_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(on, kind="stable").tail(1)
-
-    summaries = (
-        right_slim.map_batches(
-            lambda t: pa.table(
-                {
-                    by: t[by],
-                    on: t[on],
-                    **{"__r_" + c: t[c] for c in right_cols if c != by},
-                    "__bucket": bucket_of(t[on]),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby([by, "__bucket"])
-        .map_groups(latest_per_bucket, batch_format="pandas")
-        .to_pandas()
+    # --- per-(by, bucket) latest right row: vectorized exchange ---
+    summ_schema = pa.schema(
+        [pa.field(by, ltypes[by]), pa.field(on, ltypes[on]),
+         pa.field("__bucket", pa.int64())]
+        + [pa.field("__r_" + c, rtypes[c]) for c in right_cols if c != by]
     )
-    # carry for bucket t = latest summary from any bucket < t (per by);
-    # iloc slices keep dtypes (dict round-trips would drop the us unit)
-    carry_frames: dict = {}
-    by_summaries: dict = {}
-    if len(summaries):
-        summaries = summaries.sort_values([by, "__bucket", on], kind="stable")
-        for key_val, grp in summaries.groupby(by):
-            grp = grp.reset_index(drop=True)
-            by_summaries[key_val] = grp.drop(columns=["__bucket"])
-            bkts = grp["__bucket"].tolist()
-            for i in range(1, len(grp)):
-                carry_frames[(key_val, bkts[i])] = grp.iloc[[i - 1]].drop(
-                    columns=["__bucket"]
+
+    def summ_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                by: t[by],
+                on: t[on],
+                "__bucket": pa.array(_on_i64(t[on]) // bucket_us),
+                **{"__r_" + c: t[c] for c in right_cols if c != by},
+                "__kh": pa.array(
+                    hash64(t[by].combine_chunks()).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def latest_kernel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or by not in t.column_names:
+            return summ_schema.empty_table()
+        n = t.num_rows
+        codes = pc.fill_null(
+            t[by].combine_chunks().dictionary_encode().indices, -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t["__bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((np.arange(n), _on_i64(t[on]), bkt, codes))
+        cs, bs = codes[order], bkt[order]
+        last = np.empty(n, dtype=bool)
+        last[-1] = True
+        last[:-1] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])
+        return t.take(pa.array(order[last])).select(summ_schema.names)
+
+    summaries = exchange_reduce(
+        right_slim.map_batches(summ_rows, batch_format="pyarrow"),
+        "__kh",
+        latest_kernel,
+    ).to_pandas()
+
+    # --- distinct left (by, bucket) pairs: vectorized exchange ---
+    def left_pairs_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                by: t[by],
+                "__bucket": pa.array(_on_i64(t[on]) // bucket_us),
+                "__kh": pa.array(
+                    hash64(t[by].combine_chunks()).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def distinct_kernel(t: pa.Table) -> pa.Table:
+        e = pa.schema(
+            [pa.field(by, ltypes[by]), pa.field("__bucket", pa.int64())]
+        ).empty_table()
+        if t.num_rows == 0 or by not in t.column_names:
+            return e
+        n = t.num_rows
+        codes = pc.fill_null(
+            t[by].combine_chunks().dictionary_encode().indices, -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = t["__bucket"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((bkt, codes))
+        cs, bs = codes[order], bkt[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = (cs[1:] != cs[:-1]) | (bs[1:] != bs[:-1])
+        return t.take(pa.array(order[first])).select([by, "__bucket"])
+
+    left_pairs = exchange_reduce(
+        left.select_columns([by, on]).map_batches(
+            left_pairs_rows, batch_format="pyarrow"
+        ),
+        "__kh",
+        distinct_kernel,
+    ).to_pandas()
+
+    # --- carries: for each left (by, bucket=t), the latest summary
+    # with bucket < t (ONE driver-side merge_asof over tiny frames) ---
+    carry_tables = []
+    if len(summaries) and len(left_pairs):
+        summaries = summaries.sort_values("__bucket", kind="stable")
+        left_pairs = left_pairs.sort_values("__bucket", kind="stable")
+        carries = pd.merge_asof(
+            left_pairs,
+            summaries,
+            on="__bucket",
+            by=by,
+            direction="backward",
+            allow_exact_matches=False,
+        ).dropna(subset=[on])
+        if len(carries):
+            n = len(carries)
+            cols = {}
+            for c in left_names:
+                if c == by:
+                    cols[c] = pa.array(carries[by]).cast(ltypes[by])
+                elif c == on:
+                    cols[c] = pa.array(carries[on]).cast(ltypes[on])
+                else:
+                    cols[c] = pa.nulls(n, ltypes[c])
+            for c in right_cols:
+                if c == by:
+                    continue
+                cols["__r_" + c] = pa.array(carries["__r_" + c]).cast(
+                    rtypes[c]
                 )
-        # carry_frames covers buckets PRESENT in right; left-only
-        # buckets resolve at merge time via the key's summary scan
-    carry_ref = ray.put((carry_frames, by_summaries))
+            cols["__side"] = pa.array(np.zeros(n, dtype=np.int8))
+            # route to the TARGET (left) bucket, not the carry's own
+            cols["__kh"] = _salted_kh(
+                cols[by], carries["__bucket"].to_numpy().astype(np.int64)
+            )
+            carry_tables.append(pa.table(cols))
 
     tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
         right_slim.map_batches(tag_right, batch_format="pyarrow")
     )
-    final_cols = left_names + list(out_names.values())
+    if carry_tables:
+        tagged = tagged.union(rd.from_arrow(carry_tables[0]))
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        carry_frames_l, by_summaries_l = ray.get(carry_ref)
-        key_val = g[by].iloc[0]
-        bkt = g["__bucket"].iloc[0]
-        lg = g[g["__side"] == 1][left_names].sort_values(on, kind="stable")
-        if lg.empty:
-            return pd.DataFrame(columns=final_cols)
-        for c in int_left:
-            lg[c] = lg[c].astype("int64")
-        rg = g[g["__side"] == 0][[on] + r_payload].sort_values(on, kind="stable")
-        carry = carry_frames_l.get((key_val, bkt))
-        if carry is None:
-            # left-only bucket (no right rows in it): latest right row
-            # of this key from any earlier bucket, via the summary scan
-            summ = by_summaries_l.get(key_val)
-            if summ is not None:
-                lo = bkt * bucket_us
-                earlier = summ[summ[on].astype("int64") < lo]
-                if len(earlier):
-                    carry = earlier.tail(1)
-        if carry is not None:
-            rg = pd.concat([carry[[on] + r_payload], rg], ignore_index=True)
-            rg = rg.sort_values(on, kind="stable")
-        merged = pd.merge_asof(
-            lg,
-            rg,
-            on=on,
-            direction="backward",
-            allow_exact_matches=allow_exact_matches,
-            suffixes=("", "__rr"),
-        )
-        rename = {"__r_" + c: out_names[c] for c in right_cols if c != by}
-        merged = merged.rename(columns=rename)
-        return merged[[c for c in final_cols if c in merged.columns]]
-
-    return tagged.groupby([by, "__bucket"]).map_groups(
-        per_group, batch_format="pandas"
+    merge_bucket = _asof_kernel(
+        by, on, left_names, right_cols, out_names, ltypes, rtypes,
+        forward=False, allow_exact_matches=allow_exact_matches,
     )
+    return exchange_reduce(tagged, "__kh", merge_bucket)
 
 
 def range_join_broadcast(ds, ranges: pd.DataFrame, value_col: str, lo_col: str = "lo", hi_col: str = "hi"):
