@@ -40,9 +40,12 @@ def entry() -> Any:
     # full-table driver merge (scale-killer shape at 10^12 rows)
     from ray.data.aggregate import Count, Sum
 
+    # concurrency sized to the input so a single-block sf0.001 smoke
+    # doesn't spin up idle actors; Arrow batch format end-to-end
+    pool = max(1, min(2, len(docs.input_files())))
     low_q = (
         docs.select_columns(["doc_id", "lang", "text"])
-        .map_batches(TextFeatures, batch_format="pandas", concurrency=2)
+        .map_batches(TextFeatures, batch_format="pyarrow", concurrency=pool)
         .map_batches(
             lambda t: pa.table(
                 {

@@ -71,7 +71,9 @@ class CurateConfig:
     # that moves every payload byte — so it is opt-in.
     shuffle_seed: int | None = None
     jaccard_threshold: float = 0.7
-    broadcast_limit: int = 5_000_000  # drop-ids broadcast vs bucketed join
+    # drop-ids broadcast vs bucketed join; None = derive from the
+    # per-node object store (stages.exchange.broadcast_rows_budget)
+    broadcast_limit: int | None = None
     lsh_kwargs: dict = field(default_factory=dict)
 
 
@@ -373,7 +375,12 @@ def run_export(
                 )
             )
         if drop is not None:
-            if n <= cfg.broadcast_limit:
+            bl = cfg.broadcast_limit
+            if bl is None:
+                from ..stages.exchange import broadcast_rows_budget
+
+                bl = broadcast_rows_budget()
+            if n <= bl:
                 ids = np.concatenate(
                     [
                         b["node"].to_numpy()
@@ -607,7 +614,7 @@ def run_export_incremental(
     max_polls: int | None = None,
     max_empty_polls: int | None = 1,
     quarantine_grace_s: float = 5.0,
-    index_broadcast_limit: int = 5_000_000,
+    index_broadcast_limit: int | None = None,
     cross_batch_neardup: bool = False,
 ) -> dict:
     """Continuous curation loop: poll the landing zone, run the export
@@ -700,7 +707,13 @@ def run_export_incremental(
         shards = _index_shards(rid)
         if shards:
             n_idx = _meta_row_count(shards)
-            if n_idx <= index_broadcast_limit:
+            ibl = index_broadcast_limit
+            if ibl is None:
+                from ..stages.exchange import broadcast_rows_budget
+
+                # md5 hashes: 32 B + arrow overhead per index row
+                ibl = broadcast_rows_budget(bytes_per_row=40)
+            if n_idx <= ibl:
                 import pyarrow.parquet as pq
 
                 seen = np.sort(

@@ -601,11 +601,15 @@ UNION ALL SELECT 'nation_region',
 
 def events_zscore_flags(sf_dir: str):
     """Per-user trailing-window z-score peaks (FIXTURES.md G4 —
-    sod windowed scoring generalization)."""
-    from ..stages.window import windowed_zscore
+    sod windowed scoring generalization). Runs the SCALE path
+    (``windowed_zscore_sorted``: distributed sort + per-block scoring
+    with cross-block context tails — hot keys parallelize) — the
+    flagship's scorer; pytest pins it row-identical to the per-group
+    ``windowed_zscore`` variant."""
+    from ..stages.window import windowed_zscore_sorted
 
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    flagged = windowed_zscore(
+    flagged = windowed_zscore_sorted(
         ds,
         key="user_id",
         ts_col="ts",
@@ -615,7 +619,7 @@ def events_zscore_flags(sf_dir: str):
         min_periods=8,
         threshold=3.0,
     )
-    return flagged.select_columns(["event_id", "user_id"])
+    return flagged[["event_id", "user_id"]]
 
 
 EVENTS_ZSCORE_SQL = """

@@ -74,6 +74,7 @@ except Exception:  # pragma: no cover - aiohttp absent in container
         pass
 
 from ..state.manifest import Manifest, PartitionRecord, _is_flag
+from ..stages.exchange import broadcast_rows_budget
 from ..stages.constraints import schema_check
 from ..stages.stats import column_stats
 from ..stages.blocks import arrow_block_refs
@@ -723,7 +724,7 @@ def _run_referential(input_path, cfg, manifest, out_dir, parent_keys=None):
     from ..stages.constraints import broadcast_anti_join, referential_check
 
     refs = rd.read_parquet(cfg.refs_path)
-    if parent_keys is not None and len(parent_keys) <= 5_000_000:
+    if parent_keys is not None and len(parent_keys) <= broadcast_rows_budget():
         violations = broadcast_anti_join(refs, parent_keys, "dst_url")
         est = {"dangling_est": float("nan"), "exact_path": "broadcast_fused"}
     else:
@@ -903,7 +904,7 @@ def _run_wave(
         # row count of the materialized slim table is metadata-only;
         # above the broadcast bound, skip the driver-side url harvest
         # entirely and let _run_referential take the two-sided path
-        if featured.count() > 5_000_000:
+        if featured.count() > broadcast_rows_budget():
             return _run_referential(input_path, cfg, manifest, out_dir)
         urls = _harvest_urls(featured)
         keys = (

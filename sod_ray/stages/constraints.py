@@ -185,12 +185,33 @@ def uniqueness_check(
             },
             None,
         )
-    dups = exact_duplicates(ds, column)
-    dup_pdf = dups.to_pandas()
-    # excess rows = group members beyond the first of each dup group
-    n_dup_rows = (
-        int(len(dup_pdf) - dup_pdf[column].nunique()) if len(dup_pdf) else 0
-    )
+    # exact fallback: ONE hash exchange producing (value, dup_count)
+    # summary rows — never the duplicate rows themselves (a 30%-dup web
+    # corpus has billions of dup ROWS but far fewer dup GROUPS, and
+    # nothing group-sized ever reaches the driver: only per-bucket
+    # excess counts do)
+    dup_groups = exact_dup_groups(ds, column).materialize()
+    excess = dup_groups.map_batches(
+        lambda t: pa.table(
+            {
+                "x": pa.array(
+                    [
+                        int(
+                            pc.sum(
+                                pc.subtract(t["dup_count"], 1)
+                            ).as_py()
+                            or 0
+                        )
+                        if "dup_count" in t.column_names and t.num_rows
+                        else 0
+                    ],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_dup_rows = int(excess["x"].sum()) if len(excess) else 0
     total = int(est["rows"].sum())
     passed = n_dup_rows <= max_dup_rate * max(total, 1)
     return (
@@ -202,14 +223,72 @@ def uniqueness_check(
             "total": total,
             "per_key": est.to_dict("records"),
         },
-        dups,
+        dup_groups,
     )
 
 
+def exact_dup_groups(ds, column: str, num_buckets: int | None = None):
+    """(value, dup_count) per DUPLICATED value of ``column`` — one
+    raw-task hash exchange (``stages.exchange``), collision-exact: the
+    in-bucket reduce sorts by (hash64, value) and compares the actual
+    strings only where the 64-bit hashes collide, the same kernel shape
+    as ``dedup.group_min_count``. Downstream sees dup-GROUP summary
+    rows only (≤ #distinct dup values), never the duplicate rows — the
+    scale-safe evidence form for ``uniqueness_check``."""
+    from ..state.sketches import hash64
+    from .exchange import exchange_reduce
+
+    val_type = None
+    for n, t in zip(ds.schema().names, ds.schema().types):
+        if n == column:
+            val_type = t
+    slim = ds.select_columns([column])
+
+    def add_kh(t: pa.Table) -> pa.Table:
+        kh = hash64(t[column].combine_chunks()).view(np.int64)
+        return t.append_column("__kh", pa.array(kh, pa.int64()))
+
+    keyed = slim.map_batches(add_kh, batch_format="pyarrow")
+    empty = pa.schema(
+        [pa.field(column, val_type or pa.string()),
+         pa.field("dup_count", pa.int64())]
+    ).empty_table()
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or column not in t.column_names:
+            return empty
+        n = t.num_rows
+        kh = t["__kh"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = t[column].combine_chunks()
+        codes = pc.fill_null(
+            vals.dictionary_encode().indices, -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, kh))
+        khs, cs = kh[order], codes[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = (khs[1:] != khs[:-1]) | (cs[1:] != cs[:-1])
+        bounds = np.flatnonzero(first)
+        counts = np.diff(np.concatenate((bounds, [n])))
+        sel = counts > 1
+        if not sel.any():
+            return empty
+        return pa.table(
+            {
+                column: pc.take(vals, pa.array(order[bounds[sel]])),
+                "dup_count": pa.array(counts[sel], pa.int64()),
+            }
+        )
+
+    return exchange_reduce(keyed, "__kh", reduce_bucket, num_buckets)
+
+
 def exact_duplicates(ds, column: str, keep_columns: list[str] | None = None):
-    """Exact duplicate finder — the fallback shuffle path. Projects to
-    the key (+ requested evidence columns) BEFORE the groupby so wide
-    payloads (html) never enter the exchange."""
+    """Exact duplicate finder returning EVERY member row of every dup
+    group — evidence-rich but O(dup rows); prefer ``exact_dup_groups``
+    (summary rows only) anywhere the dup rate can be material at scale.
+    Projects to the key (+ requested evidence columns) BEFORE the
+    groupby so wide payloads (html) never enter the exchange."""
     cols = [column] + [c for c in (keep_columns or []) if c != column]
     slim = ds.select_columns(cols)
 
@@ -497,7 +576,7 @@ def referential_check(
     parent_ds,
     fk: str,
     pk: str,
-    broadcast_threshold: int = 5_000_000,
+    broadcast_threshold: int | None = None,
 ):
     """Full referential constraint.
 
@@ -506,6 +585,10 @@ def referential_check(
     HLL estimate itself. Large parent: run the sketch containment
     estimate first; only a positive signal pays for the bucketed hash
     join (both-sides-large shuffle). Returns (violations_ds, verdict)."""
+    from .exchange import broadcast_rows_budget
+
+    if broadcast_threshold is None:
+        broadcast_threshold = broadcast_rows_budget()
     parent_count = parent_ds.count()
     if parent_count <= broadcast_threshold:
         # distributed per-block unique, then collect only the deduped

@@ -28,6 +28,7 @@ import ray
 
 from ..state.sketches import hash64
 from .blocks import arrow_block_refs
+from .exchange import broadcast_rows_budget
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -146,7 +147,7 @@ def exact_dedup(
     text_col: str,
     id_col: str,
     keep: str = "min",
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int | None = None,
     num_buckets: int | None = None,
 ):
     """Hash-partitioned exact dedup, vectorized end to end.
@@ -169,6 +170,8 @@ def exact_dedup(
     ).materialize()
     n_win = winners.count()
 
+    if broadcast_limit is None:
+        broadcast_limit = broadcast_rows_budget()
     if n_win <= broadcast_limit:
         win_np = np.sort(
             winners.select_columns(["win_id"]).to_pandas()["win_id"]
@@ -610,7 +613,7 @@ def _prune_singleton_buckets(
     else:
         key64_of = _bucket_key64
 
-    if n_rows <= 5_000_000:
+    if n_rows <= broadcast_rows_budget():
         # partial-counts shortcut: per-batch value_counts of the
         # composite key merge on the driver (≤5M 16-B rows) — skips
         # the sort-based count shuffle entirely
@@ -657,7 +660,7 @@ def _prune_singleton_buckets(
     hot_np = (
         np.concatenate(hot_parts) if hot_parts else np.empty(0, np.int64)
     )
-    if hot_np.shape[0] <= 20_000_000:
+    if hot_np.shape[0] <= broadcast_rows_budget(bytes_per_row=8, fraction=0.004):
         # dup buckets are few (the common case — planted-dup corpora
         # measure <1% of docs in dup buckets): broadcast the composite
         # keys once, filter with a vectorized is_in. 8 B/key → ≤160 MB.
@@ -727,7 +730,7 @@ def _verify_pairs_distributed(
     id_col: str,
     threshold: float,
     num_partitions: int | None = None,
-    endpoint_broadcast_limit: int = 20_000_000,
+    endpoint_broadcast_limit: int | None = None,
     payload_col: str = "sig",
     out_col: str = "jaccard_est",
     scorer=None,
@@ -752,6 +755,10 @@ def _verify_pairs_distributed(
     join, which is then the right shape anyway."""
     num_partitions = _join_partitions(num_partitions)
     n_pairs = pairs.count()
+    if endpoint_broadcast_limit is None:
+        endpoint_broadcast_limit = broadcast_rows_budget(
+            bytes_per_row=8, fraction=0.004
+        )
     if 0 < 2 * n_pairs <= endpoint_broadcast_limit:
         parts = ray.get(
             [_pair_endpoints.remote(r) for r in arrow_block_refs(pairs)]
@@ -1142,7 +1149,7 @@ def jaccard_all_pairs(
     n: int = 3,
     threshold: float = 0.8,
     num_buckets: int | None = None,
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int | None = None,
     max_shingle_df: int | None = None,
 ):
     """Globally EXACT n-gram Jaccard pairs (id_a < id_b, jaccard >=
@@ -1300,6 +1307,8 @@ def jaccard_all_pairs(
     sizes = exchange_reduce(slim, "doc", count_docs, num_buckets)
     thr = float(threshold)
 
+    if broadcast_limit is None:
+        broadcast_limit = broadcast_rows_budget()
     if sizes.count() <= broadcast_limit:
         parts = [p for p in ray.get(arrow_block_refs(sizes)) if p.num_rows]
         if not parts:
@@ -1458,18 +1467,15 @@ def embedding_neardup(
     subset of it (precision 1.0) because the verify recomputes the true
     cosine.
 
-    Two paths, same results (parity-tested):
-    - small (< ``small_corpus_rows``): normalized vectors ride in the
-      band rows, verify happens inside (band, bucket) groups, pair
-      dedupe is one vectorized aggregate — one execution total.
-    - large: the MinHash chain's shape — one scan lands (id, vn) rows
-      (4·d B/doc, once, NOT per band), only slim (band, bucket, id)
-      rows cross the banding shuffle, singleton buckets pruned, the
-      shared ``_candidate_pairs`` exchanges emit distinct candidate
-      pairs (``pair_emission``/``max_bucket_size`` as in
-      ``minhash_lsh_dedup``), and verify is the distributed payload
-      join with a dot-product scorer — the small path would shuffle
-      every vector ``n_bands`` times and pay a Python call per bucket.
+    One code path for every corpus size (the former in-row small path
+    was removed in r4 so small and large share the exchange-verify
+    kernel): one scan lands (id, vn) rows (4·d B/doc, once, NOT per
+    band), only slim (band, bucket, id) rows cross the banding shuffle,
+    singleton buckets are pruned, the shared ``_candidate_pairs``
+    exchanges emit distinct candidate pairs (``pair_emission``/
+    ``max_bucket_size`` as in ``minhash_lsh_dedup``), and verify is the
+    distributed payload join with a dot-product scorer.
+    ``small_corpus_rows`` is kept for API compatibility and ignored.
     """
     if pair_emission not in ("pairs", "star"):
         raise ValueError(
@@ -1479,78 +1485,9 @@ def embedding_neardup(
     n_planes, n_bands = embedding_lsh_params(
         n_docs, threshold, n_planes, n_bands
     )
-    if n_docs >= small_corpus_rows:
-        return _embedding_large(
-            ds, vec_col, id_col, threshold, n_planes, seed, dim, n_bands,
-            max_bucket_size, pair_emission, vec_spill_dir,
-        )
-
-    state: dict = {"planes": None}
-
-    def bucketize(batch: pa.Table) -> pa.Table:
-        from .similarity import _normalize, _to_matrix
-
-        V = _to_matrix(batch[vec_col], np.float64)
-        if state["planes"] is None:
-            d = dim or V.shape[1]
-            state["planes"] = np.random.default_rng(seed).normal(
-                size=(d, n_planes * n_bands)
-            )
-        proj = V @ state["planes"]  # (n, n_planes*n_bands), one matmul
-        bits = (proj > 0).reshape(V.shape[0], n_bands, n_planes)
-        pows = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))[::-1]
-        bucket = (bits.astype(np.uint64) * pows).sum(axis=2)  # (n, n_bands)
-        Vn = _normalize(V).astype(np.float32)
-        n = V.shape[0]
-        return pa.table(
-            {
-                "band": pa.array(
-                    np.repeat(np.arange(n_bands, dtype=np.int32), n)
-                ),
-                "bucket": pa.array(bucket.T.reshape(-1)),
-                id_col: pa.array(
-                    np.tile(
-                        batch[id_col].to_numpy(zero_copy_only=False), n_bands
-                    )
-                ),
-                "__vn": pa.array(list(Vn) * n_bands),
-            }
-        )
-
-    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
-
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.Series(dtype="int64"),
-                    "id_b": pd.Series(dtype="int64"),
-                    "cosine": pd.Series(dtype="float64"),
-                }
-            )
-        g = group.drop_duplicates(id_col).sort_values(id_col, kind="stable")
-        ids = g[id_col].to_numpy()
-        V = np.stack(g["__vn"].to_numpy()).astype(np.float64)
-        S = V @ V.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        hits = S[iu, ju] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": np.asarray(ids[iu[hits]], dtype=np.int64),
-                "id_b": np.asarray(ids[ju[hits]], dtype=np.int64),
-                "cosine": S[iu, ju][hits],
-            }
-        )
-
-    pairs = bucketed.groupby(["band", "bucket"]).map_groups(
-        verify, batch_format="pandas"
-    )
-    # a pair found in several bands has the SAME exact cosine everywhere
-    # — vectorized aggregate dedupe, not a Python call per pair
-    from ray.data.aggregate import Min
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(
-        Min("cosine", alias_name="cosine")
+    return _embedding_large(
+        ds, vec_col, id_col, threshold, n_planes, seed, dim, n_bands,
+        max_bucket_size, pair_emission, vec_spill_dir,
     )
 
 
@@ -1878,7 +1815,7 @@ def apply_drops(
     ds,
     drop_ds,
     id_col: str = "doc_id",
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int | None = None,
     n_drop: int | None = None,
 ):
     """Anti-join a corpus against a slim drop-id Dataset ({"node"}).
@@ -1897,6 +1834,8 @@ def apply_drops(
         n_drop = drop_ds.count()
     if n_drop == 0:
         return ds
+    if broadcast_limit is None:
+        broadcast_limit = broadcast_rows_budget()
     if n_drop <= broadcast_limit:
         drop_ids = np.sort(
             np.concatenate(
@@ -1924,7 +1863,7 @@ def neardup_dedup_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.7,
-    broadcast_limit: int = 5_000_000,
+    broadcast_limit: int | None = None,
     **lsh_kwargs,
 ):
     """The LLM-training-data primitive: near-dup dedup of a whole

@@ -39,6 +39,41 @@ def _default_buckets() -> int:
     return 8
 
 
+def broadcast_rows_budget(
+    bytes_per_row: int = 16,
+    fraction: float = 0.002,
+    floor: int = 1_000_000,
+    ceiling: int = 200_000_000,
+) -> int:
+    """Default row limit for one-``ray.put`` broadcast small sides,
+    derived from the SMALLEST node's object-store size: every node
+    materializes one copy of a broadcast, so the budget is a small
+    fraction of the per-node store, not of the cluster total. With the
+    defaults a 37.6 GiB store (this dev VM) yields ~5M 16-byte rows —
+    the empirically tuned r2/r3 threshold — and the same code scales
+    the knob up on fat cluster nodes and down under a capped store
+    (where broadcasts compete with shuffles for spill budget). Callers
+    with 8-byte payloads pass ``bytes_per_row=8`` (and the MinHash
+    endpoint filters use ``fraction=0.004``, the tuned 20M-row point).
+    """
+    store = None
+    try:
+        if ray.is_initialized():
+            sizes = [
+                n["Resources"]["object_store_memory"]
+                for n in ray.nodes()
+                if n.get("Alive")
+                and n.get("Resources", {}).get("object_store_memory")
+            ]
+            if sizes:
+                store = min(sizes)
+    except Exception:
+        pass
+    if store is None:
+        store = 4 << 30  # no cluster yet: a conservative 4 GiB
+    return int(min(ceiling, max(floor, fraction * store / bytes_per_row)))
+
+
 @ray.remote
 def _split_block(t: pa.Table, key_col: str, P: int):
     """One block → P row-slices by key % P (one sort, P zero-copy slices)."""

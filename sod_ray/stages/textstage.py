@@ -30,7 +30,10 @@ def extract_text_batch(batch: pa.Table) -> pa.Table:
 
 class TextFeatures:
     """Actor-pool stage: per-doc quality features. Regexes compiled once
-    per actor (__init__), vectorized-ish apply per batch."""
+    per actor (__init__); accepts Arrow tables (zero-copy from the
+    object store, ONE pass over the texts computing every feature) or
+    pandas frames (legacy multi-pass .str path) — both produce
+    identical values (same compiled regexes and per-doc functions)."""
 
     def __init__(self, text_col: str = "text"):
         import re
@@ -41,7 +44,43 @@ class TextFeatures:
         self.punct = re.compile(r"[^\w\s]", re.UNICODE)
         self.stop_en = frozenset(T._STOPWORDS["en"])
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def _call_arrow(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        n = len(texts)
+        n_chars = np.empty(n, np.int64)
+        n_tokens = np.empty(n, np.int64)
+        punct_ratio = np.empty(n, np.float64)
+        stop_ratio = np.empty(n, np.float64)
+        quality = np.empty(n, np.float64)
+        stop, token, word, punct = (
+            self.stop_en, self.token, self.word, self.punct,
+        )
+        for i, t in enumerate(texts):
+            if t is None:
+                t = ""
+            nc = len(t)
+            n_chars[i] = nc
+            n_tokens[i] = len(token.findall(t))
+            punct_ratio[i] = len(punct.findall(t)) / nc if nc > 0 else 0.0
+            ws = word.findall(t.lower())
+            stop_ratio[i] = (
+                sum(w in stop for w in ws) / len(ws) if ws else 0.0
+            )
+            quality[i] = T.quality_score(t)
+        out = batch
+        for name, arr in (
+            ("n_chars", n_chars),
+            ("n_tokens", n_tokens),
+            ("punct_ratio", punct_ratio),
+            ("stopword_ratio", stop_ratio),
+            ("quality", quality),
+        ):
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+    def __call__(self, batch):
+        if isinstance(batch, pa.Table):
+            return self._call_arrow(batch)
         texts = batch[self.text_col].fillna("")
         n_chars = texts.str.len().astype(np.int64)
         toks = texts.str.findall(self.token)
