@@ -1932,6 +1932,18 @@ def simhash_pairs_documents(sf_dir: str):
     return simhash_dedup(ds, "text", "doc_id")
 
 
+def simhash128_pairs_documents(sf_dir: str):
+    """128-bit SimHash near-dup pairs via Manku-style combination
+    banding (28 block-pair tables, 32-bit keys — the 10⁸-doc capacity
+    shape; recall guaranteed to hamming ≤ 6). Rows-only: pinned by
+    `tests/test_dedup.py::test_simhash_dedup_128_guarantee` (found ==
+    brute-force radius-6 pair set, recall AND precision exact)."""
+    from ..stages.dedup import simhash_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_dedup(ds, "text", "doc_id", max_hamming=6, sig_bits=128)
+
+
 def embedding_neardup_pairs(sf_dir: str):
     """Hyperplane-LSH near-dup pairs (rows-only: the LSH is
     approximate; its exact ground truth is `cosine_exact_pairs`, and
@@ -2933,6 +2945,7 @@ QUERIES = {
     "minhash_pairs_documents": minhash_pairs_documents,
     "jaccard_exact_pairs": jaccard_exact_pairs,
     "simhash_pairs_documents": simhash_pairs_documents,
+    "simhash128_pairs_documents": simhash128_pairs_documents,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "cosine_exact_pairs": cosine_exact_pairs,
     "ivf_knn_full_probe": ivf_knn_full_probe,

@@ -922,13 +922,63 @@ def simhash_signatures(texts: list[str | None], seed: int = 7) -> np.ndarray:
         return out
     flat = np.concatenate([token_ids[i] for i in nz])
     offs = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
-    cnz = counts[nz]
-    sig = np.zeros(nz.shape[0], dtype=np.uint64)
+    out[nz] = _simhash_votes(flat, offs, counts[nz])
+    return out
+
+
+def _simhash_votes(
+    flat: np.ndarray, offs: np.ndarray, cnz: np.ndarray
+) -> np.ndarray:
+    """One 64-bit signature word per doc from a flat token-hash stream:
+    64 shift/mask + ``np.add.reduceat`` passes (see simhash_signatures)."""
+    sig = np.zeros(offs.shape[0], dtype=np.uint64)
     for j in range(64):
         bit_j = ((flat >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
         sums = np.add.reduceat(bit_j, offs)
         sig |= ((2 * sums - cnz) > 0).astype(np.uint64) << np.uint64(j)
-    out[nz] = sig
+    return sig
+
+
+def _remix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a decorrelated second 64-bit hash stream
+    from the same token ids (the 128-bit signature's upper word)."""
+    with np.errstate(over="ignore"):
+        z = x + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def simhash128_signatures(
+    texts: list[str | None], seed: int = 7
+) -> np.ndarray:
+    """128-bit SimHash per doc as an (n, 2) uint64 array [lo, hi]: the
+    low word votes on the raw token hashes (IDENTICAL to the 64-bit
+    ``simhash_signatures``), the high word on a splitmix64 remix of the
+    same ids — one extra pass over the flat stream, no re-tokenization.
+
+    Why 128 bits: hamming ≤ 3 banding over a 64-bit signature forces
+    16-bit bands (4 × 16), whose 65,536-bucket space saturates around
+    10⁷ docs (measured r3: expected occupancy 10⁸/2¹⁶ ≈ 1,500 →
+    occupancy² verify). 128 bits buy 32-bit bands (4 × 32 — pigeonhole
+    still covers ≤ 3 flips... of the now-finer 128-bit distance) with a
+    4.3-billion-bucket space per band: occupancy stays ≈ n/2³² « 1 at
+    10⁸ docs. Note the distance SCALE changes: a one-edit doc pair
+    lands at roughly 2× its 64-bit hamming distance — pick
+    ``max_hamming`` per signature width."""
+    token_ids = _token_ids(texts)
+    out = np.zeros((len(texts), 2), dtype=np.uint64)
+    counts = np.fromiter(
+        (t.shape[0] for t in token_ids), dtype=np.int64, count=len(token_ids)
+    )
+    nz = np.flatnonzero(counts)
+    if nz.shape[0] == 0:
+        return out
+    flat = np.concatenate([token_ids[i] for i in nz])
+    offs = np.concatenate(([0], np.cumsum(counts[nz])))[:-1]
+    cnz = counts[nz]
+    out[nz, 0] = _simhash_votes(flat, offs, cnz)
+    out[nz, 1] = _simhash_votes(_remix64(flat), offs, cnz)
     return out
 
 
@@ -938,37 +988,83 @@ def simhash_dedup(
     id_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    sig_bits: int = 64,
 ):
-    """SimHash near-dup: 4×16-bit band buckets (any doc pair within
-    hamming distance 3 shares ≥1 exact band by pigeonhole) → verify
-    hamming distance within buckets.
+    """SimHash near-dup: banded bucket keys (any doc pair within the
+    guaranteed hamming radius shares ≥1 exact key by pigeonhole) →
+    verify hamming distance within buckets.
+
+    Two signature widths:
+
+    - ``sig_bits=64`` (default): 4×16-bit single-block bands —
+      guarantee hamming ≤ n_bands−1 (3). The 2¹⁶ bucket space per band
+      SATURATES around 10⁷ docs (measured r3: occupancy² verify) — use
+      64-bit below that scale.
+    - ``sig_bits=128``: the 10⁸-doc shape. The 128-bit signature
+      (``simhash128_signatures``) splits into 8×16-bit blocks and every
+      C(8,2)=28 block PAIR keys a table (Manku-style combination
+      banding): ≤6 flipped bits touch ≤6 blocks, leaving ≥2 clean
+      blocks whose pair-table both docs share — recall GUARANTEED to
+      hamming ≤ 6 (≈ the 64-bit ≤3 semantic at the 2× finer distance
+      scale) with 32-bit keys, so bucket occupancy stays ~n/2³² « 1
+      at 10⁸ docs. 28 slim rows/doc instead of 4 is the price.
+      ``n_bands`` is ignored in this mode.
 
     Scale shape (same exchange machinery as the MinHash chain, but
-    with NO verify join — the whole verify payload is the 8-byte
+    with NO verify join — the whole verify payload is the 8/16-byte
     signature, so it rides the band rows): one scan emits slim
-    (bk = band<<56|band_hash, id, simhash) rows, singleton buckets are
+    (bk = table<<56|key, id, sig words) rows, singleton buckets are
     pruned, ONE raw-task hash exchange runs a fully vectorized
     per-bucket kernel (lexsort → run detection → sliced upper-triangle
     pair expansion → XOR + table popcount → threshold), and a second
-    exchange dedupes pairs found in several bands. No per-bucket
+    exchange dedupes pairs found in several tables. No per-bucket
     Python callable, no Dataset sort shuffles."""
     from .exchange import exchange_reduce
 
+    if sig_bits not in (64, 128):
+        raise ValueError(f"sig_bits must be 64 or 128, got {sig_bits}")
+    sig_cols = ["simhash"] if sig_bits == 64 else ["sh_lo", "sh_hi"]
+
     def add_simhash(batch: pa.Table) -> pa.Table:
-        sh = simhash_signatures(batch[text_col].to_pylist())
         n = len(batch)
         ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        band_w = 64 // n_bands
-        mask = np.uint64((1 << band_w) - 1)
-        shifts = np.uint64(band_w) * np.arange(n_bands, dtype=np.uint64)
-        bh = (sh[None, :] >> shifts[:, None]) & mask  # (n_bands, n)
-        bands = np.repeat(np.arange(n_bands, dtype=np.int64), n)
-        bk = (bands << 56) | bh.reshape(-1).astype(np.int64)
+        if sig_bits == 64:
+            sh = simhash_signatures(batch[text_col].to_pylist())
+            band_w = 64 // n_bands
+            mask = np.uint64((1 << band_w) - 1)
+            shifts = np.uint64(band_w) * np.arange(n_bands, dtype=np.uint64)
+            bh = (sh[None, :] >> shifts[:, None]) & mask  # (n_bands, n)
+            bands = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+            bk = (bands << 56) | bh.reshape(-1).astype(np.int64)
+            return pa.table(
+                {
+                    "bk": pa.array(bk, pa.int64()),
+                    id_col: pa.array(np.tile(ids, n_bands)),
+                    "simhash": pa.array(np.tile(sh, n_bands)),
+                }
+            )
+        from itertools import combinations
+
+        sig = simhash128_signatures(batch[text_col].to_pylist())
+        lo, hi = sig[:, 0], sig[:, 1]
+        mask16 = np.uint64(0xFFFF)
+        blocks = np.empty((8, n), np.uint64)
+        for b in range(4):
+            blocks[b] = (lo >> np.uint64(16 * b)) & mask16
+            blocks[4 + b] = (hi >> np.uint64(16 * b)) & mask16
+        combos = list(combinations(range(8), 2))  # 28 tables
+        bks = [
+            (np.int64(t) << 56)
+            | ((blocks[i] << np.uint64(16)) | blocks[j]).astype(np.int64)
+            for t, (i, j) in enumerate(combos)
+        ]
+        reps = len(combos)
         return pa.table(
             {
-                "bk": pa.array(bk, pa.int64()),
-                id_col: pa.array(np.tile(ids, n_bands)),
-                "simhash": pa.array(np.tile(sh, n_bands)),
+                "bk": pa.array(np.concatenate(bks), pa.int64()),
+                id_col: pa.array(np.tile(ids, reps)),
+                "sh_lo": pa.array(np.tile(lo, reps)),
+                "sh_hi": pa.array(np.tile(hi, reps)),
             }
         )
 
@@ -992,13 +1088,18 @@ def simhash_dedup(
             return empty
         bk = t["bk"].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        sh = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        shs = [
+            t[c].to_numpy(zero_copy_only=False).astype(np.uint64)
+            for c in sig_cols
+        ]
         order = np.lexsort((ids, bk))
-        bk, ids, sh = bk[order], ids[order], sh[order]
+        bk, ids = bk[order], ids[order]
+        shs = [s[order] for s in shs]
         keep = np.concatenate(
             ([True], (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1]))
         )
-        bk, ids, sh = bk[keep], ids[keep], sh[keep]
+        bk, ids = bk[keep], ids[keep]
+        shs = [s[keep] for s in shs]
         new = np.concatenate(([True], bk[1:] != bk[:-1]))
         starts = np.flatnonzero(new)
         sizes = np.diff(np.concatenate((starts, [bk.shape[0]])))
@@ -1032,7 +1133,9 @@ def simhash_dedup(
             ccum = base[s0:s1] + c - base[s0]
             offset = np.arange(tot) - np.repeat(ccum - c, c) + 1
             right = left + offset
-            ham = _popcount64(sh[left] ^ sh[right])
+            ham = _popcount64(shs[0][left] ^ shs[0][right])
+            for s in shs[1:]:
+                ham = ham + _popcount64(s[left] ^ s[right])
             m = ham <= max_hamming
             if m.any():
                 outs.append((ids[left[m]], ids[right[m]], ham[m]))

@@ -813,3 +813,114 @@ def test_minhash_index_probe_orphan_band_shard(ray_session, tmp_path):
     minhash_index_append(idx, "b2", ids[3:], sigs[3:], bands=16)
     hit2 = minhash_index_probe(idx, new_ids, new_sigs, threshold=0.7, bands=16)
     assert list(hit2) == [100]
+
+
+def test_simhash128_signatures():
+    from sod_ray.stages.dedup import (
+        _popcount64,
+        simhash128_signatures,
+        simhash_signatures,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = "the quick brown fox jumps over the lazy cat again and again ok"
+    c = "completely different words entirely unrelated to anything else now"
+    sig = simhash128_signatures([a, a, b, c, None, ""])
+    assert sig.shape == (6, 2) and sig.dtype == np.uint64
+    assert (sig[0] == sig[1]).all()  # identical text -> identical sig
+    assert (sig[4] == 0).all() and (sig[5] == 0).all()  # empty docs
+    # low word is EXACTLY the 64-bit signature (same votes)
+    assert (sig[:, 0] == simhash_signatures([a, a, b, c, None, ""])).all()
+
+    def ham(x, y):
+        return int(
+            (_popcount64(x[0:1] ^ y[0:1]) + _popcount64(x[1:2] ^ y[1:2]))[0]
+        )
+
+    near, far = ham(sig[0], sig[2]), ham(sig[0], sig[3])
+    assert near < far  # finer distance still orders near < far
+    assert near <= 24 and far >= 40  # 128-bit scale
+
+
+def test_simhash_dedup_128(ray_session, doc_table):
+    """128-bit combination banding (28 tables over 8x16-bit blocks,
+    recall guaranteed to hamming<=6) must find the planted exact and
+    near dup pairs, with pairwise-exact hamming values."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import simhash_dedup
+
+    import itertools
+
+    from sod_ray.stages.dedup import _popcount64, simhash128_signatures
+
+    pairs = simhash_dedup(
+        rd.from_arrow(doc_table), "text", "doc_id",
+        max_hamming=6, sig_bits=128,
+    ).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in found  # exact dup -> hamming 0
+    ex = pairs[(pairs[["id_a", "id_b"]].min(axis=1) == 0)
+               & (pairs[["id_a", "id_b"]].max(axis=1) == 1)]
+    assert ex["hamming"].iloc[0] == 0
+    # found == the brute-force radius-6 pair set (recall AND precision)
+    sig = simhash128_signatures(doc_table["text"].to_pylist())
+    want = set()
+    for i, j in itertools.combinations(range(len(doc_table)), 2):
+        h = int(
+            (
+                _popcount64(sig[i, 0:1] ^ sig[j, 0:1])
+                + _popcount64(sig[i, 1:2] ^ sig[j, 1:2])
+            )[0]
+        )
+        if h <= 6:
+            want.add((i, j))
+    assert found == want
+
+
+def test_simhash_dedup_128_guarantee(ray_session):
+    """Every pair within hamming<=6 of the 128-bit distance MUST be
+    found (pigeonhole over the 28 block-pair tables) — compare against
+    the brute-force distance matrix on a small corpus."""
+    import itertools
+
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import (
+        _popcount64,
+        simhash128_signatures,
+        simhash_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(300)]
+    docs = []
+    for i in range(60):
+        base = rng.choice(words, size=40).tolist()
+        docs.append(" ".join(base))
+        if i % 3 == 0:  # one-edit twin
+            tw = list(base)
+            tw[5] = "edited"
+            docs.append(" ".join(tw))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    sig = simhash128_signatures(docs)
+    want = set()
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        h = int(
+            (
+                _popcount64(sig[i, 0:1] ^ sig[j, 0:1])
+                + _popcount64(sig[i, 1:2] ^ sig[j, 1:2])
+            )[0]
+        )
+        if h <= 6:
+            want.add((i, j))
+    got = simhash_dedup(
+        rd.from_arrow(t), "text", "doc_id", max_hamming=6, sig_bits=128
+    ).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
+    assert want and want <= found == want  # exact recall AND precision

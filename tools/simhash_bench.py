@@ -6,7 +6,11 @@ SimHash recall on 1-2-token-edit 120-token docs is softer than
 MinHash's (an edit flips several signature bits), so the number
 reported is the honest recall of the op at its defaults, not a target.
 
-Usage: python tools/simhash_bench.py [n_docs] [n_shards]
+Usage: python tools/simhash_bench.py [n_docs] [n_shards] [n_bands]
+       [max_hamming] [sig_bits]
+sig_bits=128 runs the Manku combination-banding variant (28 block-pair
+tables, 32-bit keys — flat occupancy at 10^8; pass max_hamming≈6, the
+128-bit distance scale is ~2x the 64-bit one).
 """
 
 from __future__ import annotations
@@ -23,7 +27,7 @@ from tools.dedup_bench import gen_corpus  # noqa: E402
 
 
 def main(n_docs: int, n_shards: int, n_bands: int = 4,
-         max_hamming: int = 3) -> None:
+         max_hamming: int = 3, sig_bits: int = 64) -> None:
     from sod_ray.stages.dedup import simhash_dedup
 
     ray.init(
@@ -36,7 +40,8 @@ def main(n_docs: int, n_shards: int, n_bands: int = 4,
     ds = ray.data.read_parquet(out)
     t0 = time.time()
     pairs = simhash_dedup(
-        ds, "text", "doc_id", max_hamming=max_hamming, n_bands=n_bands
+        ds, "text", "doc_id", max_hamming=max_hamming, n_bands=n_bands,
+        sig_bits=sig_bits,
     ).to_pandas()
     wall = time.time() - t0
 
@@ -46,6 +51,7 @@ def main(n_docs: int, n_shards: int, n_bands: int = 4,
         json.dumps(
             {
                 "n_docs": n_docs,
+                "sig_bits": sig_bits,
                 "n_bands": n_bands,
                 "max_hamming": max_hamming,
                 "gen_sec": round(gen_s, 1),
@@ -66,4 +72,5 @@ if __name__ == "__main__":
         int(sys.argv[2]) if len(sys.argv) > 2 else 32,
         int(sys.argv[3]) if len(sys.argv) > 3 else 4,
         int(sys.argv[4]) if len(sys.argv) > 4 else 3,
+        int(sys.argv[5]) if len(sys.argv) > 5 else 64,
     )
