@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "minhash_pairs_documents",
     "jaccard_exact_pairs",
     "simhash_pairs_documents",
+    "simhash128_pairs_documents",
     "embedding_neardup_pairs",
     "knn_cosine_top5",
     "events_asof_prior_click",

@@ -34,8 +34,23 @@ def arrow_block_refs(ds) -> list:
     to_arrow_refs' plan re-execution. Bundles whose schema is an Arrow
     schema pass through zero-copy; pandas-block bundles get a per-block
     remote conversion (same behavior as to_arrow_refs' fallback path)."""
+    return arrow_block_refs_with_rows(ds)[0]
+
+
+def arrow_block_refs_with_rows(ds) -> tuple[list, int | None]:
+    """(block refs, total row count) — the count comes free from the
+    RefBundle metadata (no ray.get), letting exchange fan-out size
+    itself to the data instead of always spawning cluster-CPU reduce
+    tasks for a 2k-row input. None when any bundle lacks a count."""
     out = []
+    total: int | None = 0
     for bundle in ds.iter_internal_ref_bundles():
+        if total is not None:
+            try:
+                n = bundle.num_rows()
+                total = None if n is None else total + n
+            except Exception:
+                total = None
         # A None schema does NOT guarantee Arrow blocks (a pandas-block
         # bundle can carry one too) — peek at the first block to decide.
         # ray.get on an Arrow block is zero-copy, so the probe is cheap;
@@ -48,4 +63,4 @@ def arrow_block_refs(ds) -> list:
             zero_copy = True
         for br in bundle.block_refs:
             out.append(br if zero_copy else _to_arrow_block.remote(br))
-    return out
+    return out, total

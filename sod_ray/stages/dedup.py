@@ -753,7 +753,8 @@ def _verify_pairs_distributed(
     referenced docs in one scan, so the joins shuffle candidate-sized
     tables. Dup-heavy corpora past the limit fall back to the full
     join, which is then the right shape anyway."""
-    num_partitions = _join_partitions(num_partitions)
+    # num_partitions=None → bucketed_equi_join sizes the fan-out to the
+    # candidate volume (RefBundle row metadata, no extra execution)
     n_pairs = pairs.count()
     if endpoint_broadcast_limit is None:
         endpoint_broadcast_limit = broadcast_rows_budget(
@@ -796,10 +797,17 @@ def _verify_pairs_distributed(
 
     sa = sig_rows.map_batches(as_a, batch_format="pyarrow")
     sb = sig_rows.map_batches(as_b, batch_format="pyarrow")
-    # materialize between the two joins: running both aggregator pools
-    # concurrently doubles the actor footprint for no pipelining win
-    j1 = pairs.join(sa, "inner", num_partitions, on=("id_a",)).materialize()
-    j = j1.join(sb, "inner", num_partitions, on=("id_b",))
+    # raw-task bucket-exchange hash joins (stages.joins.bucketed_equi_join)
+    # instead of the native alpha hash-shuffle join: no aggregator actor
+    # pools (~1.4 s fixed startup ×2 measured on a 2k-row corpus), and
+    # the fan-out sizes itself to the candidate volume. Materialize
+    # between the two so the second join's splits read landed blocks.
+    from .joins import bucketed_equi_join
+
+    j1 = bucketed_equi_join(
+        pairs, sa, "id_a", num_buckets=num_partitions
+    ).materialize()
+    j = bucketed_equi_join(j1, sb, "id_b", num_buckets=num_partitions)
 
     def est_batch(t: pa.Table) -> pa.Table:
         if len(t) == 0:

@@ -115,20 +115,34 @@ def exchange_reduce(ds, key_col: str, fn, num_buckets: int | None = None):
     all rows sharing a key value land in the same bucket — so any
     per-key reduction computed inside ``fn`` is globally correct.
     String keys: add a ``hash64`` column first. Returns a Dataset built
-    from the P reduce outputs."""
+    from the P reduce outputs.
+
+    Fan-out sizes itself to the data when ``num_buckets`` is None: the
+    cluster-CPU default, capped at one bucket per ~64k input rows (the
+    row count comes free from the RefBundle metadata) — a 2k-row input
+    runs ONE reduce task instead of paying 32 tasks of fixed overhead,
+    while anything big enough to care still gets the full fan-out."""
+    from .blocks import arrow_block_refs_with_rows
+
+    refs, total_rows = arrow_block_refs_with_rows(ds)
     P = num_buckets or _default_buckets()
-    refs = arrow_block_refs(ds)
+    if num_buckets is None and total_rows is not None:
+        P = max(1, min(P, -(-total_rows // 65536)))
     if not refs:
         return ds.map_batches(fn, batch_format="pyarrow")
-    splits = [
-        _split_block.options(num_returns=P).remote(r, key_col, P)
-        for r in refs
-    ]
-    if P == 1:  # options(num_returns=1) unwraps the tuple
-        splits = [[s] for s in splits]
-    outs = [
-        _reduce_bucket.remote(fn, *[s[p] for s in splits]) for p in range(P)
-    ]
+    if P == 1:
+        # one bucket == all rows: no split stage at all, one reduce
+        # over the blocks themselves
+        outs = [_reduce_bucket.remote(fn, *refs)]
+    else:
+        splits = [
+            _split_block.options(num_returns=P).remote(r, key_col, P)
+            for r in refs
+        ]
+        outs = [
+            _reduce_bucket.remote(fn, *[s[p] for s in splits])
+            for p in range(P)
+        ]
     import ray.data as rd
 
     return rd.from_arrow_refs(outs)

@@ -475,7 +475,7 @@ def bucketed_equi_join(
     left_ds,
     right_ds,
     key: str,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     join_type: str = "inner",
 ):
     """Both-sides-large hash equi-join: EXPLICIT hash-bucket exchange
@@ -494,11 +494,15 @@ def bucketed_equi_join(
     ``join_type``: "inner" or "left outer". NULL keys never match
     (SQL semantics). One bucket's rows from both sides must fit in one
     worker — hot keys need a pre-salt, same contract as ``asof_join``.
+    ``num_buckets=None`` sizes the fan-out to the data (64, capped at
+    one bucket per ~64k rows of the larger side — free from RefBundle
+    metadata), so a 2k-row join runs one task instead of 64.
     """
     import ray
     import ray.data as rd
 
     from ..state.sketches import hash64
+    from .blocks import arrow_block_refs_with_rows
 
     def _arrow_schema(ds):
         # pandas-block upstreams (e.g. map_groups) report a
@@ -512,7 +516,15 @@ def bucketed_equi_join(
 
     left_schema = _arrow_schema(left_ds)
     right_schema = _arrow_schema(right_ds)
-    P = num_buckets
+    left_refs, left_rows = arrow_block_refs_with_rows(left_ds)
+    right_refs, right_rows = arrow_block_refs_with_rows(right_ds)
+    if num_buckets is None:
+        big = max(left_rows or 0, right_rows or 0)
+        P = 64 if left_rows is None or right_rows is None else max(
+            1, min(64, -(-big // 65536))
+        )
+    else:
+        P = num_buckets
 
     def _split(t, schema: pa.Schema):
         if isinstance(t, pd.DataFrame):  # defensive: arrow_block_refs converts these
@@ -552,13 +564,16 @@ def bucketed_equi_join(
         right = pa.concat_tables(rp) if rp else right_schema.empty_table()
         return left.join(right, keys=key, join_type=join_type)
 
+    if P == 1:
+        # one bucket == everything: join the raw blocks in one task
+        return rd.from_arrow_refs(
+            [join_bucket.remote(len(left_refs), *left_refs, *right_refs)]
+        )
     left_splits = [
-        split_left.options(num_returns=P).remote(r)
-        for r in arrow_block_refs(left_ds)
+        split_left.options(num_returns=P).remote(r) for r in left_refs
     ]
     right_splits = [
-        split_right.options(num_returns=P).remote(r)
-        for r in arrow_block_refs(right_ds)
+        split_right.options(num_returns=P).remote(r) for r in right_refs
     ]
     buckets = [
         join_bucket.remote(
