@@ -1203,9 +1203,16 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     bucket_col: str | None = None,
 ):
-    """Exact n-gram Jaccard similarity for pairs, restricted to buckets
-    (a provided grouping column, e.g. lang or an LSH band) so the
-    quadratic verify never runs globally."""
+    """Exact n-gram Jaccard similarity for pairs.
+
+    ``bucket_col=None`` (global) routes straight to
+    :func:`jaccard_all_pairs` — the three-exchange scale shape, no
+    per-group Python (r4; same tokenization, hashed shingles). With a
+    ``bucket_col`` (e.g. lang or an LSH band) the quadratic verify runs
+    per bucket via ``map_groups`` — a small-bucket contract by
+    definition (the caller chose buckets to keep the verify local)."""
+    if bucket_col is None:
+        return jaccard_all_pairs(ds, text_col, id_col, n=n, threshold=threshold)
 
     def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(id_col).sort_values(id_col, kind="stable")
@@ -1243,14 +1250,9 @@ def ngram_jaccard_pairs(
             }
         )
 
-    key = bucket_col or "__no_bucket"
-    src = ds
-    if bucket_col is None:
-        src = ds.map_batches(
-            lambda t: t.append_column("__no_bucket", pa.array(np.zeros(len(t), dtype=np.int32))),
-            batch_format="pyarrow",
-        )
-    return src.groupby(key).map_groups(per_bucket, batch_format="pandas")
+    return ds.groupby(bucket_col).map_groups(
+        per_bucket, batch_format="pandas"
+    )
 
 
 def jaccard_all_pairs(
