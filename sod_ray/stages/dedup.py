@@ -997,6 +997,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     n_bands: int = 4,
     sig_bits: int = 64,
+    table_design: str = "all",
 ):
     """SimHash near-dup: banded bucket keys (any doc pair within the
     guaranteed hamming radius shares ≥1 exact key by pigeonhole) →
@@ -1016,6 +1017,13 @@ def simhash_dedup(
       hamming ≤ 6 (≈ the 64-bit ≤3 semantic at the 2× finer distance
       scale) with 32-bit keys, so bucket occupancy stays ~n/2³² « 1
       at 10⁸ docs. 28 slim rows/doc instead of 4 is the price.
+      ``table_design="matching"`` keys only the perfect matching
+      {(0,1),(2,3),(4,5),(6,7)} — 4 tables, SAME row volume as the
+      64-bit mode, 32-bit keys: ≤3 flipped bits leave ≥5 clean
+      blocks, and 5 vertices over 4 disjoint edges must contain a
+      full edge (pigeonhole), so recall is GUARANTEED
+      to hamming ≤ 3 with flat occupancy at 10⁸ docs — the cheap
+      high-capacity mode; beyond radius 3 it is probabilistic.
       ``n_bands`` is ignored in this mode.
 
     Scale shape (same exchange machinery as the MinHash chain, but
@@ -1031,6 +1039,10 @@ def simhash_dedup(
 
     if sig_bits not in (64, 128):
         raise ValueError(f"sig_bits must be 64 or 128, got {sig_bits}")
+    if table_design not in ("all", "matching"):
+        raise ValueError(
+            f"table_design must be 'all' or 'matching', got {table_design!r}"
+        )
     sig_cols = ["simhash"] if sig_bits == 64 else ["sh_lo", "sh_hi"]
 
     def add_simhash(batch: pa.Table) -> pa.Table:
@@ -1060,7 +1072,11 @@ def simhash_dedup(
         for b in range(4):
             blocks[b] = (lo >> np.uint64(16 * b)) & mask16
             blocks[4 + b] = (hi >> np.uint64(16 * b)) & mask16
-        combos = list(combinations(range(8), 2))  # 28 tables
+        combos = (
+            [(0, 1), (2, 3), (4, 5), (6, 7)]  # h≤3 guarantee, 4 tables
+            if table_design == "matching"
+            else list(combinations(range(8), 2))  # h≤6, 28 tables
+        )
         bks = [
             (np.int64(t) << 56)
             | ((blocks[i] << np.uint64(16)) | blocks[j]).astype(np.int64)

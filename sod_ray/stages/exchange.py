@@ -129,7 +129,12 @@ def exchange_reduce(ds, key_col: str, fn, num_buckets: int | None = None):
     if num_buckets is None and total_rows is not None:
         P = max(1, min(P, -(-total_rows // 65536)))
     if not refs:
-        return ds.map_batches(fn, batch_format="pyarrow")
+        # zero executed blocks: materialize fn's typed empty output so
+        # downstream consumers still see the reduce schema (a bare
+        # map_batches over no blocks yields a schema-less Dataset)
+        import ray.data as rd
+
+        return rd.from_arrow(fn(pa.table({})))
     if P == 1:
         # one bucket == all rows: no split stage at all, one reduce
         # over the blocks themselves

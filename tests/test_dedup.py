@@ -924,3 +924,56 @@ def test_simhash_dedup_128_guarantee(ray_session):
     ).to_pandas()
     found = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
     assert want and want <= found == want  # exact recall AND precision
+
+
+def test_simhash_dedup_128_matching_guarantee(ray_session):
+    """table_design='matching' (4 tables, 64-bit-mode row volume) must
+    find EVERY pair within hamming<=3 of the 128-bit distance — the
+    perfect-matching pigeonhole: <=3 flips leave >=5 clean blocks, and
+    5 vertices over 4 disjoint edges contain a full edge."""
+    import itertools
+
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import (
+        _popcount64,
+        simhash128_signatures,
+        simhash_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(400)]
+    docs = []
+    for i in range(60):
+        base = rng.choice(words, size=300).tolist()  # long docs: a
+        # one-token edit flips ~3 of 128 bits, so radius-3 twins exist
+        docs.append(" ".join(base))
+        if i % 2 == 0:
+            tw = list(base)
+            tw[7] = "zz"
+            docs.append(" ".join(tw))
+        if i % 7 == 0:  # exact dup (distance 0) floor
+            docs.append(" ".join(base))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    sig = simhash128_signatures(docs)
+    want = set()
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        h = int(
+            (
+                _popcount64(sig[i, 0:1] ^ sig[j, 0:1])
+                + _popcount64(sig[i, 1:2] ^ sig[j, 1:2])
+            )[0]
+        )
+        if h <= 3:
+            want.add((i, j))
+    got = simhash_dedup(
+        rd.from_arrow(t), "text", "doc_id", max_hamming=3, sig_bits=128,
+        table_design="matching",
+    ).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
+    assert want and found == want  # exact recall AND precision

@@ -27,7 +27,8 @@ from tools.dedup_bench import gen_corpus  # noqa: E402
 
 
 def main(n_docs: int, n_shards: int, n_bands: int = 4,
-         max_hamming: int = 3, sig_bits: int = 64) -> None:
+         max_hamming: int = 3, sig_bits: int = 64,
+         table_design: str = "all") -> None:
     from sod_ray.stages.dedup import simhash_dedup
 
     ray.init(
@@ -41,7 +42,7 @@ def main(n_docs: int, n_shards: int, n_bands: int = 4,
     t0 = time.time()
     pairs = simhash_dedup(
         ds, "text", "doc_id", max_hamming=max_hamming, n_bands=n_bands,
-        sig_bits=sig_bits,
+        sig_bits=sig_bits, table_design=table_design,
     ).to_pandas()
     wall = time.time() - t0
 
@@ -52,6 +53,7 @@ def main(n_docs: int, n_shards: int, n_bands: int = 4,
             {
                 "n_docs": n_docs,
                 "sig_bits": sig_bits,
+                "table_design": table_design,
                 "n_bands": n_bands,
                 "max_hamming": max_hamming,
                 "gen_sec": round(gen_s, 1),
@@ -73,4 +75,5 @@ if __name__ == "__main__":
         int(sys.argv[3]) if len(sys.argv) > 3 else 4,
         int(sys.argv[4]) if len(sys.argv) > 4 else 3,
         int(sys.argv[5]) if len(sys.argv) > 5 else 64,
+        sys.argv[6] if len(sys.argv) > 6 else "all",
     )
