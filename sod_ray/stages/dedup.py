@@ -1024,6 +1024,11 @@ def simhash_dedup(
       full edge (pigeonhole), so recall is GUARANTEED
       to hamming ≤ 3 with flat occupancy at 10⁸ docs — the cheap
       high-capacity mode; beyond radius 3 it is probabilistic.
+      ``table_design="cliques"`` (two disjoint K4s, 12 tables) is the
+      middle point: ≤5 flips leave ≥3 clean blocks, two of which
+      share a clique — hamming ≤ 5 guaranteed at 3× matching's row
+      volume (provably minimal for h≤5: the uncovered pair graph
+      must be triangle-free, Turán caps it at 16 of 28 edges).
       ``n_bands`` is ignored in this mode.
 
     Scale shape (same exchange machinery as the MinHash chain, but
@@ -1039,9 +1044,10 @@ def simhash_dedup(
 
     if sig_bits not in (64, 128):
         raise ValueError(f"sig_bits must be 64 or 128, got {sig_bits}")
-    if table_design not in ("all", "matching"):
+    if table_design not in ("all", "matching", "cliques"):
         raise ValueError(
-            f"table_design must be 'all' or 'matching', got {table_design!r}"
+            "table_design must be 'all', 'matching' or 'cliques', "
+            f"got {table_design!r}"
         )
     sig_cols = ["simhash"] if sig_bits == 64 else ["sh_lo", "sh_hi"]
 
@@ -1072,11 +1078,20 @@ def simhash_dedup(
         for b in range(4):
             blocks[b] = (lo >> np.uint64(16 * b)) & mask16
             blocks[4 + b] = (hi >> np.uint64(16 * b)) & mask16
-        combos = (
-            [(0, 1), (2, 3), (4, 5), (6, 7)]  # h≤3 guarantee, 4 tables
-            if table_design == "matching"
-            else list(combinations(range(8), 2))  # h≤6, 28 tables
-        )
+        if table_design == "matching":
+            combos = [(0, 1), (2, 3), (4, 5), (6, 7)]  # h≤3, 4 tables
+        elif table_design == "cliques":
+            # two disjoint K4s: any 3 clean blocks put 2 in one clique
+            # (pigeonhole) whose pair-table both docs share → h≤5
+            # guaranteed with 12 tables (provably minimal: the
+            # complement must be triangle-free, Turán caps it at 16 of
+            # the 28 edges)
+            combos = [
+                (i, j) for g in (range(4), range(4, 8))
+                for i in g for j in g if i < j
+            ]
+        else:
+            combos = list(combinations(range(8), 2))  # h≤6, 28 tables
         bks = [
             (np.int64(t) << 56)
             | ((blocks[i] << np.uint64(16)) | blocks[j]).astype(np.int64)

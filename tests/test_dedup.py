@@ -977,3 +977,52 @@ def test_simhash_dedup_128_matching_guarantee(ray_session):
     ).to_pandas()
     found = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
     assert want and found == want  # exact recall AND precision
+
+
+def test_simhash_dedup_128_cliques_guarantee(ray_session):
+    """table_design='cliques' (two disjoint K4s, 12 tables) must find
+    EVERY pair within hamming<=5: <=5 flips leave >=3 clean blocks,
+    two of which share a clique whose pair-table both docs hit."""
+    import itertools
+
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import (
+        _popcount64,
+        simhash128_signatures,
+        simhash_dedup,
+    )
+
+    rng = np.random.default_rng(23)
+    words = [f"w{i}" for i in range(400)]
+    docs = []
+    for i in range(60):
+        base = rng.choice(words, size=200).tolist()
+        docs.append(" ".join(base))
+        if i % 2 == 0:
+            tw = list(base)
+            tw[3] = "zz"
+            docs.append(" ".join(tw))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    sig = simhash128_signatures(docs)
+    want = set()
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        h = int(
+            (
+                _popcount64(sig[i, 0:1] ^ sig[j, 0:1])
+                + _popcount64(sig[i, 1:2] ^ sig[j, 1:2])
+            )[0]
+        )
+        if h <= 5:
+            want.add((i, j))
+    got = simhash_dedup(
+        rd.from_arrow(t), "text", "doc_id", max_hamming=5, sig_bits=128,
+        table_design="cliques",
+    ).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
+    assert want and found == want
