@@ -589,7 +589,10 @@ def _bucket_hot_keys(*pieces) -> np.ndarray:
 
 
 def _prune_singleton_buckets(
-    band_rows, num_partitions: int | None = None, key_col: str | None = None
+    band_rows,
+    num_partitions: int | None = None,
+    key_col: str | None = None,
+    spill_dir: str | None = None,
 ):
     """Drop band buckets holding a single doc BEFORE the per-bucket
     group pass: nearly every bucket is a singleton (no candidate pair
@@ -598,13 +601,20 @@ def _prune_singleton_buckets(
     buckets. Hot keys come from per-batch value_counts (small inputs)
     or a raw-task key exchange (large), then one broadcast filter —
     all distributed. ``key_col``: use a precomputed int64 bucket-key
-    column instead of deriving band<<56|band_hash."""
+    column instead of deriving band<<56|band_hash. ``spill_dir``:
+    land the band rows as parquet instead of pinning them in the
+    object store — the ``sig_spill_dir`` idea for band rows; at 10⁸
+    docs × 12-28 tables the band table is tens of GB, larger than a
+    node's store, and both passes below stream it fine from disk."""
     import pyarrow.compute as pc
 
     # land the band rows once: the count pass, the filter pass and the
     # downstream groupby would otherwise each re-execute the signature
     # scan through lineage
-    band_rows = band_rows.materialize()
+    if spill_dir is not None:
+        band_rows = _land_parquet(band_rows, spill_dir, "_sod_bands")
+    else:
+        band_rows = band_rows.materialize()
     n_rows = band_rows.count()
     if key_col is not None:
         def key64_of(t, _c=key_col):
@@ -998,6 +1008,7 @@ def simhash_dedup(
     n_bands: int = 4,
     sig_bits: int = 64,
     table_design: str = "all",
+    band_spill_dir: str | None = None,
 ):
     """SimHash near-dup: banded bucket keys (any doc pair within the
     guaranteed hamming radius shares ≥1 exact key by pigeonhole) →
@@ -1029,7 +1040,16 @@ def simhash_dedup(
       share a clique — hamming ≤ 5 guaranteed at 3× matching's row
       volume (provably minimal for h≤5: the uncovered pair graph
       must be triangle-free, Turán caps it at 16 of 28 edges).
-      ``n_bands`` is ignored in this mode.
+      ``table_design="triples"`` (disjoint cliques of sizes 3/3/2,
+      7 tables): ≤4 flips leave ≥4 clean blocks; any 4 vertices over
+      three cliques put two in one clique (pigeonhole) — hamming ≤ 4
+      guaranteed. Minimal too: independence number ≤ 3 forces the
+      complement K4-free, Turán caps it at 21 of 28 edges → ≥7
+      tables. The full guaranteed design space is 4/h≤3, 7/h≤4,
+      12/h≤5, 28/h≤6 — each provably minimal by the same argument
+      (h flips leave ≥ 8−h clean blocks; covering every (8−h)-subset
+      with an edge ⇔ independence ≤ 7−h ⇔ complement K(8−h)-free ⇔
+      Turán bound). ``n_bands`` is ignored in this mode.
 
     Scale shape (same exchange machinery as the MinHash chain, but
     with NO verify join — the whole verify payload is the 8/16-byte
@@ -1039,15 +1059,22 @@ def simhash_dedup(
     per-bucket kernel (lexsort → run detection → sliced upper-triangle
     pair expansion → XOR + table popcount → threshold), and a second
     exchange dedupes pairs found in several tables. No per-bucket
-    Python callable, no Dataset sort shuffles."""
+    Python callable, no Dataset sort shuffles.
+
+    ``band_spill_dir``: land the band-row table as parquet instead of
+    pinning it in the object store (the ``sig_spill_dir`` idea) — at
+    10⁸ docs the 128-bit band table is 12-28 rows × 32 B per doc
+    (38-90 GB), larger than a node's store; landed, both prune passes
+    and the verify exchange stream it from disk. Parity-tested
+    byte-identical to the in-store path."""
     from .exchange import exchange_reduce
 
     if sig_bits not in (64, 128):
         raise ValueError(f"sig_bits must be 64 or 128, got {sig_bits}")
-    if table_design not in ("all", "matching", "cliques"):
+    if table_design not in ("all", "matching", "triples", "cliques"):
         raise ValueError(
-            "table_design must be 'all', 'matching' or 'cliques', "
-            f"got {table_design!r}"
+            "table_design must be 'all', 'matching', 'triples' or "
+            f"'cliques', got {table_design!r}"
         )
     sig_cols = ["simhash"] if sig_bits == 64 else ["sh_lo", "sh_hi"]
 
@@ -1080,6 +1107,14 @@ def simhash_dedup(
             blocks[4 + b] = (hi >> np.uint64(16 * b)) & mask16
         if table_design == "matching":
             combos = [(0, 1), (2, 3), (4, 5), (6, 7)]  # h≤3, 4 tables
+        elif table_design == "triples":
+            # disjoint cliques 3/3/2: any 4 clean blocks put 2 in one
+            # clique → h≤4 guaranteed with 7 tables (minimal: Turán)
+            combos = [
+                (0, 1), (0, 2), (1, 2),
+                (3, 4), (3, 5), (4, 5),
+                (6, 7),
+            ]
         elif table_design == "cliques":
             # two disjoint K4s: any 3 clean blocks put 2 in one clique
             # (pigeonhole) whose pair-table both docs share → h≤5
@@ -1110,6 +1145,7 @@ def simhash_dedup(
     band_rows = _prune_singleton_buckets(
         ds.map_batches(add_simhash, batch_format="pyarrow"),
         key_col="bk",
+        spill_dir=band_spill_dir,
     )
 
     pair_schema = pa.schema(

@@ -1026,3 +1026,85 @@ def test_simhash_dedup_128_cliques_guarantee(ray_session):
     ).to_pandas()
     found = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
     assert want and found == want
+
+
+def test_simhash_dedup_band_spill_dir_parity(ray_session, doc_table, tmp_path):
+    """band_spill_dir (band rows parquet-landed instead of store-pinned)
+    must yield the exact same pair set + hamming values as the default
+    in-store path — the 10^8-doc shape, parity-pinned small."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import simhash_dedup
+
+    base = (
+        simhash_dedup(
+            rd.from_arrow(doc_table), "text", "doc_id",
+            max_hamming=6, sig_bits=128, table_design="cliques",
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    spilled = (
+        simhash_dedup(
+            rd.from_arrow(doc_table), "text", "doc_id",
+            max_hamming=6, sig_bits=128, table_design="cliques",
+            band_spill_dir=str(tmp_path / "bands"),
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert base.equals(spilled)
+    # the landed table lives in a function-owned subdir of the caller path
+    assert (tmp_path / "bands" / "_sod_bands").exists()
+
+
+def test_simhash_dedup_128_triples_guarantee(ray_session):
+    """table_design='triples' (disjoint cliques 3/3/2, 7 tables) must
+    find EVERY pair within hamming<=4: <=4 flips leave >=4 clean
+    blocks, two of which share a clique whose pair-table both docs
+    hit (minimal by Turán: independence<=3 needs >=7 edges)."""
+    import itertools
+
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import (
+        _popcount64,
+        simhash128_signatures,
+        simhash_dedup,
+    )
+
+    rng = np.random.default_rng(31)
+    words = [f"w{i}" for i in range(400)]
+    docs = []
+    for i in range(60):
+        base = rng.choice(words, size=200).tolist()
+        docs.append(" ".join(base))
+        if i % 2 == 0:
+            tw = list(base)
+            tw[5] = "yy"
+            docs.append(" ".join(tw))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    sig = simhash128_signatures(docs)
+    want = set()
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        h = int(
+            (
+                _popcount64(sig[i, 0:1] ^ sig[j, 0:1])
+                + _popcount64(sig[i, 1:2] ^ sig[j, 1:2])
+            )[0]
+        )
+        if h <= 4:
+            want.add((i, j))
+    got = simhash_dedup(
+        rd.from_arrow(t), "text", "doc_id", max_hamming=4, sig_bits=128,
+        table_design="triples",
+    ).to_pandas()
+    found = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
+    assert want and found == want
