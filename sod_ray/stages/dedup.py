@@ -38,7 +38,20 @@ def _land_parquet(rows, spill_dir: str, subname: str):
     ``spill_dir`` and return a streaming reader over it. Only that
     subdirectory is ever cleared between runs — pointing ``spill_dir``
     at a pre-existing directory can never delete caller data (the old
-    behavior rmtree'd the caller-supplied path unconditionally)."""
+    behavior rmtree'd the caller-supplied path unconditionally).
+
+    The landing write runs under a capped executor object-store budget
+    (25% of the smallest node's store): a fast producer (e.g. the
+    SimHash band expansion, a 28× tile of each input block) otherwise
+    outruns the parquet writers until the store fills and raylet
+    SPILLS the backlog to disk — the same bytes then hit disk twice
+    (raylet spill + landed parquet) and a 50M-doc × 28-table landing
+    ENOSPC'd this VM. Capping the budget turns that backlog into
+    streaming backpressure. The cap is set on the DATASET's own
+    context copy — a Dataset snapshots DataContext at creation, so
+    mutating the global context here would be a silent no-op (the
+    first version of this cap was exactly that: 31 GB of raylet
+    spill sailed straight past it)."""
     import shutil
 
     import ray.data as rd
@@ -46,7 +59,35 @@ def _land_parquet(rows, spill_dir: str, subname: str):
     sub = os.path.join(spill_dir, subname)
     shutil.rmtree(sub, ignore_errors=True)
     os.makedirs(sub, exist_ok=True)
-    rows.write_parquet(sub)
+    from ray.data._internal.execution.interfaces.execution_options import (
+        ExecutionResources,
+    )
+
+    opts = getattr(
+        rows, "context", rd.DataContext.get_current()
+    ).execution_options
+    prev = opts.resource_limits
+    store = None
+    try:
+        if ray.is_initialized():
+            sizes = [
+                n["Resources"]["object_store_memory"]
+                for n in ray.nodes()
+                if n.get("Alive")
+                and n.get("Resources", {}).get("object_store_memory")
+            ]
+            if sizes:
+                store = min(sizes)
+    except Exception:
+        pass
+    try:
+        if store:
+            opts.resource_limits = ExecutionResources(
+                object_store_memory=int(store * 0.25)
+            )
+        rows.write_parquet(sub)
+    finally:
+        opts.resource_limits = prev
     return rd.read_parquet(sub)
 
 
@@ -588,6 +629,34 @@ def _bucket_hot_keys(*pieces) -> np.ndarray:
     return dup[np.concatenate(([True], dup[1:] != dup[:-1]))]
 
 
+def _broadcast_key_filter(band_rows, key64_of, hot_np: np.ndarray):
+    """Keep only rows whose composite key is in ``hot_np``: broadcast
+    the keys SORTED once and probe per batch with ``np.searchsorted``.
+
+    Not ``pc.is_in``: is_in rebuilds its hash set from the value_set on
+    EVERY call, and map_batches cuts blocks into ~131k-row batches — a
+    16M-key set costs ~2.3 s to build, so a 1.4B-row filter pays
+    ~10,600 rebuilds (~25 CPU-min/worker; measured grinding 32 CPUs for
+    18+ min on the 50M-doc × 28-table SimHash corpus). The sorted-probe
+    is O(batch · log keys) with zero per-batch setup, so plain tasks
+    (zero-copy local ray.get) stay the right choice over an actor pool."""
+    hot_np = np.sort(hot_np)
+    key_ref = ray.put(hot_np)
+
+    def hot_filter(t: pa.Table) -> pa.Table:
+        hot = ray.get(key_ref)
+        if hot.shape[0] == 0 or t.num_rows == 0:
+            return t.slice(0, 0)
+        ks = key64_of(t).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(hot, ks)
+        mask = hot[np.minimum(pos, hot.shape[0] - 1)] == ks
+        return t.filter(pa.array(mask))
+
+    return band_rows.map_batches(
+        hot_filter, batch_format="pyarrow"
+    ).materialize()
+
+
 def _prune_singleton_buckets(
     band_rows,
     num_partitions: int | None = None,
@@ -640,26 +709,29 @@ def _prune_singleton_buckets(
             .sum()
         )
         hot_np = pdf.loc[pdf["c"] >= 2, "key"].to_numpy()
-        key_ref = ray.put(pa.array(hot_np, pa.int64()))
-
-        # plain task, not an actor pool: ray.get of an arrow array from
-        # the local store is zero-copy, so nothing is worth caching and
-        # tasks skip the actor-startup latency
-        def hot_filter(t: pa.Table) -> pa.Table:
-            return t.filter(pc.is_in(key64_of(t), value_set=ray.get(key_ref)))
-
-        return band_rows.map_batches(
-            hot_filter, batch_format="pyarrow"
-        ).materialize()
+        return _broadcast_key_filter(band_rows, key64_of, hot_np)
 
     # >5M band rows: sharded hot-key detection via a raw-task hash-
     # bucket exchange of ONLY the 8-byte composite keys (the
     # sort-based count groupby measured 80+ s on 16M rows; this moves
     # the same bytes in one O(n) pass — same pattern as stages/cc.py)
     P = 32
-    refs = arrow_block_refs(band_rows)
+    # pin ONLY the 8-byte composite keys for the count exchange:
+    # arrow_block_refs executes the plan and holds every block ref, so
+    # pinning the full band rows would re-materialize the just-landed
+    # table into the store (45 GB at 50M docs × 28 tables vs a 37.6 GB
+    # store — measured: raylet spilled it straight back to disk until
+    # ENOSPC). The key projection is 4× slimmer and is all this pass
+    # needs; the filter pass below re-streams the full rows.
+    def project_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"__key64": pa.array([], pa.int64())})
+        return pa.table({"__key64": key64_of(t)})
+
+    slim_keys = band_rows.map_batches(project_keys, batch_format="pyarrow")
+    refs = arrow_block_refs(slim_keys)
     splits = [
-        _bucket_keys_split.options(num_returns=P).remote(r, P, key_col)
+        _bucket_keys_split.options(num_returns=P).remote(r, P, "__key64")
         for r in refs
     ]
     if P == 1:  # options(num_returns=1) would unwrap the tuple
@@ -673,16 +745,8 @@ def _prune_singleton_buckets(
     if hot_np.shape[0] <= broadcast_rows_budget(bytes_per_row=8, fraction=0.004):
         # dup buckets are few (the common case — planted-dup corpora
         # measure <1% of docs in dup buckets): broadcast the composite
-        # keys once, filter with a vectorized is_in. 8 B/key → ≤160 MB.
-        key_ref = ray.put(pa.array(hot_np, pa.int64()))
-
-        def hot_filter(t: pa.Table) -> pa.Table:
-            # plain task: broadcast key array is a zero-copy local read
-            return t.filter(pc.is_in(key64_of(t), value_set=ray.get(key_ref)))
-
-        return band_rows.map_batches(
-            hot_filter, batch_format="pyarrow"
-        ).materialize()
+        # keys once. 8 B/key → ≤160 MB.
+        return _broadcast_key_filter(band_rows, key64_of, hot_np)
     # dup-heavy corpus (>20M dup buckets): broadcast would pin too
     # much worker heap — distributed hash join against the hot-key
     # table instead
@@ -779,13 +843,23 @@ def _verify_pairs_distributed(
             if parts
             else np.empty(0, np.int64)
         )
-        ep_ref = ray.put(pa.array(eps, pa.int64()))
+        ep_ref = ray.put(eps)  # already unique-sorted
 
         def sig_filter(t: pa.Table) -> pa.Table:
-            # plain task: the broadcast id array is a zero-copy local read
-            return t.filter(
-                pc.is_in(t[id_col].cast(pa.int64()), value_set=ray.get(ep_ref))
+            # plain task: the broadcast id array is a zero-copy local
+            # read. Sorted-probe, not pc.is_in — is_in rebuilds its
+            # hash set per ~131k-row batch (~2.3 s at 16M ids; see
+            # _broadcast_key_filter), searchsorted has no per-batch
+            # setup.
+            ep = ray.get(ep_ref)
+            if ep.shape[0] == 0 or t.num_rows == 0:
+                return t.slice(0, 0)
+            ids = (
+                t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
             )
+            pos = np.searchsorted(ep, ids)
+            mask = ep[np.minimum(pos, ep.shape[0] - 1)] == ids
+            return t.filter(pa.array(mask))
 
         # land the (endpoint-sized) subset: sa and sb both branch off it,
         # so an unlanded filter would rescan the full sig table twice

@@ -1108,3 +1108,28 @@ def test_simhash_dedup_128_triples_guarantee(ray_session):
     ).to_pandas()
     found = {tuple(sorted(p)) for p in zip(got["id_a"], got["id_b"])}
     assert want and found == want
+
+
+def test_prune_singleton_large_path_parity(ray_session, doc_table, monkeypatch):
+    """The >budget prune path (raw-task key-count exchange + broadcast
+    filter, keys PROJECTED before block pinning) must produce the same
+    pair set as the small value-counts path — forced by shrinking the
+    broadcast budget to zero."""
+    import ray.data as rd
+
+    from sod_ray.stages import dedup as dd
+
+    base = (
+        dd.simhash_dedup(rd.from_arrow(doc_table), "text", "doc_id")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(dd, "broadcast_rows_budget", lambda **kw: 0)
+    forced = (
+        dd.simhash_dedup(rd.from_arrow(doc_table), "text", "doc_id")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert base.equals(forced)
