@@ -355,6 +355,7 @@ def minhash_lsh_dedup(
     as_dataset: bool = False,
     pair_emission: str = "pairs",
     sig_spill_dir: str | None = None,
+    band_spill_dir: str | None = None,
 ):
     """MinHash+LSH near-dup pairs, fully distributed:
 
@@ -465,8 +466,13 @@ def minhash_lsh_dedup(
             }
         )
 
+    # ``band_spill_dir``: the band table is bands × ~20 B/doc (32 GB
+    # at 100M × 16 bands — nearly a whole 37.6 GB store); landing it
+    # as parquet keeps the store free for the candidate exchanges,
+    # same trade as sig_spill_dir.
     band_rows = _prune_singleton_buckets(
-        sig_rows.map_batches(sig_to_bands, batch_format="pyarrow")
+        sig_rows.map_batches(sig_to_bands, batch_format="pyarrow"),
+        spill_dir=band_spill_dir,
     )
 
     pairs = _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission)
@@ -1704,6 +1710,7 @@ def embedding_neardup(
     max_bucket_size: int = 256,
     pair_emission: str = "pairs",
     vec_spill_dir: str | None = None,
+    band_spill_dir: str | None = None,
 ):
     """Near-dup by cosine similarity over an embedding column:
     ``n_bands`` independent random-hyperplane LSH tables (planes
@@ -1741,13 +1748,14 @@ def embedding_neardup(
     )
     return _embedding_large(
         ds, vec_col, id_col, threshold, n_planes, seed, dim, n_bands,
-        max_bucket_size, pair_emission, vec_spill_dir,
+        max_bucket_size, pair_emission, vec_spill_dir, band_spill_dir,
     )
 
 
 def _embedding_large(
     ds, vec_col, id_col, threshold, n_planes, seed, dim, n_bands,
     max_bucket_size, pair_emission, vec_spill_dir=None,
+    band_spill_dir=None,
 ):
     """Large-corpus embedding LSH (see embedding_neardup docstring):
     lands normalized float32 vectors ONCE, shuffles only slim
@@ -1816,7 +1824,8 @@ def _embedding_large(
         )
 
     band_rows = _prune_singleton_buckets(
-        vec_rows.map_batches(vn_to_bands, batch_format="pyarrow")
+        vec_rows.map_batches(vn_to_bands, batch_format="pyarrow"),
+        spill_dir=band_spill_dir,
     )
     pairs = _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission)
 

@@ -1133,3 +1133,60 @@ def test_prune_singleton_large_path_parity(ray_session, doc_table, monkeypatch):
         .reset_index(drop=True)
     )
     assert base.equals(forced)
+
+
+def test_minhash_band_spill_dir_parity(ray_session, doc_table, tmp_path):
+    """band_spill_dir on the MinHash chain (band table parquet-landed —
+    bands x ~20 B/doc nearly fills a node's store at 10^8 x 16) must
+    not change a single pair vs the in-store path."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import minhash_lsh_dedup
+
+    instore = minhash_lsh_dedup(
+        rd.from_arrow(doc_table), "text", "doc_id", jaccard_threshold=0.5,
+        small_corpus_rows=1,
+    ).to_pandas()
+    spilled = minhash_lsh_dedup(
+        rd.from_arrow(doc_table), "text", "doc_id", jaccard_threshold=0.5,
+        small_corpus_rows=1, band_spill_dir=str(tmp_path / "bands"),
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        instore.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        spilled.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+    )
+    assert (tmp_path / "bands" / "_sod_bands").exists()
+
+
+def test_embedding_band_spill_dir_parity(ray_session, tmp_path):
+    """band_spill_dir on embedding near-dup must not change a pair."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import embedding_neardup
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=16)
+    vecs = [base, base + rng.normal(scale=0.01, size=16)] + [
+        rng.normal(size=16) for _ in range(40)
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    instore = embedding_neardup(
+        rd.from_arrow(t), "embedding", "vec_id", threshold=0.98,
+    ).to_pandas()
+    spilled = embedding_neardup(
+        rd.from_arrow(t), "embedding", "vec_id", threshold=0.98,
+        band_spill_dir=str(tmp_path / "ebands"),
+    ).to_pandas()
+    cols = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        instore.sort_values(cols).reset_index(drop=True),
+        spilled.sort_values(cols).reset_index(drop=True),
+    )
+    assert (tmp_path / "ebands" / "_sod_bands").exists()
