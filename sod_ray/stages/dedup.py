@@ -33,6 +33,25 @@ from .exchange import broadcast_rows_budget
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+def _smallest_store() -> int | None:
+    """Object-store bytes of the smallest alive node (None when no
+    cluster is up) — the per-node budget every pinning decision in
+    this module sizes against."""
+    try:
+        if ray.is_initialized():
+            sizes = [
+                n["Resources"]["object_store_memory"]
+                for n in ray.nodes()
+                if n.get("Alive")
+                and n.get("Resources", {}).get("object_store_memory")
+            ]
+            if sizes:
+                return int(min(sizes))
+    except Exception:
+        pass
+    return None
+
+
 def _land_parquet(rows, spill_dir: str, subname: str):
     """Land ``rows`` as parquet under a function-owned subdirectory of
     ``spill_dir`` and return a streaming reader over it. Only that
@@ -67,19 +86,7 @@ def _land_parquet(rows, spill_dir: str, subname: str):
         rows, "context", rd.DataContext.get_current()
     ).execution_options
     prev = opts.resource_limits
-    store = None
-    try:
-        if ray.is_initialized():
-            sizes = [
-                n["Resources"]["object_store_memory"]
-                for n in ray.nodes()
-                if n.get("Alive")
-                and n.get("Resources", {}).get("object_store_memory")
-            ]
-            if sizes:
-                store = min(sizes)
-    except Exception:
-        pass
+    store = _smallest_store()
     try:
         if store:
             opts.resource_limits = ExecutionResources(
@@ -887,17 +894,35 @@ def _verify_pairs_distributed(
 
     sa = sig_rows.map_batches(as_a, batch_format="pyarrow")
     sb = sig_rows.map_batches(as_b, batch_format="pyarrow")
-    # raw-task bucket-exchange hash joins (stages.joins.bucketed_equi_join)
-    # instead of the native alpha hash-shuffle join: no aggregator actor
-    # pools (~1.4 s fixed startup ×2 measured on a 2k-row corpus), and
-    # the fan-out sizes itself to the candidate volume. Materialize
-    # between the two so the second join's splits read landed blocks.
+    # Join backend by SIDE SIZE. The raw-task bucket-exchange join
+    # (stages.joins.bucketed_equi_join) skips the native join's
+    # aggregator-pool startup (~1.4 s ×2 on a 2k-row corpus) and sizes
+    # its fan-out to the candidates — but it PINS ~2 copies of each
+    # side (block refs + split outputs) in the object store, which is
+    # the right trade only for endpoint-filtered sides. When the
+    # candidate set overflows the endpoint budget and the side is the
+    # FULL corpus payload table, that pinning is catastrophic —
+    # measured at 30M×64d with >10M candidates: ~35 GB of raylet spill
+    # → OutOfDiskError. Big sides route to the native streaming hash
+    # join, which aggregates incrementally instead of pinning.
+    # Materialize between the two so the second join reads landed
+    # blocks (and the two aggregator pools never run concurrently).
     from .joins import bucketed_equi_join
 
-    j1 = bucketed_equi_join(
-        pairs, sa, "id_a", num_buckets=num_partitions
-    ).materialize()
-    j = bucketed_equi_join(j1, sb, "id_b", num_buckets=num_partitions)
+    try:
+        side_bytes = sig_rows.size_bytes() or 0
+    except Exception:
+        side_bytes = 0
+    store = _smallest_store()
+    if side_bytes and store and 8 * side_bytes > store:
+        parts = _join_partitions(num_partitions)
+        j1 = pairs.join(sa, "inner", parts, on=("id_a",)).materialize()
+        j = j1.join(sb, "inner", parts, on=("id_b",))
+    else:
+        j1 = bucketed_equi_join(
+            pairs, sa, "id_a", num_buckets=num_partitions
+        ).materialize()
+        j = bucketed_equi_join(j1, sb, "id_b", num_buckets=num_partitions)
 
     def est_batch(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -1672,15 +1697,21 @@ def embedding_lsh_params(
     2^n_planes cells, so a fixed 12-plane table over 1M docs leaves
     ~244 docs per bucket and candidate emission goes quadratic
     (measured: 71 GB of spilled candidate pairs at 1M×64d before this
-    guard existed). Rule: n_planes ≈ log2(n_docs) + 4 keeps expected
-    RANDOM-pair collisions per band near n_docs/16 regardless of
-    corpus size; n_bands then solves the target recall given the
-    per-band hit rate p_band = (1 − θ/π)^n_planes (capped at 64 — a
-    low threshold with many planes can make the target unreachable;
-    callers wanting exhaustive low-threshold pairs should use
+    guard existed). Rule: n_planes ≈ log2(n_docs) + 8 keeps expected
+    RANDOM-pair collisions per band near n_docs/256 under the uniform
+    model — and hyperplane cells over gaussian corpora are SKEWED
+    (unequal solid angles), so the real collision count runs well
+    above the uniform estimate: the earlier log2+4 rule (n_docs/16
+    uniform) measured 41.8 s at 10M×64d vs 25.3 s for log2+8 with
+    IDENTICAL output pairs — the noise-candidate cut dwarfs the ~20%
+    extra band rows from the recall-compensating bands. n_bands then
+    solves the target recall given the per-band hit rate
+    p_band = (1 − θ/π)^n_planes (capped at 64 — a low threshold with
+    many planes can make the target unreachable; callers wanting
+    exhaustive low-threshold pairs should use
     ``similarity.cosine_all_pairs`` instead)."""
     if n_planes is None:
-        n_planes = max(12, int(np.ceil(np.log2(max(n_docs, 2)))) + 4)
+        n_planes = max(12, int(np.ceil(np.log2(max(n_docs, 2)))) + 8)
     if n_bands is None:
         theta = float(np.arccos(np.clip(threshold, -1.0, 1.0)))
         p_band = (1.0 - theta / np.pi) ** n_planes

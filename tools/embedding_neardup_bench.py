@@ -74,6 +74,7 @@ def main(n_docs: int, dim: int, n_bands: int) -> None:
         n_bands=(n_bands or None),  # 0 → corpus-aware auto-tune
         small_corpus_rows=1,
         vec_spill_dir="/tmp/embed_bench/vn",
+        band_spill_dir="/tmp/embed_bench/bands",
     )
     pdf = pairs.to_pandas()
     wall = time.time() - t0
