@@ -8,6 +8,7 @@ dtypes and rounding must match the SQL exactly)."""
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -1755,6 +1756,163 @@ SELECT COUNT(DISTINCT user_id) AS n_users, TRUE AS hll_ok FROM events
 """
 
 
+def doc_kll_quantiles(sf_dir: str):
+    """Per-lang KLL quantiles of n_chars — the pure scale path (one
+    scan, only O(k)-byte sketch rows shuffle). Approximate values, so
+    no SQL oracle; pinned by the oracle-backed `kll_quantiles_checked`
+    twin, which re-runs this sketch and asserts its rank guarantee
+    against exact DuckDB-reproducible quantiles."""
+    from ..stages.stats import kll_column_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = (
+        kll_column_quantiles(ds, "n_chars", key="lang")
+        .select_columns(["part_key", "n", "q_25", "q_50", "q_75", "q_90"])
+        .to_pandas()
+        .sort_values("part_key")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+_KLL_QS = (0.25, 0.5, 0.75, 0.9)
+
+
+def kll_quantiles_checked(sf_dir: str):
+    """Oracle-backed KLL validation: exact per-lang quantiles under an
+    explicit rank rule (sorted[ceil(q·n)] 1-indexed — the SQL twin
+    reproduces it with ROW_NUMBER) ride next to ``kll_ok`` asserting
+    the sketch's RANK guarantee: for each q, the exact rank interval
+    of the KLL's estimate (ties give [count<, count≤]) lies within 3%
+    of q·n (k=200 ⇒ published ~1.65% @99% confidence; 3% band). The
+    SQL twin emits the exact quantiles + TRUE, so a sketch drifting
+    out of band hash-mismatches in the driver."""
+    from ..stages.stats import kll_column_quantiles
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    sk = (
+        kll_column_quantiles(ds, "n_chars", key="lang", qs=_KLL_QS)
+        .select_columns(["part_key", "q_25", "q_50", "q_75", "q_90"])
+        .to_pandas()
+        .set_index("part_key")
+    )
+
+    def exact(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["n_chars"].to_numpy().astype(np.float64))
+        n = v.shape[0]
+        row = {"lang": [g["lang"].iloc[0]], "n": [n]}
+        lang = g["lang"].iloc[0]
+        ok = True
+        for q in _KLL_QS:
+            row[f"q{int(q * 100)}_exact"] = [
+                float(v[math.ceil(q * n) - 1])
+            ]
+            est = float(sk.loc[lang, f"q_{int(round(q * 100)):02d}"])
+            lt = float(np.searchsorted(v, est, side="left"))
+            le = float(np.searchsorted(v, est, side="right"))
+            # distance from target rank q·n to the estimate's exact
+            # rank interval [lt, le] (ties widen the interval)
+            err = max(0.0, lt - q * n, q * n - le)
+            ok = ok and (err <= 0.03 * n)
+        row["kll_ok"] = [bool(ok)]
+        return pd.DataFrame(row)
+
+    out = (
+        ds.groupby("lang")
+        .map_groups(exact, batch_format="pandas")
+        .to_pandas()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+KLL_CHECKED_SQL = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS r,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT lang, MAX(n) AS n,
+       CAST(MAX(CASE WHEN r = CAST(CEIL(0.25 * n) AS BIGINT)
+                     THEN n_chars END) AS DOUBLE) AS q25_exact,
+       CAST(MAX(CASE WHEN r = CAST(CEIL(0.5 * n) AS BIGINT)
+                     THEN n_chars END) AS DOUBLE) AS q50_exact,
+       CAST(MAX(CASE WHEN r = CAST(CEIL(0.75 * n) AS BIGINT)
+                     THEN n_chars END) AS DOUBLE) AS q75_exact,
+       CAST(MAX(CASE WHEN r = CAST(CEIL(0.9 * n) AS BIGINT)
+                     THEN n_chars END) AS DOUBLE) AS q90_exact,
+       TRUE AS kll_ok
+FROM ranked GROUP BY lang
+"""
+
+
+def heavy_hitters_checked(sf_dir: str):
+    """Oracle-backed Misra–Gries validation: the exact top-10 corpus
+    tokens (SQL-reproducible — the `top50_tokens` machinery) ride next
+    to ``mg_ok`` asserting the sketch's DETERMINISTIC band: the
+    one-scan, zero-shuffle MG summary (m=512) must hold each top token
+    with ``est ≤ exact ≤ est + err_ub`` where err_ub is the sketch's
+    own tracked subtraction total (≤ n_tokens/513). The SQL twin emits
+    the exact counts + TRUE."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.stats import heavy_hitters
+
+    ds = _read(sf_dir, "documents", ["text"])
+    mg = heavy_hitters(ds, "text", tokenize=True, m=512)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(t["text"].combine_chunks())
+        )
+        if len(toks) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    top = (
+        merged.sort_values(["n", "token"], ascending=[False, True])
+        .head(10)
+        .reset_index(drop=True)
+    )
+    oks = [
+        bool(
+            mg.estimate(tok) <= n_true <= mg.estimate(tok) + mg.err_ub
+        )
+        for tok, n_true in zip(top["token"], top["n"])
+    ]
+    return pa.table(
+        {
+            "token": pa.array(top["token"], pa.string()),
+            "n": pa.array(top["n"].astype("int64"), pa.int64()),
+            "mg_ok": pa.array(oks, pa.bool_()),
+        }
+    )
+
+
+MG_CHECKED_SQL = r"""
+SELECT token, COUNT(*) AS n, TRUE AS mg_ok
+FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 10
+"""
+
+
 def psi_events_halves_exact(sf_dir: str):
     """Oracle-backed drift math: PSI + binned-KS of `value` between the
     first and second time-half of the events stream per event_type,
@@ -2963,6 +3121,10 @@ QUERIES = {
     "sketch_stats_checked": sketch_stats_checked,
     "hll_distinct_checked": hll_distinct_checked,
     "psi_events_halves_exact": psi_events_halves_exact,
+    # r4: KLL + Misra–Gries (north-star sketch set completion)
+    "doc_kll_quantiles": doc_kll_quantiles,
+    "kll_quantiles_checked": kll_quantiles_checked,
+    "heavy_hitters_checked": heavy_hitters_checked,
 }
 
 ORACLES = {
@@ -2973,6 +3135,8 @@ ORACLES = {
     "ivf_knn_full_probe": KNN_SQL,
     "sketch_stats_checked": SKETCH_CHECKED_SQL,
     "hll_distinct_checked": HLL_CHECKED_SQL,
+    "kll_quantiles_checked": KLL_CHECKED_SQL,
+    "heavy_hitters_checked": MG_CHECKED_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
     "lof_stream_frozen_checked": LOF_STREAM_SQL,

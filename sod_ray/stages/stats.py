@@ -147,6 +147,124 @@ def column_stats(
     )
 
 
+def kll_column_quantiles(
+    ds,
+    column: str,
+    key: str | None = None,
+    k: int = 200,
+    qs: tuple = (0.25, 0.5, 0.75, 0.9, 0.99),
+    batch_size: int = 8192,
+):
+    """Per-(key) KLL quantiles: map_batches partials → groupby merge.
+    Only O(k)-byte sketch rows cross the shuffle — the same
+    partial+final shape as :func:`column_stats`, with the KLL's
+    uniform RANK guarantee instead of the t-digest's value
+    interpolation. Output: one row per key with ``q_<pct>`` columns,
+    ``n``, and the serialized sketch (reusable as a drift baseline)."""
+    from ..state.sketches import KLL
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys, klls, counts = [], [], []
+        for key_val, rows in _group_indices(batch, key):
+            sub = batch if rows is None else batch.take(pa.array(rows))
+            sk = KLL(k=k).update_array(sub[column])
+            keys.append(key_val)
+            klls.append(sk.to_bytes())
+            counts.append(len(sub))
+        return pa.table(
+            {
+                "part_key": pa.array(keys, pa.string()),
+                "kll": pa.array(klls, pa.binary()),
+                "rows": pa.array(counts, pa.int64()),
+            }
+        )
+
+    qcols = [f"q_{int(round(q * 100)):02d}" for q in qs]
+
+    def merge(group: pa.Table) -> pa.Table:
+        sk = KLL(k=k)
+        for b in group["kll"].to_pylist():
+            sk.merge(KLL.from_bytes(b))
+        vals = sk.quantiles(qs)
+        cols = {
+            "part_key": [group["part_key"][0].as_py()],
+            "n": pa.array([sk.n], pa.int64()),
+        }
+        for c, v in zip(qcols, vals):
+            cols[c] = pa.array([float(v)], pa.float64())
+        cols["kll"] = pa.array([sk.to_bytes()], pa.binary())
+        return pa.table(cols)
+
+    p = ds.map_batches(
+        partials, batch_format="pyarrow", batch_size=batch_size
+    )
+    return p.groupby("part_key").map_groups(merge, batch_format="pyarrow")
+
+
+def heavy_hitters(
+    ds,
+    column: str,
+    m: int = 512,
+    tokenize: bool = False,
+    num_buckets: int = 64,
+    batch_size: int = 8192,
+):
+    """Global Misra–Gries heavy hitters over a (possibly tokenized)
+    string column — ONE corpus scan, NO data shuffle: per-batch MG
+    partials (≤ m keys, a few KB each) → two-level merge (groupby on a
+    round-robin bucket so no single worker folds every partial) →
+    the driver merges ≤ ``num_buckets`` summaries. Returns the merged
+    :class:`MisraGries`; every key with true count > ``err_ub`` is
+    guaranteed present with ``est ≤ true ≤ est + err_ub``.
+
+    The scale story vs ``top50_tokens`` (exact, one shuffle of
+    (token, n) partials): this never shuffles token rows at all —
+    at 10^12 rows the exact path moves ~vocab × batches partial rows
+    through a groupby, while this moves ~batches sketch rows."""
+    import pyarrow.compute as pc_
+
+    from ..state.sketches import MisraGries, hash64
+
+    def partials(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if tokenize:
+            col = pc_.list_flatten(pc_.utf8_split_whitespace(col))
+        sk = MisraGries(m=m).update_array(col)
+        b = sk.to_bytes()
+        # route by content hash so partials spread across the merge
+        # buckets (a constant would funnel every partial to one worker)
+        bkt = int(hash64(pa.array([b], pa.binary()))[0] % num_buckets)
+        return pa.table(
+            {
+                "bucket": pa.array([bkt], pa.int64()),
+                "mg": pa.array([b], pa.binary()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        sk = MisraGries(m=m)
+        for b in group["mg"].to_pylist():
+            sk.merge(MisraGries.from_bytes(b))
+        return pa.table(
+            {
+                "bucket": pa.array([group["bucket"][0].as_py()], pa.int64()),
+                "mg": pa.array([sk.to_bytes()], pa.binary()),
+            }
+        )
+
+    level1 = (
+        ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    out = MisraGries(m=m)
+    for b in level1.to_pandas()["mg"]:
+        out.merge(MisraGries.from_bytes(b))
+    return out
+
+
 def add_salt(batch: pa.Table, key: str, n_salt: int, row_col: str) -> pa.Table:
     """Salt a skewed key: salted_key = key + '#' + (hash(row_col) % n_salt).
 

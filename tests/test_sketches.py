@@ -365,3 +365,147 @@ def test_compact_codec_bit_identical_and_legacy_pickle():
     b2 = TDigest.from_bytes(bb)
     assert np.array_equal(b2.weights, big.weights)
     assert b2.quantile(0.9) == big.quantile(0.9)
+
+
+# ---------------------------------------------------------------------------
+# KLL quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_kll_small_n_exact():
+    from sod_ray.state.sketches import KLL
+
+    sk = KLL(k=200)
+    assert math.isnan(sk.quantile(0.5))
+    x = np.arange(100, dtype=np.float64)
+    sk.update_array(x)
+    # under the space budget no compaction happens — quantiles exact-ish
+    assert sk.n == 100 and sk.total_weight() == 100
+    assert abs(sk.quantile(0.5) - 49.5) <= 1.0
+    assert sk.quantile(0.0) == 0.0 and sk.quantile(1.0) == 99.0
+
+
+def test_kll_rank_accuracy_and_merge():
+    from sod_ray.state.sketches import KLL
+
+    rng = np.random.default_rng(11)
+    data = rng.lognormal(3.0, 2.0, size=400_000)  # heavy-tailed on purpose
+    parts = []
+    for i in range(16):
+        sk = KLL()
+        sk.update_array(data[i::16])
+        parts.append(KLL.from_bytes(sk.to_bytes()))
+    merged = parts[0]
+    for p in parts[1:]:
+        merged.merge(p)
+    # total weight is conserved exactly through every compaction/merge
+    assert merged.total_weight() == merged.n == data.size
+    sv = np.sort(data)
+    for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = merged.quantile(q)
+        rank = np.searchsorted(sv, est, side="right") / data.size
+        # k=200 published ~1.65% @99%; assert half the checked 3% band
+        assert abs(rank - q) <= 0.015, (q, rank)
+    # serialization round-trip is bit-identical on estimates
+    back = KLL.from_bytes(merged.to_bytes())
+    assert back.quantile(0.5) == merged.quantile(0.5)
+    assert back.total_weight() == merged.total_weight()
+
+
+def test_kll_merge_order_insensitive_bounds():
+    from sod_ray.state.sketches import KLL
+
+    rng = np.random.default_rng(5)
+    data = rng.normal(0, 1, size=120_000)
+    chunks = np.array_split(data, 8)
+
+    def build(order):
+        sk = KLL(k=160)
+        for i in order:
+            part = KLL(k=160, seed=1000 + i)
+            part.update_array(chunks[i])
+            sk.merge(part)
+        return sk
+
+    a = build(range(8))
+    b = build(reversed(range(8)))
+    sv = np.sort(data)
+    for q in (0.1, 0.5, 0.9):
+        for sk in (a, b):
+            rank = np.searchsorted(sv, sk.quantile(q), side="right") / data.size
+            assert abs(rank - q) <= 0.02
+    assert a.total_weight() == b.total_weight() == data.size
+
+
+def test_kll_nulls_and_cdf():
+    from sod_ray.state.sketches import KLL
+
+    arr = pa.array([1.0, None, 2.0, float("nan"), 3.0, 4.0])
+    sk = KLL().update_array(arr)
+    assert sk.n == 4
+    assert sk.cdf(2.5) == pytest.approx(0.5)
+    assert sk.cdf(100.0) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_misra_gries_deterministic_band():
+    import collections
+
+    from sod_ray.state.sketches import MisraGries
+
+    rng = np.random.default_rng(3)
+    keys = np.array([f"k{v}" for v in rng.zipf(1.3, size=300_000)])
+    parts = []
+    for i in range(8):
+        mg = MisraGries(m=128)
+        mg.update_array(pa.array(keys[i::8]))
+        parts.append(MisraGries.from_bytes(mg.to_bytes()))
+    mg = parts[0]
+    for p in parts[1:]:
+        mg.merge(p)
+    true = collections.Counter(keys.tolist())
+    assert mg.n == keys.size
+    # classic bound: accumulated subtraction <= n/(m+1)
+    assert mg.err_ub <= keys.size // (128 + 1) + 1
+    # deterministic guarantee for every tracked key: est <= true <= est+err
+    for k, est in mg.counts.items():
+        assert est <= true[k] <= est + mg.err_ub, (k, est, true[k])
+    # every key with true count > err_ub is present
+    for k, c in true.items():
+        if c > mg.err_ub:
+            assert k in mg.counts, (k, c, mg.err_ub)
+    # top-10 order matches exact top-10 for clear heavy hitters
+    exact_top = [k for k, _ in sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+    sketch_top = [k for k, _ in mg.top(5)]
+    assert sketch_top == exact_top
+
+
+def test_misra_gries_merge_commutative():
+    from sod_ray.state.sketches import MisraGries
+
+    a_keys = ["a"] * 50 + ["b"] * 30 + [f"x{i}" for i in range(200)]
+    b_keys = ["a"] * 40 + ["c"] * 25 + [f"y{i}" for i in range(200)]
+    ab = MisraGries(m=64).update_array(pa.array(a_keys)).merge(
+        MisraGries(m=64).update_array(pa.array(b_keys))
+    )
+    ba = MisraGries(m=64).update_array(pa.array(b_keys)).merge(
+        MisraGries(m=64).update_array(pa.array(a_keys))
+    )
+    assert ab.n == ba.n == len(a_keys) + len(b_keys)
+    # both orders satisfy the band for the true heavy hitter
+    for mg in (ab, ba):
+        assert mg.estimate("a") <= 90 <= mg.estimate("a") + mg.err_ub
+
+
+def test_misra_gries_serde_roundtrip():
+    from sod_ray.state.sketches import MisraGries
+
+    mg = MisraGries(m=16)
+    mg.update_array(pa.array(["α", "β", "β", "", "with\x00nul"]))
+    back = MisraGries.from_bytes(mg.to_bytes())
+    assert back.counts == mg.counts
+    assert (back.m, back.n, back.err_ub) == (mg.m, mg.n, mg.err_ub)

@@ -554,3 +554,51 @@ def test_drift_noise_floor_same_distribution_shards(ray_session):
         column_stats(shifted, ["n_chars"], key="lang"), baseline
     ).to_pandas()
     assert moved[moved["has_baseline"]]["drifted"].all()
+
+
+def test_kll_column_quantiles_stage(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.stats import kll_column_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 5000, size=40_000).astype(np.float64)
+    langs = np.where(np.arange(vals.size) % 3 == 0, "en", "de")
+    ds = rd.from_arrow(
+        pa.table({"lang": pa.array(langs.tolist()), "v": pa.array(vals)})
+    )
+    out = (
+        kll_column_quantiles(ds, "v", key="lang", qs=(0.5, 0.9))
+        .to_pandas()
+        .set_index("part_key")
+    )
+    for lang in ("en", "de"):
+        sub = np.sort(vals[langs == lang])
+        assert int(out.loc[lang, "n"]) == sub.size
+        for q, col in ((0.5, "q_50"), (0.9, "q_90")):
+            est = float(out.loc[lang, col])
+            rank = np.searchsorted(sub, est, side="right") / sub.size
+            assert abs(rank - q) <= 0.03, (lang, q, rank)
+
+
+def test_heavy_hitters_stage(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from sod_ray.stages.stats import heavy_hitters
+
+    rng = np.random.default_rng(17)
+    toks = [f"t{v}" for v in rng.zipf(1.4, size=30_000)]
+    # 3 tokens per doc so the tokenize path is exercised
+    texts = [" ".join(toks[i : i + 3]) for i in range(0, len(toks), 3)]
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)})).repartition(8)
+    mg = heavy_hitters(ds, "text", tokenize=True, m=64)
+    true = collections.Counter(toks)
+    assert mg.n == len(toks)
+    for k, est in mg.counts.items():
+        assert est <= true[k] <= est + mg.err_ub
+    top_exact = [
+        k for k, _ in sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    ]
+    assert [k for k, _ in mg.top(3)] == top_exact
