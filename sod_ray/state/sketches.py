@@ -986,6 +986,26 @@ def psi(baseline: Histogram, current: Histogram) -> float:
     return float(np.sum((pc - pb) * np.log(pc / pb)))
 
 
+def ks_statistic_kll(a: "KLL", b: "KLL") -> float:
+    """Two-sample KS statistic from two KLL sketches: max CDF gap over
+    the union of both sketches' retained items. Unlike the t-digest
+    variant (interpolated centroids — step-CDF spikes on discrete
+    columns, see DriftScorer's noise-floor note), the KLL items form a
+    weighted EMPIRICAL distribution, so this evaluates the exact step
+    CDFs of the summaries; the only error vs the true sample KS is the
+    sketches' uniform rank error (≤ ~2×1.65% at k=200)."""
+    va, wa = a._items()
+    vb, wb = b._items()
+    if va.size == 0 or vb.size == 0:
+        return float("nan")
+    grid = np.union1d(va, vb)
+    cwa = np.concatenate([[0.0], np.cumsum(wa)])
+    cwb = np.concatenate([[0.0], np.cumsum(wb)])
+    fa = cwa[np.searchsorted(va, grid, side="right")] / cwa[-1]
+    fb = cwb[np.searchsorted(vb, grid, side="right")] / cwb[-1]
+    return float(np.max(np.abs(fa - fb)))
+
+
 def ks_statistic(a: TDigest, b: TDigest, n_points: int = 256) -> float:
     """Approximate two-sample KS statistic from two t-digests: max CDF
     gap evaluated on a merged quantile grid."""

@@ -509,3 +509,24 @@ def test_misra_gries_serde_roundtrip():
     back = MisraGries.from_bytes(mg.to_bytes())
     assert back.counts == mg.counts
     assert (back.m, back.n, back.err_ub) == (mg.m, mg.n, mg.err_ub)
+
+
+def test_ks_statistic_kll():
+    from sod_ray.state.sketches import KLL, ks_statistic_kll
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(0, 1, size=200_000)
+    same = rng.normal(0, 1, size=200_000)
+    shifted = rng.normal(0.5, 1, size=200_000)
+
+    def sk(x, seed):
+        s = KLL(seed=seed)
+        s.update_array(x)
+        return s
+
+    a, b, c = sk(base, 1), sk(same, 2), sk(shifted, 3)
+    # same distribution: KS ~ sampling noise + 2x sketch rank error
+    assert ks_statistic_kll(a, b) < 0.05
+    # mean shift of 0.5 sigma: true KS ~ 0.197 — clearly detected
+    assert ks_statistic_kll(a, c) > 0.15
+    assert math.isnan(ks_statistic_kll(a, KLL()))
