@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "events_url_normalize",
     "docs_pii_redact",
     "docs_neardup_dedup",
+    "doc_kll_quantiles",
 ]
 
 

@@ -209,6 +209,11 @@ def main_validate(argv=None) -> int:
         help="uniqueness over canonical urls (strip fragment/utm/"
         "trailing slash, lowercase scheme+host) instead of raw urls",
     )
+    p.add_argument(
+        "--quantile-sketch", choices=("tdigest", "kll"), default="tdigest",
+        help="quantile backend for the per-column sketches (kll = "
+        "uniform rank guarantee; don't switch mid-resume)",
+    )
     p.add_argument("--no-resume", action="store_true")
     args = p.parse_args(argv)
 
@@ -236,6 +241,7 @@ def main_validate(argv=None) -> int:
         quality_check=args.quality_check,
         max_low_quality_rate=args.max_low_quality_rate,
         normalize_urls=args.normalize_urls,
+        quantile_sketch=args.quantile_sketch,
     )
     res = run_validation(args.input, args.out, cfg, resume=not args.no_resume)
     vdf = res.verdicts.to_pandas()

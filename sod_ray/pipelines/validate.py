@@ -172,11 +172,18 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
     t-digest sketches for every stat column, the url-uniqueness HLL,
     and the null/match counters. One map_batches + one groupby — the
     shuffle carries a handful of sketch rows per (key, batch)."""
-    from ..state.sketches import HyperLogLog, TDigest, Welford, hash64
+    from ..state.sketches import (
+        HyperLogLog,
+        Welford,
+        hash64,
+        new_quantile_sketch,
+        quantile_sketch_from_bytes,
+    )
     from ..stages.stats import _group_indices
 
     stat_cols = list(cfg.stat_columns)
     key = cfg.part_key
+    qs_kind = getattr(cfg, "quantile_sketch", "tdigest")
 
     def partials(batch: pa.Table) -> pa.Table:
         has_q = "quality_fail" in batch.column_names
@@ -218,7 +225,9 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
             rows["url_hll"].append(hll.to_bytes())
             for c in stat_cols:
                 rows[f"wf_{c}"].append(Welford().update_array(sub[c]).to_bytes())
-                rows[f"td_{c}"].append(TDigest().update_array(sub[c]).to_bytes())
+                rows[f"td_{c}"].append(
+                    new_quantile_sketch(qs_kind).update_array(sub[c]).to_bytes()
+                )
         t = {
             "part_key": pa.array(rows["part_key"], pa.string()),
             "rows": pa.array(rows["rows"], pa.int64()),
@@ -261,11 +270,11 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
             )
         for c in stat_cols:
             wf = Welford()
-            td = TDigest()
+            td = new_quantile_sketch(qs_kind)
             for b in group[f"wf_{c}"].to_pylist():
                 wf.merge(Welford.from_bytes(b))
             for b in group[f"td_{c}"].to_pylist():
-                td.merge(TDigest.from_bytes(b))
+                td.merge(quantile_sketch_from_bytes(b))
             t[f"wf_{c}"] = pa.array([wf.to_bytes()], pa.binary())
             t[f"td_{c}"] = pa.array([td.to_bytes()], pa.binary())
         return pa.table(t)
@@ -287,12 +296,12 @@ def _combined_partials_merge(featured, cfg: "ValidateConfig"):
         )
         for c in stat_cols:
             wf = Welford()
-            td = TDigest()
+            td = new_quantile_sketch(qs_kind)
             for b in group[f"wf_{c}"].to_pylist():
                 wf.merge(Welford.from_bytes(b))
                 sketch_bytes += len(b)
             for b in group[f"td_{c}"].to_pylist():
-                td.merge(TDigest.from_bytes(b))
+                td.merge(quantile_sketch_from_bytes(b))
                 sketch_bytes += len(b)
             r = wf.result()
             out.append(
@@ -381,6 +390,14 @@ class ValidateConfig:
     # landing-zone source does) to get pushdown back.
     part_key_expr: str | None = None
     stat_columns: tuple = ("n_chars", "n_tokens")
+    # quantile backend for the per-column sketches: "tdigest" (default,
+    # value-interpolating) or "kll" (uniform RANK guarantee — the right
+    # contract for skewed web columns; see state/sketches.KLL). The
+    # bytes travel in the same td_* binary columns (tag-dispatched
+    # decode), so verdict schema/semantics are identical. Don't switch
+    # backends when resuming against an existing manifest/baseline —
+    # the homogeneous merge will fail loudly on mixed tags.
+    quantile_sketch: str = "tdigest"
     zscore_value: str = "n_chars"
     zscore_window: int = 64
     zscore_min_periods: int = 8

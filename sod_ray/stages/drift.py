@@ -16,7 +16,15 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
-from ..state.sketches import Histogram, TDigest, ks_statistic, psi
+from ..state.sketches import (
+    KLL,
+    Histogram,
+    TDigest,
+    ks_statistic,
+    ks_statistic_kll,
+    psi,
+    quantile_sketch_from_bytes,
+)
 
 PSI_THRESHOLD = 0.2  # conventional "significant shift" cut
 KS_THRESHOLD = 0.1
@@ -87,9 +95,19 @@ class DriftScorer:
                 out["drifted"].append(False)
                 out["has_baseline"].append(False)
                 continue
-            td_base = TDigest.from_bytes(base["tdigest"])
-            td_cur = TDigest.from_bytes(row["tdigest"])
-            ks = ks_statistic(td_base, td_cur)
+            td_base = quantile_sketch_from_bytes(base["tdigest"])
+            td_cur = quantile_sketch_from_bytes(row["tdigest"])
+            if type(td_base) is not type(td_cur):
+                raise ValueError(
+                    "mixed quantile-sketch backends between baseline and "
+                    "current run — rebuild the baseline with the same "
+                    "ValidateConfig.quantile_sketch"
+                )
+            is_kll = isinstance(td_base, KLL)
+            if is_kll:
+                ks = ks_statistic_kll(td_base, td_cur)
+            else:
+                ks = ks_statistic(td_base, td_cur)
             # noise floor on the KS cut: the two-sample critical value
             # at alpha~0.001 (1.95*sqrt((n+m)/nm)) plus each digest's
             # mid-quantile centroid width (pi/delta — merged digests of
@@ -101,10 +119,18 @@ class DriftScorer:
             import math
 
             na, nb = max(td_base.n, 1), max(td_cur.n, 1)
+            if is_kll:
+                # KLL's step CDFs have no interpolation spikes; the
+                # summary term is each side's published rank error
+                # (~3.3/k, i.e. 1.65% at k=200)
+                sketch_term = 3.3 / td_base.k + 3.3 / td_cur.k
+            else:
+                sketch_term = (
+                    math.pi / (2 * td_base.delta)
+                    + math.pi / (2 * td_cur.delta)
+                )
             noise = (
-                1.95 * math.sqrt((na + nb) / (na * nb))
-                + math.pi / (2 * td_base.delta)
-                + math.pi / (2 * td_cur.delta)
+                1.95 * math.sqrt((na + nb) / (na * nb)) + sketch_term
             )
             ks_cut = max(self.ks_threshold, noise)
             # PSI's null expectation over B bins is ~(B-1)(1/na+1/nb)

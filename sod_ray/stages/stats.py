@@ -44,12 +44,18 @@ def _group_indices(batch: pa.Table, key: str | None):
 
 
 def make_sketch_partials(
-    columns: list[str], key: str | None = None, with_hll: bool = True
+    columns: list[str],
+    key: str | None = None,
+    with_hll: bool = True,
+    quantile_sketch: str = "tdigest",
 ):
     """Batch fn: Arrow table in → partial-sketch rows out (zero-copy
     numeric path; one pass of numpy reductions per column per key).
     ``with_hll=False`` skips the distinct sketch (pointless for dense
-    numeric feature columns — saves the hashing pass)."""
+    numeric feature columns — saves the hashing pass).
+    ``quantile_sketch``: "tdigest" (default) or "kll" — the bytes ride
+    the same ``tdigest`` column either way (tag-dispatched decode)."""
+    from ..state.sketches import new_quantile_sketch
 
     def fn(batch: pa.Table) -> pa.Table:
         keys_out, cols_out, wf_out, td_out, hll_out = [], [], [], [], []
@@ -58,7 +64,7 @@ def make_sketch_partials(
             for col in columns:
                 arr = sub[col]
                 wf = Welford().update_array(arr)
-                td = TDigest().update_array(arr)
+                td = new_quantile_sketch(quantile_sketch).update_array(arr)
                 keys_out.append(key_val)
                 cols_out.append(col)
                 wf_out.append(wf.to_bytes())
@@ -81,14 +87,21 @@ def make_sketch_partials(
 
 def merge_sketch_group(group: pa.Table) -> pa.Table:
     """map_groups fn: merge all partial sketches of one (key, column)
-    into one finalized stats row."""
+    into one finalized stats row. The quantile column decodes by tag,
+    so t-digest and KLL partials both merge here (homogeneous per
+    run — the partials stage picks one backend)."""
+    from ..state.sketches import quantile_sketch_from_bytes
+
     wf = Welford()
-    td = TDigest()
     hll = HyperLogLog()
     for b in group["welford"].to_pylist():
         wf.merge(Welford.from_bytes(b))
+    td = None
     for b in group["tdigest"].to_pylist():
-        td.merge(TDigest.from_bytes(b))
+        sk = quantile_sketch_from_bytes(b)
+        td = sk if td is None else td.merge(sk)
+    if td is None:
+        td = TDigest()
     have_hll = False
     for b in group["hll"].to_pylist():
         if b:
@@ -132,13 +145,16 @@ def column_stats(
     key: str | None = None,
     batch_size: int = 8192,
     with_hll: bool = True,
+    quantile_sketch: str = "tdigest",
 ):
     """Dataset → per-(key, column) stats Dataset.
 
     Pipeline: map_batches(partials) → groupby(part_key, column) →
     map_groups(merge). Only sketch rows cross the shuffle."""
     partials = ds.map_batches(
-        make_sketch_partials(columns, key, with_hll=with_hll),
+        make_sketch_partials(
+            columns, key, with_hll=with_hll, quantile_sketch=quantile_sketch
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
     )

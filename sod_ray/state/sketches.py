@@ -986,6 +986,25 @@ def psi(baseline: Histogram, current: Histogram) -> float:
     return float(np.sum((pc - pb) * np.log(pc / pb)))
 
 
+def quantile_sketch_from_bytes(b: bytes):
+    """Decode a quantile sketch of either backend by its format tag:
+    b'K' → KLL, b'T' → TDigest, 0x80 → legacy pickle (t-digest era
+    baselines on disk). Lets the validate/drift path carry KLL or
+    t-digest bytes through the same binary columns."""
+    if b[:1] == b"K":
+        return KLL.from_bytes(b)
+    return TDigest.from_bytes(b)
+
+
+def new_quantile_sketch(kind: str = "tdigest"):
+    """Factory for the configured quantile backend ('tdigest'|'kll')."""
+    if kind == "kll":
+        return KLL()
+    if kind == "tdigest":
+        return TDigest()
+    raise ValueError(f"unknown quantile sketch {kind!r}")
+
+
 def ks_statistic_kll(a: "KLL", b: "KLL") -> float:
     """Two-sample KS statistic from two KLL sketches: max CDF gap over
     the union of both sketches' retained items. Unlike the t-digest

@@ -602,3 +602,58 @@ def test_heavy_hitters_stage(ray_session):
         k for k, _ in sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
     ]
     assert [k for k, _ in mg.top(3)] == top_exact
+
+
+def test_column_stats_kll_backend(ray_session, webpages):
+    import ray.data as rd
+
+    from sod_ray.stages.stats import column_stats
+    from sod_ray.stages.textstage import TextFeatures
+
+    table, _ = webpages
+    ds = rd.from_arrow(table).map_batches(
+        TextFeatures, batch_format="pandas", concurrency=2
+    )
+    stats = column_stats(
+        ds, ["n_chars"], key="lang", quantile_sketch="kll"
+    ).to_pandas()
+    # identical schema to the t-digest backend
+    td_stats = column_stats(ds, ["n_chars"], key="lang").to_pandas()
+    assert list(stats.columns) == list(td_stats.columns)
+    df = table.to_pandas()
+    df["n_chars"] = df["text"].str.len()
+    en = stats[(stats["part_key"] == "en") & (stats["column"] == "n_chars")].iloc[0]
+    expected = df[df["lang"] == "en"]["n_chars"]
+    assert en["count"] == len(expected)
+    assert en["p50"] == pytest.approx(expected.median(), rel=0.05)
+    # the stored bytes decode as KLL (tag dispatch)
+    from sod_ray.state.sketches import KLL, quantile_sketch_from_bytes
+
+    assert isinstance(quantile_sketch_from_bytes(en["tdigest"]), KLL)
+
+
+def test_drift_kll_backend(ray_session, webpages):
+    import ray.data as rd
+
+    from sod_ray.stages.drift import build_baseline, drift_check
+    from sod_ray.stages.stats import column_stats
+    from sod_ray.stages.textstage import TextFeatures
+
+    table, _ = webpages
+    ds = rd.from_arrow(table).map_batches(
+        TextFeatures, batch_format="pandas", concurrency=2
+    )
+    kstats = lambda d: column_stats(d, ["n_chars"], key="lang", quantile_sketch="kll")
+    baseline = build_baseline(kstats(ds))
+    same = drift_check(kstats(ds), baseline).to_pandas()
+    assert not same[same["has_baseline"]]["drifted"].any()
+    shifted = ds.map_batches(
+        lambda df: df.assign(n_chars=df["n_chars"] * 5 + 1000),
+        batch_format="pandas",
+    )
+    drifted = drift_check(kstats(shifted), baseline).to_pandas()
+    assert drifted[drifted["has_baseline"]]["drifted"].all()
+    # mixed backends fail loudly, not silently
+    td_cur = column_stats(ds, ["n_chars"], key="lang")
+    with pytest.raises(Exception):
+        drift_check(td_cur, baseline).to_pandas()
