@@ -1913,6 +1913,215 @@ GROUP BY token ORDER BY n DESC, token LIMIT 10
 """
 
 
+def docs_token_budget_sample(sf_dir: str):
+    """Token-budget curation (data-mixing primitive): per lang, keep
+    the highest-quality docs while the running whitespace-token total
+    stays ≤ 50k — order (quality DESC, doc_id ASC), doc-level cut.
+    Quality keys are quantized to ``floor(quality·1e6)`` (FLOOR has no
+    tie mode — bit-identical in numpy and DuckDB, unlike half-even vs
+    half-away ROUND).
+
+    Scale shape (bounded driver state, no per-doc driver work):
+    phase A groupby(lang, q6) token sums (levels ≤ #distinct quality
+    values — the heuristic yields ~12) → driver picks each lang's
+    boundary level + remaining budget; phase B range-buckets the
+    boundary level's doc_ids (4096 buckets) and one slim groupby gives
+    per-bucket sums → driver picks the boundary bucket; phase C
+    collects ONLY that bucket's rows (≈ level_rows/4096 — recurse the
+    same refinement if a bucket still overflows a worker) for the
+    exact doc-level cut. Final scan filters by the broadcast
+    thresholds. The slim table is materialized once for its three
+    consumers (a parquet landing at 100 TB)."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from ..stages.textstage import TextFeatures
+
+    BUDGET = 50_000
+    NB = 4096
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    feats = ds.map_batches(TextFeatures, batch_format="pandas", concurrency=2)
+
+    def slim(t: pa.Table) -> pa.Table:
+        q = t["quality"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"],
+                "n_tokens": t["n_tokens"].cast(pa.int64()),
+                "q6": pa.array(np.floor(q * 1e6).astype(np.int64)),
+            }
+        )
+
+    sl = feats.map_batches(slim, batch_format="pyarrow").materialize()
+
+    # --- phase A: per-(lang, quality-level) token sums -> boundary level
+    lv = (
+        sl.groupby(["lang", "q6"])
+        .aggregate(Sum("n_tokens", alias_name="toks"), Max("doc_id", alias_name="mx"))
+        .to_pandas()
+    )
+    maxid = int(lv["mx"].max())
+    bounds = {}  # lang -> [boundary_q6 or None, rem]
+    for lang, g in lv.groupby("lang"):
+        g = g.sort_values("q6", ascending=False)
+        cum = 0
+        bounds[lang] = [None, 0]
+        for q6, toks in zip(g["q6"], g["toks"]):
+            if cum + toks <= BUDGET:
+                cum += toks
+            else:
+                bounds[lang] = [int(q6), BUDGET - cum]
+                break
+    blv = {l: b[0] for l, b in bounds.items() if b[0] is not None}
+    blv_ref = ray.put(blv)
+
+    def _bucket(ids: np.ndarray) -> np.ndarray:
+        return ids * NB // (maxid + 1)
+
+    bucket_cut = {}  # lang -> (boundary_bucket, rem2)
+    kept_boundary: set = set()
+    if blv:
+        # --- phase B: range-bucketed sums inside each boundary level
+        def bmark(t: pa.Table) -> pa.Table:
+            bq = ray.get(blv_ref)
+            lang = t["lang"].to_numpy(zero_copy_only=False)
+            q6 = t["q6"].to_numpy(zero_copy_only=False)
+            tgt = np.array([bq.get(lg, -1) for lg in lang])
+            m = q6 == tgt
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)[m]
+            return pa.table(
+                {
+                    "lang": pa.array(lang[m]),
+                    "bucket": pa.array(_bucket(ids)),
+                    "n_tokens": t["n_tokens"].filter(pa.array(m)),
+                }
+            )
+
+        bs = (
+            sl.map_batches(bmark, batch_format="pyarrow")
+            .groupby(["lang", "bucket"])
+            .aggregate(Sum("n_tokens", alias_name="toks"))
+            .to_pandas()
+        )
+        for lang, g in bs.groupby("lang"):
+            g = g.sort_values("bucket")
+            rem = bounds[lang][1]
+            cum = 0
+            bucket_cut[lang] = (NB, 0)  # all buckets fit
+            for bk, toks in zip(g["bucket"], g["toks"]):
+                if cum + toks <= rem:
+                    cum += toks
+                else:
+                    bucket_cut[lang] = (int(bk), rem - cum)
+                    break
+        bcut_ref = ray.put({l: c[0] for l, c in bucket_cut.items()})
+
+        # --- phase C: exact doc-level cut inside each boundary bucket
+        def brows(t: pa.Table) -> pa.Table:
+            bq = ray.get(blv_ref)
+            bc = ray.get(bcut_ref)
+            lang = t["lang"].to_numpy(zero_copy_only=False)
+            q6 = t["q6"].to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            tgt = np.array([bq.get(lg, -1) for lg in lang])
+            tb = np.array([bc.get(lg, -1) for lg in lang])
+            m = (q6 == tgt) & (_bucket(ids) == tb)
+            return pa.table(
+                {
+                    "lang": pa.array(lang[m]),
+                    "doc_id": pa.array(ids[m]),
+                    "n_tokens": t["n_tokens"].filter(pa.array(m)),
+                }
+            )
+
+        bdf = sl.map_batches(brows, batch_format="pyarrow").to_pandas()
+        for lang, g in bdf.groupby("lang"):
+            g = g.sort_values("doc_id")
+            rem2 = bucket_cut[lang][1]
+            cum = 0
+            for did, toks in zip(g["doc_id"], g["n_tokens"]):
+                if cum + toks <= rem2:
+                    cum += toks
+                    kept_boundary.add((lang, int(did)))
+                else:
+                    break
+
+    # --- final scan: broadcast thresholds pick the kept rows
+    kb_ref = ray.put(kept_boundary)
+    bc2 = {l: c[0] for l, c in bucket_cut.items()}
+    bc2_ref = ray.put(bc2)
+
+    def keep(t: pa.Table) -> pa.Table:
+        bq = ray.get(blv_ref)
+        bc = ray.get(bc2_ref)
+        kb = ray.get(kb_ref)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        q6 = t["q6"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # sentinel -1: a lang with no boundary level fits the budget
+        # entirely — every doc keeps (q6 >= 0 > -1)
+        tgt = np.array([bq.get(lg, -1) for lg in lang])
+        tb = np.array([bc.get(lg, -1) for lg in lang])
+        bkt = _bucket(ids)
+        m = (
+            (q6 > tgt)
+            | ((q6 == tgt) & (bkt < tb))
+            | np.array([(lg, int(i)) in kb for lg, i in zip(lang, ids)])
+        )
+        return t.filter(pa.array(m)).select(["doc_id", "lang", "n_tokens"])
+
+    out = (
+        sl.map_batches(keep, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DOCS_BUDGET_SQL = r"""
+WITH f AS (
+  SELECT doc_id, lang,
+    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+    CASE WHEN length(text) > 0
+         THEN len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE / length(text)
+         ELSE 0 END AS punct_ratio,
+    CASE WHEN length(text) > 0
+         THEN len(regexp_extract_all(text, '[0-9]'))::DOUBLE / length(text)
+         ELSE 0 END AS digit_ratio,
+    regexp_extract_all(lower(text), '[^\W\d_]+') AS words,
+    regexp_extract_all(text, '\S+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, lang, n_tokens, punct_ratio, digit_ratio,
+    CASE WHEN len(words) > 0 THEN
+      len(list_filter(words, w -> w IN
+        ('the','and','of','to','a','in','is','that','it','for','was','with')
+      ))::DOUBLE / len(words)
+    ELSE 0 END AS stopword_ratio,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, s -> length(s)))::DOUBLE / len(toks)
+         ELSE 0 END AS mean_token_len
+  FROM f
+), q AS (
+  SELECT doc_id, lang, n_tokens,
+    CAST(FLOOR(GREATEST(0.0, CASE WHEN n_tokens < 5 THEN 0.0 ELSE
+      1.0 - CASE WHEN punct_ratio > 0.2 THEN 0.3 ELSE 0 END
+          - CASE WHEN digit_ratio > 0.3 THEN 0.3 ELSE 0 END
+          - CASE WHEN stopword_ratio = 0.0 THEN 0.2 ELSE 0 END
+          - CASE WHEN mean_token_len BETWEEN 2.0 AND 12.0 THEN 0 ELSE 0.2 END
+    END) * 1e6) AS BIGINT) AS q6
+  FROM g
+), cum AS (
+  SELECT doc_id, lang, n_tokens,
+    SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q6 DESC, doc_id) AS cum_toks
+  FROM q
+)
+SELECT doc_id, lang, n_tokens FROM cum WHERE cum_toks <= 50000
+"""
+
+
 def psi_events_halves_exact(sf_dir: str):
     """Oracle-backed drift math: PSI + binned-KS of `value` between the
     first and second time-half of the events stream per event_type,
@@ -3125,6 +3334,7 @@ QUERIES = {
     "doc_kll_quantiles": doc_kll_quantiles,
     "kll_quantiles_checked": kll_quantiles_checked,
     "heavy_hitters_checked": heavy_hitters_checked,
+    "docs_token_budget_sample": docs_token_budget_sample,
 }
 
 ORACLES = {
@@ -3137,6 +3347,7 @@ ORACLES = {
     "hll_distinct_checked": HLL_CHECKED_SQL,
     "kll_quantiles_checked": KLL_CHECKED_SQL,
     "heavy_hitters_checked": MG_CHECKED_SQL,
+    "docs_token_budget_sample": DOCS_BUDGET_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
     "lof_stream_frozen_checked": LOF_STREAM_SQL,
