@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "docs_pii_redact",
     "docs_neardup_dedup",
     "doc_kll_quantiles",
+    "docs_token_budget_sample",
 ]
 
 

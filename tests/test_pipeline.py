@@ -412,3 +412,68 @@ def test_normalize_urls_uniqueness(ray_session, tmp_path):
     lang = t["lang"][0].as_py()  # the planted variants share row 0's lang
     assert v_raw.loc[lang, "c_uniqueness"] == "pass"
     assert v_norm.loc[lang, "c_uniqueness"] == "fail"
+
+
+def test_docs_token_budget_sample(ray_session, tmp_path):
+    """Crafted corpus exercising every budget-cut path: a lang that
+    fits entirely (no boundary), a lang cut INSIDE a quality level by
+    doc_id order, and zero-token docs (kept for free when their level
+    is reached). Checked against a brute-force pandas reference of the
+    SQL rule: keep while cumulative tokens <= 50000 over
+    (floor(quality*1e6) DESC, doc_id)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sod_ray.pipelines.queries import DOCS_BUDGET_SQL, docs_token_budget_sample
+
+    rng = np.random.default_rng(31)
+    rows = []
+    did = 0
+    # "aa": tiny — fits whole budget
+    for _ in range(10):
+        rows.append((did, "aa", "the and of to a in is that it for " * 5))
+        did += 1
+    # "bb": one big high-quality level that must split by doc_id,
+    # plus junk-quality docs below it and an empty doc
+    for i in range(400):
+        n = int(rng.integers(150, 260))
+        rows.append((did, "bb", "the and of to a in is that it was " * (n // 10)))
+        did += 1
+    for _ in range(30):
+        rows.append((did, "bb", "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"))
+        did += 1
+    rows.append((did, "bb", ""))
+    did += 1
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array(["t"] * len(rows), pa.string()),
+            "text": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+    out = docs_token_budget_sample(str(tmp_path)).to_pandas()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    ref = (
+        con.sql(DOCS_BUDGET_SQL)
+        .df()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(ref)
+    assert out["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert out["n_tokens"].astype("int64").tolist() == ref["n_tokens"].astype("int64").tolist()
+    # the interesting paths actually fired: aa fully kept, bb split
+    assert (out["lang"] == "aa").sum() == 10
+    n_bb = (out["lang"] == "bb").sum()
+    assert 0 < n_bb < 431
