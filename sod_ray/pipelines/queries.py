@@ -1940,7 +1940,10 @@ def docs_token_budget_sample(sf_dir: str):
     BUDGET = 50_000
     NB = 4096
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-    feats = ds.map_batches(TextFeatures, batch_format="pandas", concurrency=2)
+    feats = ds.map_batches(
+        TextFeatures, batch_format="pyarrow", concurrency=(1, 8),
+        batch_size=4096,
+    )
 
     def slim(t: pa.Table) -> pa.Table:
         q = t["quality"].to_numpy(zero_copy_only=False)

@@ -97,6 +97,7 @@ def main(
     bands: int = 16,
     pair_emission: str = "pairs",
     sig_spill: bool = False,
+    band_spill: bool = False,
 ):
     import ray
 
@@ -133,6 +134,7 @@ def main(
         bands=bands,
         pair_emission=pair_emission,
         sig_spill_dir=f"/tmp/sod_dedup/sigs-{n_docs}" if sig_spill else None,
+        band_spill_dir=f"/tmp/sod_dedup/bands-{n_docs}" if band_spill else None,
     )
     pairs_s = time.perf_counter() - t0
     found = {
@@ -201,6 +203,7 @@ def main(
         "bands": bands,
         "pair_emission": pair_emission,
         "sig_spill": sig_spill,
+        "band_spill": band_spill,
     }))
     ray.shutdown()
 
@@ -213,4 +216,5 @@ if __name__ == "__main__":
         int(sys.argv[4]) if len(sys.argv) > 4 else 16,
         sys.argv[5] if len(sys.argv) > 5 else "pairs",
         bool(int(sys.argv[6])) if len(sys.argv) > 6 else False,
+        bool(int(sys.argv[7])) if len(sys.argv) > 7 else False,
     )
