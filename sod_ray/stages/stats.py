@@ -220,18 +220,23 @@ def kll_column_quantiles(
 def heavy_hitters(
     ds,
     column: str,
+    key: str | None = None,
     m: int = 512,
     tokenize: bool = False,
     num_buckets: int = 64,
     batch_size: int = 8192,
 ):
-    """Global Misra–Gries heavy hitters over a (possibly tokenized)
-    string column — ONE corpus scan, NO data shuffle: per-batch MG
-    partials (≤ m keys, a few KB each) → two-level merge (groupby on a
-    round-robin bucket so no single worker folds every partial) →
-    the driver merges ≤ ``num_buckets`` summaries. Returns the merged
-    :class:`MisraGries`; every key with true count > ``err_ub`` is
-    guaranteed present with ``est ≤ true ≤ est + err_ub``.
+    """Misra–Gries heavy hitters over a (possibly tokenized) string
+    column — ONE corpus scan, NO data shuffle: per-batch MG partials
+    (≤ m keys, a few KB each) → two-level merge (groupby on a
+    round-robin bucket so no single worker folds every partial) → the
+    driver merges ≤ ``num_buckets`` summaries. With ``key`` set the
+    whole pipeline runs per partition key (top values per lang/host —
+    partials and merges carry the key; driver state is #keys
+    summaries). Returns the merged :class:`MisraGries` (global) or
+    ``{key_value: MisraGries}``; every value with true count >
+    ``err_ub`` is guaranteed present with ``est ≤ true ≤ est +
+    err_ub``.
 
     The scale story vs ``top50_tokens`` (exact, one shuffle of
     (token, n) partials): this never shuffles token rows at all —
@@ -241,21 +246,29 @@ def heavy_hitters(
 
     from ..state.sketches import MisraGries, hash64
 
-    def partials(batch: pa.Table) -> pa.Table:
-        col = batch[column]
+    def _fold(col) -> bytes:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if tokenize:
             col = pc_.list_flatten(pc_.utf8_split_whitespace(col))
-        sk = MisraGries(m=m).update_array(col)
-        b = sk.to_bytes()
-        # route by content hash so partials spread across the merge
-        # buckets (a constant would funnel every partial to one worker)
-        bkt = int(hash64(pa.array([b], pa.binary()))[0] % num_buckets)
+        return MisraGries(m=m).update_array(col).to_bytes()
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys_out, bkts, mgs = [], [], []
+        for key_val, rows in _group_indices(batch, key):
+            sub = batch if rows is None else batch.take(pa.array(rows))
+            b = _fold(sub[column])
+            # route by content hash so partials spread across the merge
+            # buckets (a constant would funnel every partial to one
+            # worker)
+            keys_out.append(key_val)
+            bkts.append(int(hash64(pa.array([b], pa.binary()))[0] % num_buckets))
+            mgs.append(b)
         return pa.table(
             {
-                "bucket": pa.array([bkt], pa.int64()),
-                "mg": pa.array([b], pa.binary()),
+                "part_key": pa.array(keys_out, pa.string()),
+                "bucket": pa.array(bkts, pa.int64()),
+                "mg": pa.array(mgs, pa.binary()),
             }
         )
 
@@ -265,6 +278,7 @@ def heavy_hitters(
             sk.merge(MisraGries.from_bytes(b))
         return pa.table(
             {
+                "part_key": pa.array([group["part_key"][0].as_py()], pa.string()),
                 "bucket": pa.array([group["bucket"][0].as_py()], pa.int64()),
                 "mg": pa.array([sk.to_bytes()], pa.binary()),
             }
@@ -272,13 +286,17 @@ def heavy_hitters(
 
     level1 = (
         ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size)
-        .groupby("bucket")
+        .groupby(["part_key", "bucket"])
         .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()
     )
-    out = MisraGries(m=m)
-    for b in level1.to_pandas()["mg"]:
-        out.merge(MisraGries.from_bytes(b))
-    return out
+    merged: dict = {}
+    for part_key, b in zip(level1["part_key"], level1["mg"]):
+        sk = merged.setdefault(part_key, MisraGries(m=m))
+        sk.merge(MisraGries.from_bytes(b))
+    if key is None:
+        return merged.get(GLOBAL_KEY, MisraGries(m=m))
+    return merged
 
 
 def add_salt(batch: pa.Table, key: str, n_salt: int, row_col: str) -> pa.Table:

@@ -986,6 +986,33 @@ def psi(baseline: Histogram, current: Histogram) -> float:
     return float(np.sum((pc - pb) * np.log(pc / pb)))
 
 
+def categorical_psi(
+    baseline: "MisraGries", current: "MisraGries", k: int = 50,
+    eps: float = 1e-6,
+) -> float:
+    """PSI over CATEGORICAL frequencies from two Misra–Gries summaries
+    — the numeric Histogram-PSI's counterpart for string columns (lang
+    mix, host mix, event types). Categories = union of both sides'
+    top-k; each side's remaining mass folds into an "other" bucket
+    (non-negative by the MG undercount property). MG estimates only
+    undercount by ≤ err_ub, so for true heavy categories (the ones PSI
+    is sensitive to) the proportions are accurate to err_ub/n per
+    side. Smoothing ``eps`` keeps the log finite for categories one
+    side never saw."""
+    cats = {c for c, _ in baseline.top(k)} | {c for c, _ in current.top(k)}
+    cats = sorted(cats)
+
+    def props(mg: "MisraGries") -> np.ndarray:
+        n = max(mg.n, 1)
+        known = np.array([mg.estimate(c) for c in cats], dtype=np.float64)
+        other = max(0.0, n - known.sum())
+        p = np.concatenate([known, [other]]) / n
+        return np.maximum(p, eps)
+
+    pb, pc = props(baseline), props(current)
+    return float(np.sum((pc - pb) * np.log(pc / pb)))
+
+
 def quantile_sketch_from_bytes(b: bytes):
     """Decode a quantile sketch of either backend by its format tag:
     b'K' → KLL, b'T' → TDigest, 0x80 → legacy pickle (t-digest era

@@ -530,3 +530,20 @@ def test_ks_statistic_kll():
     # mean shift of 0.5 sigma: true KS ~ 0.197 — clearly detected
     assert ks_statistic_kll(a, c) > 0.15
     assert math.isnan(ks_statistic_kll(a, KLL()))
+
+
+def test_categorical_psi():
+    from sod_ray.state.sketches import MisraGries, categorical_psi
+
+    rng = np.random.default_rng(41)
+    base_keys = [f"c{v}" for v in rng.zipf(1.5, size=100_000)]
+    same_keys = [f"c{v}" for v in rng.zipf(1.5, size=100_000)]
+    # shifted: the top category triples its share
+    shift_keys = same_keys[:50_000] + ["c1"] * 50_000
+
+    def mg(keys):
+        return MisraGries(m=256).update_array(pa.array(keys))
+
+    a, b, c = mg(base_keys), mg(same_keys), mg(shift_keys)
+    assert categorical_psi(a, b) < 0.02  # same distribution: quiet
+    assert categorical_psi(a, c) > 0.2  # real mix shift: flags

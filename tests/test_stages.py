@@ -657,3 +657,33 @@ def test_drift_kll_backend(ray_session, webpages):
     td_cur = column_stats(ds, ["n_chars"], key="lang")
     with pytest.raises(Exception):
         drift_check(td_cur, baseline).to_pandas()
+
+
+def test_heavy_hitters_per_key(ray_session):
+    import collections
+
+    import ray.data as rd
+
+    from sod_ray.stages.stats import heavy_hitters
+
+    rng = np.random.default_rng(29)
+    langs = np.where(np.arange(20_000) % 2 == 0, "en", "de")
+    # different heavy values per key
+    vals = np.where(
+        langs == "en",
+        np.char.add("e", rng.zipf(1.5, size=20_000).astype(str)),
+        np.char.add("d", rng.zipf(1.5, size=20_000).astype(str)),
+    )
+    ds = rd.from_arrow(
+        pa.table({"lang": pa.array(langs.tolist()), "v": pa.array(vals.tolist())})
+    ).repartition(4)
+    per = heavy_hitters(ds, "v", key="lang", m=64)
+    assert set(per) == {"en", "de"}
+    for lang in ("en", "de"):
+        true = collections.Counter(vals[langs == lang].tolist())
+        mg = per[lang]
+        assert mg.n == 10_000
+        top1 = mg.top(1)[0][0]
+        assert top1 == ("e1" if lang == "en" else "d1")
+        for k, est in mg.counts.items():
+            assert est <= true[k] <= est + mg.err_ub
