@@ -2050,8 +2050,15 @@ def docs_token_budget_sample(sf_dir: str):
                 else:
                     break
 
-    # --- final scan: broadcast thresholds pick the kept rows
-    kb_ref = ray.put(kept_boundary)
+    # --- final scan: broadcast thresholds pick the kept rows. The
+    # boundary-bucket kept ids broadcast as per-lang SORTED arrays so
+    # membership is a vectorized np.isin over the few matching rows —
+    # no per-row Python
+    kb_arrays = {}
+    for lg, did in kept_boundary:
+        kb_arrays.setdefault(lg, []).append(did)
+    kb_arrays = {lg: np.sort(np.array(v, np.int64)) for lg, v in kb_arrays.items()}
+    kb_ref = ray.put(kb_arrays)
     bc2 = {l: c[0] for l, c in bucket_cut.items()}
     bc2_ref = ray.put(bc2)
 
@@ -2067,11 +2074,15 @@ def docs_token_budget_sample(sf_dir: str):
         tgt = np.array([bq.get(lg, -1) for lg in lang])
         tb = np.array([bc.get(lg, -1) for lg in lang])
         bkt = _bucket(ids)
-        m = (
-            (q6 > tgt)
-            | ((q6 == tgt) & (bkt < tb))
-            | np.array([(lg, int(i)) in kb for lg, i in zip(lang, ids)])
-        )
+        m = (q6 > tgt) | ((q6 == tgt) & (bkt < tb))
+        in_boundary_bucket = (q6 == tgt) & (bkt == tb)
+        if in_boundary_bucket.any():
+            for lg in np.unique(lang[in_boundary_bucket]):
+                ka = kb.get(lg)
+                if ka is None or not ka.size:
+                    continue
+                sel = in_boundary_bucket & (lang == lg)
+                m[sel] |= np.isin(ids[sel], ka, assume_unique=True)
         return t.filter(pa.array(m)).select(["doc_id", "lang", "n_tokens"])
 
     out = (
