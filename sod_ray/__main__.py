@@ -55,6 +55,15 @@ def main_export(argv) -> int:
     )
     p.add_argument("--partition-col", default=None)
     p.add_argument(
+        "--token-budget", type=int, default=None,
+        help="per-key token-budget cut over funnel survivors "
+        "(keep highest-quality first; see stages/budget.py)",
+    )
+    p.add_argument(
+        "--token-budget-key", default=None,
+        help="key column for --token-budget (None = one global budget)",
+    )
+    p.add_argument(
         "--decontaminate-file", default=None,
         help="text file (one benchmark document per line); drop corpus "
         "docs sharing any word n-gram with it",
@@ -103,6 +112,8 @@ def main_export(argv) -> int:
         jaccard_threshold=args.jaccard_threshold,
         partition_col=args.partition_col,
         shuffle_seed=args.shuffle_seed,
+        token_budget=args.token_budget,
+        token_budget_key=args.token_budget_key,
     )
     res = run_export(args.input, args.out, cfg, resume=not args.no_resume)
     print(json.dumps(res.report))

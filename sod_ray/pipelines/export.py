@@ -63,6 +63,15 @@ class CurateConfig:
     decontaminate_texts: list | None = None
     decontaminate_n: int = 13
     line_dedup: bool = False  # C4-style global line dedup (rewrites text)
+    # per-key token-budget cut over the funnel SURVIVORS (runs after
+    # every dedup decision): keep highest-quality docs first while the
+    # running whitespace-token total stays ≤ budget — the data-mixing
+    # stage of a training-data funnel. None disables. The key column
+    # (e.g. lang / source); None = one global budget. Semantics +
+    # bounded-driver shape: stages/budget.py (oracle-checked by the
+    # docs_token_budget_sample query).
+    token_budget: int | None = None
+    token_budget_key: str | None = None
     pii_redact: bool = True  # emails/phones/IPv4 → typed placeholders
     partition_col: str | None = None  # output partition directory key
     # deterministic global shuffle of the curated corpus before the
@@ -502,6 +511,60 @@ def run_export(
             )
 
         decision("neardup", near_drops)
+
+    if cfg.token_budget is not None:
+
+        def budget_drops():
+            from ..stages.budget import (
+                token_budget_mask,
+                token_budget_thresholds,
+            )
+            from ..stages.textstage import TextFeatures
+
+            cols = [id_col, text_col] + (
+                [cfg.token_budget_key] if cfg.token_budget_key else []
+            )
+            base = filtered(cols)
+            feats = base.map_batches(
+                TextFeatures,
+                fn_constructor_kwargs={"text_col": text_col},
+                batch_format="pyarrow",
+                concurrency=(1, 8),
+                batch_size=4096,
+            )
+
+            def slim(t: pa.Table) -> pa.Table:
+                q = t["quality"].to_numpy(zero_copy_only=False)
+                out = {
+                    "id": t[id_col].cast(pa.int64()),
+                    "n_tokens": t["n_tokens"].cast(pa.int64()),
+                    "q6": pa.array(np.floor(q * 1e6).astype(np.int64)),
+                }
+                if cfg.token_budget_key:
+                    out[cfg.token_budget_key] = t[cfg.token_budget_key]
+                return pa.table(out)
+
+            sl = feats.map_batches(slim, batch_format="pyarrow").materialize()
+            th = token_budget_thresholds(
+                sl,
+                cfg.token_budget,
+                key_col=cfg.token_budget_key,
+                id_col="id",
+                tokens_col="n_tokens",
+                q6_col="q6",
+            )
+            fn = token_budget_mask(th)
+
+            def over_budget(t: pa.Table) -> pa.Table:
+                m = fn(t)
+                return pa.table(
+                    {"node": t["id"].filter(pa.array(~m)).cast(pa.int64())}
+                )
+
+            d = sl.map_batches(over_budget, batch_format="pyarrow").materialize()
+            return d if d.count() else None
+
+        decision("token_budget", budget_drops)
 
     # ---- apply phase: one full-column scan → rewrite → write ------------
     corpus_dir = os.path.join(out_dir, "corpus")

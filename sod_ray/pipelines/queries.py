@@ -1932,13 +1932,10 @@ def docs_token_budget_sample(sf_dir: str):
     exact doc-level cut. Final scan filters by the broadcast
     thresholds. The slim table is materialized once for its three
     consumers (a parquet landing at 100 TB)."""
-    import ray
-    from ray.data.aggregate import Max, Sum
-
+    from ..stages.budget import token_budget_keep, token_budget_thresholds
     from ..stages.textstage import TextFeatures
 
     BUDGET = 50_000
-    NB = 4096
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     feats = ds.map_batches(
         TextFeatures, batch_format="pyarrow", concurrency=(1, 8),
@@ -1957,136 +1954,10 @@ def docs_token_budget_sample(sf_dir: str):
         )
 
     sl = feats.map_batches(slim, batch_format="pyarrow").materialize()
-
-    # --- phase A: per-(lang, quality-level) token sums -> boundary level
-    lv = (
-        sl.groupby(["lang", "q6"])
-        .aggregate(Sum("n_tokens", alias_name="toks"), Max("doc_id", alias_name="mx"))
-        .to_pandas()
-    )
-    maxid = int(lv["mx"].max())
-    bounds = {}  # lang -> [boundary_q6 or None, rem]
-    for lang, g in lv.groupby("lang"):
-        g = g.sort_values("q6", ascending=False)
-        cum = 0
-        bounds[lang] = [None, 0]
-        for q6, toks in zip(g["q6"], g["toks"]):
-            if cum + toks <= BUDGET:
-                cum += toks
-            else:
-                bounds[lang] = [int(q6), BUDGET - cum]
-                break
-    blv = {l: b[0] for l, b in bounds.items() if b[0] is not None}
-    blv_ref = ray.put(blv)
-
-    def _bucket(ids: np.ndarray) -> np.ndarray:
-        return ids * NB // (maxid + 1)
-
-    bucket_cut = {}  # lang -> (boundary_bucket, rem2)
-    kept_boundary: set = set()
-    if blv:
-        # --- phase B: range-bucketed sums inside each boundary level
-        def bmark(t: pa.Table) -> pa.Table:
-            bq = ray.get(blv_ref)
-            lang = t["lang"].to_numpy(zero_copy_only=False)
-            q6 = t["q6"].to_numpy(zero_copy_only=False)
-            tgt = np.array([bq.get(lg, -1) for lg in lang])
-            m = q6 == tgt
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)[m]
-            return pa.table(
-                {
-                    "lang": pa.array(lang[m]),
-                    "bucket": pa.array(_bucket(ids)),
-                    "n_tokens": t["n_tokens"].filter(pa.array(m)),
-                }
-            )
-
-        bs = (
-            sl.map_batches(bmark, batch_format="pyarrow")
-            .groupby(["lang", "bucket"])
-            .aggregate(Sum("n_tokens", alias_name="toks"))
-            .to_pandas()
-        )
-        for lang, g in bs.groupby("lang"):
-            g = g.sort_values("bucket")
-            rem = bounds[lang][1]
-            cum = 0
-            bucket_cut[lang] = (NB, 0)  # all buckets fit
-            for bk, toks in zip(g["bucket"], g["toks"]):
-                if cum + toks <= rem:
-                    cum += toks
-                else:
-                    bucket_cut[lang] = (int(bk), rem - cum)
-                    break
-        bcut_ref = ray.put({l: c[0] for l, c in bucket_cut.items()})
-
-        # --- phase C: exact doc-level cut inside each boundary bucket
-        def brows(t: pa.Table) -> pa.Table:
-            bq = ray.get(blv_ref)
-            bc = ray.get(bcut_ref)
-            lang = t["lang"].to_numpy(zero_copy_only=False)
-            q6 = t["q6"].to_numpy(zero_copy_only=False)
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            tgt = np.array([bq.get(lg, -1) for lg in lang])
-            tb = np.array([bc.get(lg, -1) for lg in lang])
-            m = (q6 == tgt) & (_bucket(ids) == tb)
-            return pa.table(
-                {
-                    "lang": pa.array(lang[m]),
-                    "doc_id": pa.array(ids[m]),
-                    "n_tokens": t["n_tokens"].filter(pa.array(m)),
-                }
-            )
-
-        bdf = sl.map_batches(brows, batch_format="pyarrow").to_pandas()
-        for lang, g in bdf.groupby("lang"):
-            g = g.sort_values("doc_id")
-            rem2 = bucket_cut[lang][1]
-            cum = 0
-            for did, toks in zip(g["doc_id"], g["n_tokens"]):
-                if cum + toks <= rem2:
-                    cum += toks
-                    kept_boundary.add((lang, int(did)))
-                else:
-                    break
-
-    # --- final scan: broadcast thresholds pick the kept rows. The
-    # boundary-bucket kept ids broadcast as per-lang SORTED arrays so
-    # membership is a vectorized np.isin over the few matching rows —
-    # no per-row Python
-    kb_arrays = {}
-    for lg, did in kept_boundary:
-        kb_arrays.setdefault(lg, []).append(did)
-    kb_arrays = {lg: np.sort(np.array(v, np.int64)) for lg, v in kb_arrays.items()}
-    kb_ref = ray.put(kb_arrays)
-    bc2 = {l: c[0] for l, c in bucket_cut.items()}
-    bc2_ref = ray.put(bc2)
-
-    def keep(t: pa.Table) -> pa.Table:
-        bq = ray.get(blv_ref)
-        bc = ray.get(bc2_ref)
-        kb = ray.get(kb_ref)
-        lang = t["lang"].to_numpy(zero_copy_only=False)
-        q6 = t["q6"].to_numpy(zero_copy_only=False)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        # sentinel -1: a lang with no boundary level fits the budget
-        # entirely — every doc keeps (q6 >= 0 > -1)
-        tgt = np.array([bq.get(lg, -1) for lg in lang])
-        tb = np.array([bc.get(lg, -1) for lg in lang])
-        bkt = _bucket(ids)
-        m = (q6 > tgt) | ((q6 == tgt) & (bkt < tb))
-        in_boundary_bucket = (q6 == tgt) & (bkt == tb)
-        if in_boundary_bucket.any():
-            for lg in np.unique(lang[in_boundary_bucket]):
-                ka = kb.get(lg)
-                if ka is None or not ka.size:
-                    continue
-                sel = in_boundary_bucket & (lang == lg)
-                m[sel] |= np.isin(ids[sel], ka, assume_unique=True)
-        return t.filter(pa.array(m)).select(["doc_id", "lang", "n_tokens"])
-
+    th = token_budget_thresholds(sl, BUDGET, key_col="lang")
     out = (
-        sl.map_batches(keep, batch_format="pyarrow")
+        token_budget_keep(sl, th)
+        .select_columns(["doc_id", "lang", "n_tokens"])
         .to_pandas()
         .sort_values(["lang", "doc_id"])
         .reset_index(drop=True)

@@ -459,3 +459,86 @@ def test_export_incremental_cross_batch_neardup(ray_session, tmp_path):
     assert s3["sig_index_rows"] == 17
     got3 = pq.ParquetDataset(os.path.join(b3["out_dir"], "corpus")).read()
     assert sorted(got3["doc_id"].to_pylist()) == [201, 202]
+
+
+def test_export_token_budget(ray_session, tmp_path):
+    """Funnel with the token-budget stage: per-key kept tokens stay
+    under budget, higher-quality docs win (max dropped q6 <= min kept
+    q6), and resume reuses the checkpointed decision."""
+    import numpy as np
+
+    # two keys: "a" docs are GOOD quality; "b" docs are mixed — some
+    # junk-quality bodies that still pass gopher is hard to craft, so
+    # run with quality_filter off to isolate the budget stage
+    rows = []
+    did = 0
+    for _ in range(30):
+        rows.append((did, GOOD + f" body variant {did} for key a", "a"))
+        did += 1
+    for i in range(30):
+        body = (
+            GOOD + f" body variant {did} for key b"
+            if i % 2
+            else "!!! ??? " * 30 + f" junk {did}"
+        )
+        rows.append((did, body, "b"))
+        did += 1
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    d = os.path.join(tmp_path, "in")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "part-0.parquet"))
+
+    BUDGET = 700
+    cfg = CurateConfig(
+        quality_filter=False,
+        exact_dedup=False,
+        pii_redact=False,
+        token_budget=BUDGET,
+        token_budget_key="lang",
+    )
+    out = os.path.join(tmp_path, "out")
+    res = run_export(d, out, cfg)
+    corpus = pd.concat(
+        [pq.read_table(os.path.join(res.corpus_dir, f)).to_pandas()
+         for f in sorted(os.listdir(res.corpus_dir))
+         if f.endswith(".parquet")]
+    )
+    assert len(corpus) < len(rows)
+    assert res.report["stages"]["token_budget"]["dropped"] > 0
+
+    in_df = t.to_pandas().set_index("doc_id")
+    for key, g in corpus.groupby("lang"):
+        toks = in_df.loc[g["doc_id"], "text"].str.split().str.len()
+        assert toks.sum() <= BUDGET, key
+    # best-first: no dropped doc outranks a kept doc on quality
+    from sod_ray.functions.text import quality_score
+
+    q6 = {
+        i: int(np.floor(quality_score(tx) * 1e6))
+        for i, tx in zip(in_df.index, in_df["text"])
+    }
+    for key in ("a", "b"):
+        kept = [q6[i] for i in corpus[corpus["lang"] == key]["doc_id"]]
+        dropped = [
+            q6[i]
+            for i in in_df.index[in_df["lang"] == key]
+            if i not in set(corpus[corpus["lang"] == key]["doc_id"])
+        ]
+        if kept and dropped:
+            assert max(dropped) <= min(kept), key
+
+    # resume: the decision checkpoint is reused, corpus identical
+    res2 = run_export(d, out, cfg)
+    assert "token_budget" in res2.report["resumed_stages"]
+    corpus2 = pd.concat(
+        [pq.read_table(os.path.join(res2.corpus_dir, f)).to_pandas()
+         for f in sorted(os.listdir(res2.corpus_dir))
+         if f.endswith(".parquet")]
+    )
+    assert sorted(corpus2["doc_id"]) == sorted(corpus["doc_id"])
