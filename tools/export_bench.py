@@ -29,7 +29,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROOT = "/tmp/sod_export_bench"
 
 
-def main(n_docs: int = 5_000_000, n_shards: int = 64):
+def main(n_docs: int = 5_000_000, n_shards: int = 64,
+         token_budget: int | None = None):
     import duckdb
     import ray
 
@@ -68,7 +69,9 @@ def main(n_docs: int = 5_000_000, n_shards: int = 64):
     from sod_ray.pipelines.export import CurateConfig, run_export
 
     cfg = CurateConfig(neardup=True, partition_col="lang",
-                       lsh_kwargs={"seed": 1337})
+                       lsh_kwargs={"seed": 1337},
+                       token_budget=token_budget,
+                       token_budget_key="lang" if token_budget else None)
     t1 = time.perf_counter()
     res = run_export(inp, out, cfg, resume=False)
     funnel_sec = time.perf_counter() - t1
@@ -80,7 +83,24 @@ def main(n_docs: int = 5_000_000, n_shards: int = 64):
     ok_quality = q_drop == truth_quality
     ok_exact = e_drop == truth_exact
     nd_rate = n_drop / max(1, truth_neardup_planted)
-    ok_funnel = res.report["rows_out"] == n_docs - q_drop - e_drop - n_drop
+    b_drop = st.get("token_budget", {}).get("dropped", 0)
+    ok_funnel = (
+        res.report["rows_out"] == n_docs - q_drop - e_drop - n_drop - b_drop
+    )
+    # token-budget truth: per-lang INPUT-text token sums of the kept
+    # ids must respect the budget (input texts — the decision ran
+    # before PII placeholder rewrites)
+    budget_ok = None
+    if token_budget:
+        over = con.execute(
+            f"SELECT COUNT(*) FROM ("
+            f"  SELECT o.lang, SUM(len(regexp_extract_all(c.text, '\\S+')))"
+            f"         AS toks"
+            f"  FROM read_parquet('{res.corpus_dir}/**/*.parquet') o"
+            f"  JOIN c ON c.doc_id = o.doc_id GROUP BY o.lang"
+            f") WHERE toks > {token_budget}"
+        ).fetchone()[0]
+        budget_ok = over == 0
 
     from bench import contention_probe
 
@@ -97,9 +117,13 @@ def main(n_docs: int = 5_000_000, n_shards: int = 64):
         "neardup_rate": round(nd_rate, 5),
         "rows_out": int(res.report["rows_out"]),
         "funnel_arith_ok": bool(ok_funnel),
+        "token_budget": token_budget,
+        "token_budget_drop": int(b_drop),
+        "token_budget_ok": budget_ok,
         "pii": res.report.get("pii", {}),
     }))
     assert ok_quality and ok_exact and ok_funnel and nd_rate >= 0.95
+    assert budget_ok is None or budget_ok
     ray.shutdown()
 
 
@@ -107,4 +131,5 @@ if __name__ == "__main__":
     main(
         int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000,
         int(sys.argv[2]) if len(sys.argv) > 2 else 64,
+        int(sys.argv[3]) if len(sys.argv) > 3 else None,
     )
