@@ -69,7 +69,10 @@ class CurateConfig:
     # stage of a training-data funnel. None disables. The key column
     # (e.g. lang / source); None = one global budget. Semantics +
     # bounded-driver shape: stages/budget.py (oracle-checked by the
-    # docs_token_budget_sample query).
+    # docs_token_budget_sample query). NOTE: in the incremental loop
+    # (run_export_incremental) each arrival batch is its own funnel
+    # run, so the budget applies PER BATCH — a whole-corpus budget
+    # needs a final full-corpus pass instead.
     token_budget: int | None = None
     token_budget_key: str | None = None
     pii_redact: bool = True  # emails/phones/IPv4 → typed placeholders
