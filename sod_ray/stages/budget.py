@@ -15,7 +15,10 @@ driver work:
 
 1. groupby(key, q6) token sums → the driver walks each key's levels
    best-first and finds the BOUNDARY level (the first that overflows)
-   plus the remaining budget. Driver rows = keys × quality levels.
+   plus the remaining budget. Driver rows = keys × quality levels —
+   the floor(q·1e6) quantization caps levels at 1e6+1 per key even
+   for a continuous score (the Gopher-style heuristic yields ~12), so
+   driver state is bounded regardless of corpus size.
 2. The boundary level's ids are range-bucketed (``nb`` buckets over
    the global id range); one slim groupby gives per-bucket sums → the
    driver picks the boundary BUCKET. Driver rows = keys × nb.
