@@ -660,6 +660,101 @@ def run_export(
     return ExportResult(out_dir=out_dir, report=report)
 
 
+def finalize_corpus_budget(
+    out_root: str,
+    token_budget: int,
+    token_budget_key: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partition_col: str | None = None,
+) -> dict:
+    """Whole-corpus token-budget pass over an incremental export's
+    accumulated corpus (the per-batch ``CurateConfig.token_budget``
+    applies batch-by-batch; this is the end-of-ingest global cut).
+
+    Consolidates every ``batch-*/out/corpus`` into ``final/input`` by
+    HARDLINK (copy fallback) preserving the hive partition layout —
+    deterministic names (``<batch-id>-<file>``), no payload copy — and
+    skips the consolidation entirely when the batch set is unchanged
+    (``final/input.meta.json`` ledger), so repeated calls with no new
+    batches resume ``run_export``'s own decision checkpoints instead
+    of recomputing. Then runs a budget-ONLY funnel into ``final/out``
+    (every other stage off — the per-batch funnels already applied
+    them)."""
+    import glob as _glob
+
+    batch_dirs = sorted(
+        d
+        for d in _glob.glob(os.path.join(out_root, "batch-*", "out", "corpus"))
+        if os.path.isdir(d)
+    )
+    final_root = os.path.join(out_root, "final")
+    inp = os.path.join(final_root, "input")
+    meta_path = os.path.join(final_root, "input.meta.json")
+    if not batch_dirs:
+        return {"batches": 0, "final_out": None}
+
+    manifest_entries = []
+    for d in batch_dirs:
+        rid = os.path.basename(os.path.dirname(os.path.dirname(d)))
+        for dirpath, _dn, filenames in os.walk(d):
+            for fn in sorted(filenames):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, fn)
+                rel = os.path.relpath(dirpath, d)
+                manifest_entries.append((src, rel, f"{rid}-{fn}"))
+    ledger = sorted(
+        (rel, name, os.path.getsize(src)) for src, rel, name in manifest_entries
+    )
+    prev = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            prev = json.load(f)
+    consolidated = False
+    if prev != [list(e) for e in ledger] or not os.path.isdir(inp):
+        tmp = inp + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        for src, rel, name in manifest_entries:
+            dst_dir = os.path.join(tmp, rel) if rel != "." else tmp
+            os.makedirs(dst_dir, exist_ok=True)
+            dst = os.path.join(dst_dir, name)
+            try:
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        shutil.rmtree(inp, ignore_errors=True)
+        os.replace(tmp, inp)
+        with open(meta_path + ".tmp", "w") as f:
+            json.dump([list(e) for e in ledger], f)
+        os.replace(meta_path + ".tmp", meta_path)
+        consolidated = True
+
+    cfg = CurateConfig(
+        text_col=text_col,
+        id_col=id_col,
+        quality_filter=False,
+        exact_dedup=False,
+        neardup=False,
+        line_dedup=False,
+        pii_redact=False,
+        token_budget=token_budget,
+        token_budget_key=token_budget_key,
+        partition_col=partition_col,
+    )
+    # a changed batch set invalidates final/out's input fingerprint —
+    # run_export would refuse the stale checkpoints, so clear them
+    res = run_export(
+        inp, os.path.join(final_root, "out"), cfg, resume=not consolidated
+    )
+    return {
+        "batches": len(batch_dirs),
+        "consolidated": consolidated,
+        "final_out": res.corpus_dir,
+        "report": res.report,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Incremental export: landing zone → per-batch funnel with CROSS-BATCH
 # exact dedup against the accumulated corpus hash index (r2 verdict #6)
@@ -682,6 +777,8 @@ def run_export_incremental(
     quarantine_grace_s: float = 5.0,
     index_broadcast_limit: int | None = None,
     cross_batch_neardup: bool = False,
+    finalize_budget: int | None = None,
+    finalize_budget_key: str | None = None,
 ) -> dict:
     """Continuous curation loop: poll the landing zone, run the export
     funnel over each arrival batch with cross-batch exact dedup against
@@ -951,8 +1048,21 @@ def run_export_incremental(
         max_polls=max_polls,
         max_empty_polls=max_empty_polls,
     )
+    finalize = None
+    if finalize_budget is not None:
+        # end-of-ingest WHOLE-corpus budget cut (the per-batch
+        # cfg.token_budget is per arrival batch by construction)
+        finalize = finalize_corpus_budget(
+            out_root,
+            finalize_budget,
+            token_budget_key=finalize_budget_key,
+            text_col=text_col,
+            id_col=id_col,
+            partition_col=cfg.partition_col,
+        )
     return {
         "shards_processed": n,
+        "finalize": finalize,
         "batches": batches,
         "quarantined": lz.quarantined(),
         "index_dir": index_dir,

@@ -542,3 +542,59 @@ def test_export_token_budget(ray_session, tmp_path):
          if f.endswith(".parquet")]
     )
     assert sorted(corpus2["doc_id"]) == sorted(corpus["doc_id"])
+
+
+def test_export_incremental_finalize_budget(ray_session, tmp_path):
+    """Whole-corpus budget finalize (r5 queue #2): after the arrival
+    batches, one GLOBAL budget cut over the accumulated corpus — not
+    per batch. Unchanged batch set skips re-consolidation and resumes
+    the final run's checkpoints; a new batch reruns it."""
+    from sod_ray.pipelines import export as ex
+
+    landing = os.path.join(str(tmp_path), "landing")
+    out = os.path.join(str(tmp_path), "inc_out")
+    cfg = ex.CurateConfig(quality_filter=False, pii_redact=False)
+
+    _write_shard(
+        landing, "b1.parquet", list(range(8)),
+        [GOOD + f" arrival one body {i}" for i in range(8)],
+    )
+    ex.run_export_incremental(landing, out, cfg, max_polls=1)
+    _write_shard(
+        landing, "b2.parquet", list(range(100, 108)),
+        [GOOD + f" arrival two body {i}" for i in range(8)],
+    )
+    BUDGET = 500
+    s = ex.run_export_incremental(
+        landing, out, cfg, max_polls=1, finalize_budget=BUDGET
+    )
+    fin = s["finalize"]
+    assert fin["batches"] == 2 and fin["consolidated"]
+    got = pq.ParquetDataset(fin["final_out"]).read().to_pandas()
+    toks = got["text"].str.split().str.len()
+    assert 0 < toks.sum() <= BUDGET
+    assert len(got) < 16  # the cut actually dropped docs
+
+    # no new arrivals: consolidation skipped, final decisions resumed
+    s2 = ex.run_export_incremental(
+        landing, out, cfg, max_polls=1, max_empty_polls=1,
+        finalize_budget=BUDGET,
+    )
+    fin2 = s2["finalize"]
+    assert not fin2["consolidated"]
+    assert "token_budget" in fin2["report"]["resumed_stages"]
+    got2 = pq.ParquetDataset(fin2["final_out"]).read().to_pandas()
+    assert sorted(got2["doc_id"]) == sorted(got["doc_id"])
+
+    # a third batch invalidates and reruns the final cut
+    _write_shard(
+        landing, "b3.parquet", list(range(200, 204)),
+        [GOOD + f" arrival three body {i}" for i in range(4)],
+    )
+    s3 = ex.run_export_incremental(
+        landing, out, cfg, max_polls=1, finalize_budget=BUDGET
+    )
+    fin3 = s3["finalize"]
+    assert fin3["batches"] == 3 and fin3["consolidated"]
+    got3 = pq.ParquetDataset(fin3["final_out"]).read().to_pandas()
+    assert got3["text"].str.split().str.len().sum() <= BUDGET
