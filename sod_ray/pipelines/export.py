@@ -71,8 +71,9 @@ class CurateConfig:
     # bounded-driver shape: stages/budget.py (oracle-checked by the
     # docs_token_budget_sample query). NOTE: in the incremental loop
     # (run_export_incremental) each arrival batch is its own funnel
-    # run, so the budget applies PER BATCH — a whole-corpus budget
-    # needs a final full-corpus pass instead.
+    # run, so the budget applies PER BATCH — for a whole-corpus budget
+    # use run_export_incremental(finalize_budget=...) /
+    # finalize_corpus_budget (end-of-ingest global cut).
     token_budget: int | None = None
     token_budget_key: str | None = None
     pii_redact: bool = True  # emails/phones/IPv4 → typed placeholders
