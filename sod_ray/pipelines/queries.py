@@ -1916,7 +1916,7 @@ GROUP BY token ORDER BY n DESC, token LIMIT 10
 def docs_token_budget_sample(sf_dir: str):
     """Token-budget curation (data-mixing primitive): per lang, keep
     the highest-quality docs while the running whitespace-token total
-    stays ≤ 50k — order (quality DESC, doc_id ASC), doc-level cut.
+    stays ≤ 8k — order (quality DESC, doc_id ASC), doc-level cut.
     Quality keys are quantized to ``floor(quality·1e6)`` (FLOOR has no
     tie mode — bit-identical in numpy and DuckDB, unlike half-even vs
     half-away ROUND).
@@ -1935,7 +1935,7 @@ def docs_token_budget_sample(sf_dir: str):
     from ..stages.budget import token_budget_keep, token_budget_thresholds
     from ..stages.textstage import TextFeatures
 
-    BUDGET = 50_000
+    BUDGET = 8_000
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
     feats = ds.map_batches(
         TextFeatures, batch_format="pyarrow", concurrency=(1, 8),
@@ -1963,6 +1963,58 @@ def docs_token_budget_sample(sf_dir: str):
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def docs_pack_chunks(sf_dir: str):
+    """Concat-and-chunk sequence packing (the standard LLM-pretraining
+    prep): per lang, concatenate docs' whitespace-token streams in
+    doc_id order and cut every 2048 tokens; emit each doc's chunk span
+    and first-chunk offset. Distributed closed-form prefix sum over
+    sorted blocks (stages/budget.pack_chunks — driver state ≤ blocks +
+    keys); integer outputs make the SQL window-cumsum oracle exact."""
+    from ..stages.budget import pack_chunks
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def slim(t: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(
+            pc.utf8_split_whitespace(t["text"].combine_chunks())
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"],
+                "n_tokens": toks.cast(pa.int64()),
+            }
+        )
+
+    sl = ds.map_batches(slim, batch_format="pyarrow")
+    out = (
+        pack_chunks(sl, 2048, key_col="lang")
+        .to_pandas()
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+PACK_CHUNKS_SQL = r"""
+WITH f AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM f
+)
+SELECT doc_id, lang, n_tokens,
+       prev // 2048 AS chunk_start,
+       (prev + GREATEST(n_tokens, 1) - 1) // 2048 AS chunk_end,
+       prev % 2048 AS chunk_offset
+FROM c
+"""
 
 
 DOCS_BUDGET_SQL = r"""
@@ -2003,7 +2055,7 @@ WITH f AS (
     SUM(n_tokens) OVER (PARTITION BY lang ORDER BY q6 DESC, doc_id) AS cum_toks
   FROM q
 )
-SELECT doc_id, lang, n_tokens FROM cum WHERE cum_toks <= 50000
+SELECT doc_id, lang, n_tokens FROM cum WHERE cum_toks <= 8000
 """
 
 
@@ -3220,6 +3272,7 @@ QUERIES = {
     "kll_quantiles_checked": kll_quantiles_checked,
     "heavy_hitters_checked": heavy_hitters_checked,
     "docs_token_budget_sample": docs_token_budget_sample,
+    "docs_pack_chunks": docs_pack_chunks,
 }
 
 ORACLES = {
@@ -3233,6 +3286,7 @@ ORACLES = {
     "kll_quantiles_checked": KLL_CHECKED_SQL,
     "heavy_hitters_checked": MG_CHECKED_SQL,
     "docs_token_budget_sample": DOCS_BUDGET_SQL,
+    "docs_pack_chunks": PACK_CHUNKS_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
     "lof_stream_frozen_checked": LOF_STREAM_SQL,

@@ -179,6 +179,116 @@ def token_budget_thresholds(
     }
 
 
+def pack_chunks(
+    sl,
+    chunk_tokens: int,
+    key_col: str | None = "lang",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+):
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    prep: per key, concatenate the docs' token streams in id order and
+    cut every ``chunk_tokens``; each doc gets its chunk span
+    (``chunk_start``/``chunk_end``, inclusive — docs may straddle a
+    boundary) and its offset inside the first chunk. Zero-token docs
+    get the empty span at their position (start == end, offset kept).
+
+    Distributed prefix sum, fully closed-form (no sequential chain):
+    ``sort(key, id)`` makes every block a contiguous ordered slice;
+    per-block per-key run subtotals (≤ runs-per-block rows, keys are
+    contiguous) flow to the driver, which accumulates each block's
+    STARTING offset per key — driver state ≤ blocks + keys rows; every
+    block then finalizes in parallel from its offsets. Same shape as
+    ``windowed_zscore_sorted``'s sorted-overlap (window.py), with a
+    scalar carry instead of a row tail."""
+    import ray
+    import ray.data as rd
+
+    from .blocks import arrow_block_refs
+
+    out_schema = pa.schema(
+        [
+            pa.field(id_col, pa.int64()),
+        ]
+        + ([pa.field(key_col, pa.string())] if key_col else [])
+        + [
+            pa.field(tokens_col, pa.int64()),
+            pa.field("chunk_start", pa.int64()),
+            pa.field("chunk_end", pa.int64()),
+            pa.field("chunk_offset", pa.int64()),
+        ]
+    )
+    sort_keys = ([key_col] if key_col else []) + [id_col]
+    sorted_ds = sl.sort(sort_keys)
+    refs = arrow_block_refs(sorted_ds)
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+
+    def _keys_of(block: pa.Table) -> np.ndarray:
+        if key_col:
+            return block[key_col].to_numpy(zero_copy_only=False)
+        return np.full(block.num_rows, GLOBAL, dtype=object)
+
+    @ray.remote
+    def run_subtotals(block: pa.Table) -> list:
+        if block.num_rows == 0:
+            return []
+        keys = _keys_of(block)
+        toks = block[tokens_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1]])
+        )
+        ends = np.concatenate([starts[1:], [keys.shape[0]]])
+        cs = np.concatenate([[0], np.cumsum(toks)])
+        return [
+            (str(keys[s]), int(cs[e] - cs[s])) for s, e in zip(starts, ends)
+        ]
+
+    parts = ray.get([run_subtotals.remote(r) for r in refs])
+    running: dict = {}
+    block_offsets = []
+    for p in parts:
+        offs = {}
+        for k, s in p:
+            if k not in offs:
+                offs[k] = running.get(k, 0)
+            running[k] = running.get(k, 0) + s
+        block_offsets.append(offs)
+
+    B = int(chunk_tokens)
+
+    @ray.remote
+    def finalize(block: pa.Table, offs: dict) -> pa.Table:
+        if block.num_rows == 0:
+            return out_schema.empty_table()
+        keys = _keys_of(block)
+        toks = block[tokens_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = np.flatnonzero(
+            np.concatenate([[True], keys[1:] != keys[:-1]])
+        )
+        seg_id = np.cumsum(
+            np.concatenate([[0], (keys[1:] != keys[:-1]).astype(np.int64)])
+        )
+        cs = np.concatenate([[0], np.cumsum(toks)])[:-1]  # exclusive
+        seg_base = cs[starts][seg_id]
+        key_off = np.array(
+            [offs.get(str(keys[s]), 0) for s in starts], dtype=np.int64
+        )[seg_id]
+        prev = key_off + (cs - seg_base)
+        cols = {id_col: block[id_col].cast(pa.int64())}
+        if key_col:
+            cols[key_col] = block[key_col]
+        cols[tokens_col] = pa.array(toks)
+        cols["chunk_start"] = pa.array(prev // B)
+        cols["chunk_end"] = pa.array((prev + np.maximum(toks, 1) - 1) // B)
+        cols["chunk_offset"] = pa.array(prev % B)
+        return pa.table(cols)
+
+    return rd.from_arrow_refs(
+        [finalize.remote(r, block_offsets[i]) for i, r in enumerate(refs)]
+    )
+
+
 def token_budget_mask(thresholds: dict):
     """Batch fn factory: slim table → kept boolean numpy mask (same
     column contract as :func:`token_budget_thresholds`). The

@@ -687,3 +687,49 @@ def test_heavy_hitters_per_key(ray_session):
         assert top1 == ("e1" if lang == "en" else "d1")
         for k, est in mg.counts.items():
             assert est <= true[k] <= est + mg.err_ub
+
+
+def test_pack_chunks(ray_session):
+    """Concat-and-chunk packing vs a sequential reference: multi-block
+    sorted input, docs straddling chunk boundaries, zero-token docs,
+    multiple keys."""
+    import ray.data as rd
+
+    from sod_ray.stages.budget import pack_chunks
+
+    rng = np.random.default_rng(13)
+    n = 5_000
+    langs = np.sort(rng.choice(["aa", "bb", "cc"], size=n))
+    ids = np.arange(n, dtype=np.int64)
+    toks = rng.integers(0, 40, size=n).astype(np.int64)
+    toks[rng.choice(n, 50, replace=False)] = 0  # zero-token docs
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "lang": pa.array(langs.tolist()),
+                "n_tokens": pa.array(toks),
+            }
+        )
+    ).repartition(16)
+    B = 128
+    out = (
+        pack_chunks(ds, B, key_col="lang")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # sequential reference
+    prev_by_key: dict = {}
+    exp_start, exp_end, exp_off = [], [], []
+    for lg, t in zip(langs, toks):
+        prev = prev_by_key.get(lg, 0)
+        exp_start.append(prev // B)
+        exp_end.append((prev + max(t, 1) - 1) // B)
+        exp_off.append(prev % B)
+        prev_by_key[lg] = prev + t
+    assert out["chunk_start"].tolist() == exp_start
+    assert out["chunk_end"].tolist() == exp_end
+    assert out["chunk_offset"].tolist() == exp_off
+    # straddling actually happened
+    assert (out["chunk_end"] > out["chunk_start"]).any()
