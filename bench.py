@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "docs_neardup_dedup",
     "doc_kll_quantiles",
     "docs_token_budget_sample",
+    "docs_pack_chunks",
 ]
 
 
