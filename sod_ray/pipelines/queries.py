@@ -1913,6 +1913,74 @@ GROUP BY token ORDER BY n DESC, token LIMIT 10
 """
 
 
+def events_top_users_mg_checked(sf_dir: str):
+    """Oracle-backed PER-KEY Misra–Gries validation: the exact top-3
+    users per event_type (SQL window rank, count-desc / user-asc ties)
+    ride next to ``mg_ok`` asserting the per-key MG summary's
+    deterministic band (``est ≤ exact ≤ est + err_ub``) — the
+    one-scan, zero-shuffle path for per-partition heavy values (top
+    users per type, top urls per host). m=64 < the ~150 distinct users
+    per type, so the overflow reduction genuinely fires at gate scale
+    and the tracked err_ub is non-trivial."""
+    from ray.data.aggregate import Count
+
+    from ..stages.stats import heavy_hitters
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def as_str(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "user_key": t["user_id"].cast(pa.string()),
+            }
+        )
+
+    keyed = ds.map_batches(as_str, batch_format="pyarrow")
+    per = heavy_hitters(keyed, "user_key", key="event_type", m=64)
+
+    exact = (
+        ds.groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    rows = []
+    for et, g in exact.groupby("event_type"):
+        mg = per.get(str(et))
+        top = g.sort_values(["n", "user_id"], ascending=[False, True]).head(3)
+        for uid, n_true in zip(top["user_id"], top["n"]):
+            if mg is None:
+                ok = False
+            else:
+                est = mg.estimate(str(uid))
+                ok = est <= int(n_true) <= est + mg.err_ub
+            rows.append((et, int(uid), int(n_true), bool(ok)))
+    rows.sort()
+    return pa.table(
+        {
+            "event_type": pa.array([r[0] for r in rows], pa.string()),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "n": pa.array([r[2] for r in rows], pa.int64()),
+            "mg_ok": pa.array([r[3] for r in rows], pa.bool_()),
+        }
+    )
+
+
+MG_PER_KEY_SQL = """
+WITH counts AS (
+  SELECT event_type, user_id, COUNT(*) AS n
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, user_id) AS r
+  FROM counts
+)
+SELECT event_type, user_id, n, TRUE AS mg_ok
+FROM ranked WHERE r <= 3
+"""
+
+
 def docs_token_budget_sample(sf_dir: str):
     """Token-budget curation (data-mixing primitive): per lang, keep
     the highest-quality docs while the running whitespace-token total
@@ -3271,6 +3339,7 @@ QUERIES = {
     "doc_kll_quantiles": doc_kll_quantiles,
     "kll_quantiles_checked": kll_quantiles_checked,
     "heavy_hitters_checked": heavy_hitters_checked,
+    "events_top_users_mg_checked": events_top_users_mg_checked,
     "docs_token_budget_sample": docs_token_budget_sample,
     "docs_pack_chunks": docs_pack_chunks,
 }
@@ -3285,6 +3354,7 @@ ORACLES = {
     "hll_distinct_checked": HLL_CHECKED_SQL,
     "kll_quantiles_checked": KLL_CHECKED_SQL,
     "heavy_hitters_checked": MG_CHECKED_SQL,
+    "events_top_users_mg_checked": MG_PER_KEY_SQL,
     "docs_token_budget_sample": DOCS_BUDGET_SQL,
     "docs_pack_chunks": PACK_CHUNKS_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
