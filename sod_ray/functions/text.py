@@ -278,3 +278,27 @@ def md5_hex(text: str | None) -> str:
     if text is None:
         return ""
     return hashlib.md5(text.encode("utf-8")).hexdigest()
+
+
+def winnow_select(h, w: int):
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): over the k-gram hash sequence ``h``, each window of
+    ``w`` consecutive grams selects its minimum (RIGHTMOST on ties);
+    returns the sorted distinct selected positions. Guarantee: two
+    texts sharing a substring of ≥ w + k - 1 chars share at least one
+    selected fingerprint. Sequences shorter than ``w`` select nothing
+    (no complete window — mirrors the SQL twin's window filter).
+
+    Vectorized: one sliding-window view + argmin over the REVERSED
+    window (numpy argmin takes the first minimum, so the reversed
+    first-min is the rightmost-min of the original)."""
+    import numpy as _np
+
+    h = _np.asarray(h)
+    n = h.shape[0]
+    if n < w:
+        return _np.empty(0, dtype=_np.int64)
+    sw = _np.lib.stride_tricks.sliding_window_view(h, w)
+    pick = (w - 1) - sw[:, ::-1].argmin(1)
+    pos = _np.arange(n - w + 1) + pick
+    return _np.unique(pos).astype(_np.int64)

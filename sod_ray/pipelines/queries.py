@@ -2033,6 +2033,82 @@ def docs_token_budget_sample(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def doc_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (MOSS / SIGMOD'03): char
+    5-grams, window 8, rightmost-min selection — any shared substring
+    of ≥ 12 chars between two docs shares a selected fingerprint. The
+    gram hash here is the first 8 md5 hex chars so the SQL twin is
+    value-exact (fixed-width hex compares lexicographically like the
+    integer; DuckDB md5 == hashlib.md5 on utf-8); the production path
+    swaps in the rolling ``hash64`` (same kernel,
+    functions/text.winnow_select — selection logic is hash-agnostic).
+    Output: (doc_id, pos 1-based, fp) — the fingerprint index a
+    plagiarism/overlap join builds on."""
+    import hashlib as _hl
+
+    from ..functions.text import winnow_select
+
+    K, W = 5, 8
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        ids_out, pos_out, fp_out = [], [], []
+        for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if txt is None or len(txt) < K:
+                continue
+            hx = [
+                _hl.md5(txt[i : i + K].encode("utf-8")).hexdigest()[:8]
+                for i in range(len(txt) - K + 1)
+            ]
+            h = np.array([int(x, 16) for x in hx], dtype=np.uint32)
+            for s in winnow_select(h, W):
+                ids_out.append(did)
+                pos_out.append(int(s) + 1)
+                fp_out.append(hx[s])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "pos": pa.array(pos_out, pa.int64()),
+                "fp": pa.array(fp_out, pa.string()),
+            }
+        )
+
+    out = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "pos"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+WINNOW_SQL = r"""
+WITH pos AS (
+  SELECT doc_id, text,
+         UNNEST(generate_series(1, length(text) - 4)) AS p
+  FROM documents WHERE length(text) >= 5
+), grams AS (
+  SELECT doc_id, p, substr(md5(substr(text, p, 5)), 1, 8) AS h FROM pos
+), wmin AS (
+  SELECT doc_id, p AS s, h,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS cnt
+  FROM grams
+), picked AS (
+  SELECT st.doc_id, st.s, MAX(g.p) AS sel
+  FROM (SELECT doc_id, s, mh FROM wmin WHERE cnt = 8) st
+  JOIN grams g
+    ON g.doc_id = st.doc_id AND g.p BETWEEN st.s AND st.s + 7
+   AND g.h = st.mh
+  GROUP BY st.doc_id, st.s
+)
+SELECT DISTINCT pk.doc_id, pk.sel AS pos, g.h AS fp
+FROM picked pk JOIN grams g ON g.doc_id = pk.doc_id AND g.p = pk.sel
+"""
+
+
 def docs_pack_chunks(sf_dir: str):
     """Concat-and-chunk sequence packing (the standard LLM-pretraining
     prep): per lang, concatenate docs' whitespace-token streams in
@@ -3342,6 +3418,7 @@ QUERIES = {
     "events_top_users_mg_checked": events_top_users_mg_checked,
     "docs_token_budget_sample": docs_token_budget_sample,
     "docs_pack_chunks": docs_pack_chunks,
+    "doc_winnow_fingerprints": doc_winnow_fingerprints,
 }
 
 ORACLES = {
@@ -3357,6 +3434,7 @@ ORACLES = {
     "events_top_users_mg_checked": MG_PER_KEY_SQL,
     "docs_token_budget_sample": DOCS_BUDGET_SQL,
     "docs_pack_chunks": PACK_CHUNKS_SQL,
+    "doc_winnow_fingerprints": WINNOW_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
     "lof_stream_frozen_checked": LOF_STREAM_SQL,

@@ -126,3 +126,40 @@ def test_extract_arrow_fused_and_entity_paths_parity():
         got = extract_text_arrow(pa.array(batch, pa.binary())).to_pylist()
         want = [extract_text(h) for h in batch]
         assert got == want, (got, want)
+
+
+def test_winnow_select_guarantee_and_ties():
+    import hashlib
+
+    import numpy as np
+
+    from sod_ray.functions.text import winnow_select
+
+    rng = np.random.default_rng(7)
+    # brute-force parity incl. rightmost tie-break (small alphabet → ties)
+    h = rng.integers(0, 12, 200)
+    sel = winnow_select(h, 8)
+    ref = set()
+    for s in range(len(h) - 7):
+        win = h[s : s + 8]
+        m = win.min()
+        ref.add(s + max(i for i in range(8) if win[i] == m))
+    assert sel.tolist() == sorted(ref)
+    assert winnow_select(np.array([3, 1]), 8).size == 0
+
+    # the w+k-1 guarantee: docs sharing a >= 12-char substring share
+    # at least one selected fingerprint (k=5, w=8)
+    K, W = 5, 8
+    shared = "the quick brown fox jumps"
+
+    def fps(txt):
+        hx = [
+            hashlib.md5(txt[i : i + K].encode()).hexdigest()[:8]
+            for i in range(len(txt) - K + 1)
+        ]
+        h = np.array([int(x, 16) for x in hx], dtype=np.uint32)
+        return {hx[s] for s in winnow_select(h, W)}
+
+    a = fps("prefix words here " + shared + " and a suffix tail")
+    b = fps(shared + " totally different continuation text follows")
+    assert a & b
