@@ -2109,6 +2109,46 @@ FROM picked pk JOIN grams g ON g.doc_id = pk.doc_id AND g.p = pk.sel
 """
 
 
+def winnow_overlap_pairs(sf_dir: str):
+    """Fingerprint-overlap candidate pairs — what winnowing is FOR:
+    docs sharing ≥ 40 distinct selected fingerprints. The synthetic
+    docs share template phrases (measured background ~p99 = 27 shared
+    fps per pair at sf0.01), so 40 isolates genuine near/exact
+    duplicates (17 pairs) from the 124k-pair background. Composition:
+    the `doc_winnow_fingerprints` table → distinct (doc, fp) →
+    groupby fp → pair emission → pair count. Gate-scale demo of the
+    index join; the 10^12-doc overlap path is the MinHash/SimHash
+    family (banded, capped buckets) — this exact-count join is its
+    verification-tier analog."""
+    fps = doc_winnow_fingerprints(sf_dir).to_pandas()
+    fps = fps.drop_duplicates(["doc_id", "fp"])
+    pairs = fps.merge(fps, on="fp")
+    pairs = pairs[pairs["doc_id_x"] < pairs["doc_id_y"]]
+    out = (
+        pairs.groupby(["doc_id_x", "doc_id_y"])
+        .agg(n_shared=("fp", "nunique"))
+        .reset_index()
+        .rename(columns={"doc_id_x": "id_a", "doc_id_y": "id_b"})
+    )
+    out = out[out["n_shared"] >= 40].sort_values(["id_a", "id_b"]).reset_index(
+        drop=True
+    )
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+WINNOW_PAIRS_SQL = (
+    "WITH fps AS ("
+    + WINNOW_SQL
+    + """)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(DISTINCT a.fp) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(DISTINCT a.fp) >= 40
+"""
+)
+
+
 def docs_pack_chunks(sf_dir: str):
     """Concat-and-chunk sequence packing (the standard LLM-pretraining
     prep): per lang, concatenate docs' whitespace-token streams in
@@ -3419,6 +3459,7 @@ QUERIES = {
     "docs_token_budget_sample": docs_token_budget_sample,
     "docs_pack_chunks": docs_pack_chunks,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
+    "winnow_overlap_pairs": winnow_overlap_pairs,
 }
 
 ORACLES = {
@@ -3435,6 +3476,7 @@ ORACLES = {
     "docs_token_budget_sample": DOCS_BUDGET_SQL,
     "docs_pack_chunks": PACK_CHUNKS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
+    "winnow_overlap_pairs": WINNOW_PAIRS_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
     "lof_stream_frozen_checked": LOF_STREAM_SQL,
