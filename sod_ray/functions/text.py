@@ -302,3 +302,29 @@ def winnow_select(h, w: int):
     pick = (w - 1) - sw[:, ::-1].argmin(1)
     pos = _np.arange(n - w + 1) + pick
     return _np.unique(pos).astype(_np.int64)
+
+
+def winnow_fingerprints_fast(text: str | None, k: int = 5, w: int = 8):
+    """Production-path winnowing (same selection kernel as the
+    md5-oracle twin, different gram hash): BYTE k-grams (k ≤ 8) packed
+    into uint64 by base-256 positional weights — an exact injective
+    encoding, so equal grams ⇔ equal packs — then splitmix64-mixed so
+    window minima are uniform. Fully vectorized per doc (one
+    sliding-window view + one matmul + the winnow_select kernel).
+    Returns (positions int64, fingerprints uint64)."""
+    import numpy as _np
+
+    from ..state.sketches import _splitmix64
+
+    if text is None:
+        return _np.empty(0, _np.int64), _np.empty(0, _np.uint64)
+    data = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8)
+    n = data.shape[0] - k + 1
+    if n < w:
+        return _np.empty(0, _np.int64), _np.empty(0, _np.uint64)
+    win = _np.lib.stride_tricks.sliding_window_view(data, k)
+    weights = (256 ** _np.arange(k - 1, -1, -1, dtype=_np.uint64))
+    packed = win.astype(_np.uint64) @ weights
+    h = _splitmix64(packed)
+    sel = winnow_select(h, w)
+    return sel, h[sel]

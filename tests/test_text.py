@@ -163,3 +163,21 @@ def test_winnow_select_guarantee_and_ties():
     a = fps("prefix words here " + shared + " and a suffix tail")
     b = fps(shared + " totally different continuation text follows")
     assert a & b
+
+
+def test_winnow_fast_path_matches_selection_semantics():
+    import numpy as np
+
+    from sod_ray.functions.text import winnow_fingerprints_fast
+
+    # identical texts → identical fingerprints; shared >= w+k-1 byte
+    # substring → shared fingerprint (same guarantee as the md5 path)
+    shared = "the quick brown fox jumps"
+    pa_, fa = winnow_fingerprints_fast("x " + shared + " trailing words here")
+    pb_, fb = winnow_fingerprints_fast(shared + " other continuation entirely")
+    assert set(fa.tolist()) & set(fb.tolist())
+    p1, f1 = winnow_fingerprints_fast(shared * 3)
+    p2, f2 = winnow_fingerprints_fast(shared * 3)
+    assert np.array_equal(p1, p2) and np.array_equal(f1, f2)
+    p0, f0 = winnow_fingerprints_fast("abc")
+    assert p0.size == 0 and f0.size == 0
