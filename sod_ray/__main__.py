@@ -64,6 +64,11 @@ def main_export(argv) -> int:
         help="key column for --token-budget (None = one global budget)",
     )
     p.add_argument(
+        "--pack-chunk-tokens", type=int, default=None,
+        help="emit a chunks/ training manifest: per-doc concat-and-"
+        "chunk spans at this many tokens per chunk",
+    )
+    p.add_argument(
         "--decontaminate-file", default=None,
         help="text file (one benchmark document per line); drop corpus "
         "docs sharing any word n-gram with it",
@@ -114,6 +119,7 @@ def main_export(argv) -> int:
         shuffle_seed=args.shuffle_seed,
         token_budget=args.token_budget,
         token_budget_key=args.token_budget_key,
+        pack_chunk_tokens=args.pack_chunk_tokens,
     )
     res = run_export(args.input, args.out, cfg, resume=not args.no_resume)
     print(json.dumps(res.report))

@@ -76,6 +76,13 @@ class CurateConfig:
     # finalize_corpus_budget (end-of-ingest global cut).
     token_budget: int | None = None
     token_budget_key: str | None = None
+    # training-chunk manifest sidecar: after the corpus write, emit
+    # ``chunks/`` — per-doc concat-and-chunk spans (chunk_start/
+    # chunk_end/chunk_offset at this many whitespace tokens per chunk,
+    # keyed by partition_col or global; stages/budget.pack_chunks) so
+    # the curated corpus ships directly trainable. Deterministic in
+    # (key, id) order — independent of shuffle_seed/file order.
+    pack_chunk_tokens: int | None = None
     pii_redact: bool = True  # emails/phones/IPv4 → typed placeholders
     partition_col: str | None = None  # output partition directory key
     # deterministic global shuffle of the curated corpus before the
@@ -655,6 +662,68 @@ def run_export(
         }
     elif cfg.pii_redact:  # empty corpus: Dataset.sum returns None
         report["pii"] = {"emails": 0, "phones": 0, "ips": 0}
+
+    if cfg.pack_chunk_tokens is not None:
+        chunks_dir = os.path.join(out_dir, "chunks")
+        t0 = time.perf_counter()
+        if resume and "pack_chunks" in committed and os.path.isdir(chunks_dir):
+            report["resumed_stages"].append("pack_chunks")
+        else:
+            from ..stages.budget import pack_chunks
+
+            cols = [id_col, text_col] + (
+                [cfg.partition_col] if cfg.partition_col else []
+            )
+            spans_tmp = chunks_dir + ".tmp"
+            shutil.rmtree(spans_tmp, ignore_errors=True)
+            shutil.rmtree(chunks_dir, ignore_errors=True)
+            if n_out:
+                base = rd.read_parquet(corpus_dir, columns=cols)
+
+                def slim_tok(t: pa.Table) -> pa.Table:
+                    toks = pc.list_value_length(
+                        pc.utf8_split_whitespace(t[text_col].combine_chunks())
+                    )
+                    out = {
+                        id_col: t[id_col].cast(pa.int64()),
+                        "n_tokens": toks.cast(pa.int64()),
+                    }
+                    if cfg.partition_col:
+                        out[cfg.partition_col] = t[cfg.partition_col].cast(
+                            pa.string()
+                        )
+                    return pa.table(out)
+
+                spans = pack_chunks(
+                    base.map_batches(slim_tok, batch_format="pyarrow"),
+                    cfg.pack_chunk_tokens,
+                    key_col=cfg.partition_col,
+                    id_col=id_col,
+                )
+                spans.write_parquet(spans_tmp)
+            os.makedirs(spans_tmp, exist_ok=True)
+            os.rename(spans_tmp, chunks_dir)
+            manifest.commit(
+                PartitionRecord(
+                    partition="pack_chunks",
+                    rows_scanned=n_out,
+                    constraint_outcomes={"pack_chunks": "pass"},
+                    outputs=[chunks_dir],
+                )
+            )
+        n_chunks = 0
+        if os.path.isdir(chunks_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(chunks_dir)
+        ):
+            ce = rd.read_parquet(chunks_dir, columns=["chunk_end"]).max(
+                "chunk_end"
+            )
+            n_chunks = int(ce) + 1 if ce is not None else 0
+        report["stages"]["pack_chunks"] = {
+            "chunk_tokens": cfg.pack_chunk_tokens,
+            "max_chunks_per_key": n_chunks,
+            "seconds": round(time.perf_counter() - t0, 3),
+        }
 
     with open(os.path.join(out_dir, "report.json"), "w") as f:
         json.dump(report, f, indent=1)

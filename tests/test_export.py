@@ -598,3 +598,59 @@ def test_export_incremental_finalize_budget(ray_session, tmp_path):
     assert fin3["batches"] == 3 and fin3["consolidated"]
     got3 = pq.ParquetDataset(fin3["final_out"]).read().to_pandas()
     assert got3["text"].str.split().str.len().sum() <= BUDGET
+
+
+def test_export_pack_chunks_sidecar(ray_session, tmp_path):
+    """Funnel with pack_chunk_tokens: the chunks/ manifest matches a
+    sequential reference over the CURATED corpus in (key, id) order,
+    independent of the shuffled corpus file order; resume reuses it."""
+    import numpy as np
+
+    rows = [
+        (i, GOOD + f" body variant number {i} here", "a" if i % 2 else "b")
+        for i in range(40)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    d = os.path.join(tmp_path, "in")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "part-0.parquet"))
+
+    cfg = CurateConfig(
+        quality_filter=False,
+        exact_dedup=False,
+        pii_redact=False,
+        partition_col="lang",
+        shuffle_seed=7,  # shuffled corpus — manifest must not care
+        pack_chunk_tokens=128,
+    )
+    out = os.path.join(tmp_path, "out")
+    res = run_export(d, out, cfg)
+    assert res.report["stages"]["pack_chunks"]["max_chunks_per_key"] >= 1
+    spans = (
+        pq.ParquetDataset(os.path.join(out, "chunks")).read().to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(spans) == 40
+    # sequential reference over the curated docs in (lang, doc_id) order
+    src = t.to_pandas().sort_values(["lang", "doc_id"])
+    prev_by = {}
+    ref = {}
+    for _, r in src.iterrows():
+        nt = len(r["text"].split())
+        prev = prev_by.get(r["lang"], 0)
+        ref[r["doc_id"]] = (prev // 128, (prev + max(nt, 1) - 1) // 128, prev % 128)
+        prev_by[r["lang"]] = prev + nt
+    for _, r in spans.iterrows():
+        assert (
+            r["chunk_start"], r["chunk_end"], r["chunk_offset"]
+        ) == ref[r["doc_id"]], r["doc_id"]
+
+    # resume reuses the committed manifest
+    res2 = run_export(d, out, cfg)
+    assert "pack_chunks" in res2.report["resumed_stages"]
