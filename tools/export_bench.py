@@ -30,7 +30,8 @@ ROOT = "/tmp/sod_export_bench"
 
 
 def main(n_docs: int = 5_000_000, n_shards: int = 64,
-         token_budget: int | None = None):
+         token_budget: int | None = None,
+         pack_chunk_tokens: int | None = None):
     import duckdb
     import ray
 
@@ -71,7 +72,8 @@ def main(n_docs: int = 5_000_000, n_shards: int = 64,
     cfg = CurateConfig(neardup=True, partition_col="lang",
                        lsh_kwargs={"seed": 1337},
                        token_budget=token_budget,
-                       token_budget_key="lang" if token_budget else None)
+                       token_budget_key="lang" if token_budget else None,
+                       pack_chunk_tokens=pack_chunk_tokens)
     t1 = time.perf_counter()
     res = run_export(inp, out, cfg, resume=False)
     funnel_sec = time.perf_counter() - t1
@@ -120,6 +122,7 @@ def main(n_docs: int = 5_000_000, n_shards: int = 64,
         "token_budget": token_budget,
         "token_budget_drop": int(b_drop),
         "token_budget_ok": budget_ok,
+        "pack_chunks": res.report["stages"].get("pack_chunks"),
         "pii": res.report.get("pii", {}),
     }))
     assert ok_quality and ok_exact and ok_funnel and nd_rate >= 0.95
@@ -132,4 +135,5 @@ if __name__ == "__main__":
         int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000,
         int(sys.argv[2]) if len(sys.argv) > 2 else 64,
         int(sys.argv[3]) if len(sys.argv) > 3 else None,
+        int(sys.argv[4]) if len(sys.argv) > 4 else None,
     )
