@@ -177,3 +177,125 @@ def drift_check(current_stats_ds, baseline: dict, concurrency=(1, 4)):
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical drift (string columns: lang mix, host mix, event types)
+# ---------------------------------------------------------------------------
+
+
+def categorical_drift_check(
+    ds,
+    columns: list[str],
+    baseline: dict | None,
+    key: str | None = None,
+    m: int = 512,
+    psi_threshold: float = 0.2,
+    top_k: int = 50,
+):
+    """Distribution drift for STRING columns — the categorical
+    counterpart of the numeric PSI/KS scorer above: each column's
+    value mix is summarized by a Misra–Gries sketch (one scan, no data
+    shuffle — stages/stats.heavy_hitters), and
+    ``state.sketches.categorical_psi`` scores the current summaries
+    against the baseline's over the union of both top-k categories
+    plus an "other" mass bucket.
+
+    ``baseline`` maps (part_key, column) -> MG bytes (as produced by
+    :func:`categorical_baseline` / :func:`save_categorical_baseline`);
+    None scores nothing but still returns the fresh summaries for the
+    next run's baseline roll. Returns ``(summaries, results_table)``
+    where summaries is the {(part_key, column): MisraGries} of THIS
+    run. Null-baseline rows carry has_baseline=False like the numeric
+    scorer. The PSI cut follows the numeric scorer's convention: the
+    fixed threshold governs at scale; MG undercount shifts mass to
+    "other" symmetrically for frequencies above err_ub/n, which the
+    eps-smoothed PSI tolerates."""
+    from ..state.sketches import MisraGries, categorical_psi
+    from .stats import GLOBAL_KEY, heavy_hitters
+
+    summaries: dict = {}
+    for col in columns:
+        per = heavy_hitters(ds, col, key=key, m=m)
+        if key is None:
+            summaries[(GLOBAL_KEY, col)] = per
+        else:
+            for k, mg in per.items():
+                summaries[(k, col)] = mg
+
+    rows = {"part_key": [], "column": [], "cat_psi": [], "drifted": [],
+            "has_baseline": []}
+    for (k, col), mg in sorted(summaries.items()):
+        rows["part_key"].append(k)
+        rows["column"].append(col)
+        base = (baseline or {}).get((k, col))
+        if base is None:
+            rows["cat_psi"].append(float("nan"))
+            rows["drifted"].append(False)
+            rows["has_baseline"].append(False)
+            continue
+        p = categorical_psi(
+            MisraGries.from_bytes(base), mg, k=top_k
+        )
+        rows["cat_psi"].append(p)
+        rows["drifted"].append(bool(p > psi_threshold))
+        rows["has_baseline"].append(True)
+    return summaries, pa.table(
+        {
+            "part_key": pa.array(rows["part_key"], pa.string()),
+            "column": pa.array(rows["column"], pa.string()),
+            "cat_psi": pa.array(rows["cat_psi"], pa.float64()),
+            "drifted": pa.array(rows["drifted"], pa.bool_()),
+            "has_baseline": pa.array(rows["has_baseline"], pa.bool_()),
+        }
+    )
+
+
+def save_categorical_baseline(summaries: dict, path: str) -> None:
+    """Persist {(part_key, column): MisraGries} — atomic tmp+rename,
+    merging with an existing file (same contract as the numeric
+    save_baseline: a partial run never clobbers other keys' rows)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = [
+        {"part_key": k, "column": c, "mg": mg.to_bytes()}
+        for (k, c), mg in sorted(summaries.items())
+    ]
+    new = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [("part_key", pa.string()), ("column", pa.string()),
+             ("mg", pa.binary())]
+        ),
+    )
+    if os.path.exists(path):
+        old = pq.read_table(path)
+        seen = {(k, c) for k, c in zip(
+            new["part_key"].to_pylist(), new["column"].to_pylist()
+        )}
+        keep = old.filter(
+            pa.array(
+                [
+                    (k, c) not in seen
+                    for k, c in zip(
+                        old["part_key"].to_pylist(), old["column"].to_pylist()
+                    )
+                ]
+            )
+        )
+        new = pa.concat_tables([keep, new])
+    tmp = path + ".tmp"
+    pq.write_table(new, tmp)
+    os.replace(tmp, path)
+
+
+def load_categorical_baseline(path: str) -> dict:
+    """categorical_baseline.parquet → {(part_key, column): mg_bytes}."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    return {
+        (r["part_key"], r["column"]): r["mg"] for r in t.to_pylist()
+    }

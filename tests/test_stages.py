@@ -733,3 +733,46 @@ def test_pack_chunks(ray_session):
     assert out["chunk_offset"].tolist() == exp_off
     # straddling actually happened
     assert (out["chunk_end"] > out["chunk_start"]).any()
+
+
+def test_categorical_drift_cross_run(ray_session, tmp_path):
+    """Categorical drift across runs with baseline persistence: same
+    mix stays quiet, a shifted lang mix flags; a partial second save
+    merges instead of clobbering."""
+    import os
+
+    import ray.data as rd
+
+    from sod_ray.stages.drift import (
+        categorical_drift_check,
+        load_categorical_baseline,
+        save_categorical_baseline,
+    )
+
+    rng = np.random.default_rng(19)
+    langs = rng.choice(["en", "de", "fr"], size=20_000, p=[0.7, 0.2, 0.1])
+    ds = rd.from_arrow(pa.table({"lang": pa.array(langs.tolist())})).repartition(4)
+    summaries, t0 = categorical_drift_check(ds, ["lang"], baseline=None)
+    assert not t0["has_baseline"].to_pylist()[0]
+    bp = os.path.join(tmp_path, "cat_baseline.parquet")
+    save_categorical_baseline(summaries, str(bp))
+    base = load_categorical_baseline(str(bp))
+
+    # same mix (fresh draw): quiet
+    langs2 = rng.choice(["en", "de", "fr"], size=20_000, p=[0.7, 0.2, 0.1])
+    ds2 = rd.from_arrow(pa.table({"lang": pa.array(langs2.tolist())})).repartition(4)
+    _, same = categorical_drift_check(ds2, ["lang"], baseline=base)
+    assert same["has_baseline"].to_pylist() == [True]
+    assert not same["drifted"].to_pylist()[0]
+
+    # shifted mix: flags
+    langs3 = rng.choice(["en", "de", "fr"], size=20_000, p=[0.2, 0.2, 0.6])
+    ds3 = rd.from_arrow(pa.table({"lang": pa.array(langs3.tolist())})).repartition(4)
+    s3, drifted = categorical_drift_check(ds3, ["lang"], baseline=base)
+    assert drifted["drifted"].to_pylist()[0]
+
+    # merge-on-save: a second save for a different column keeps lang
+    other = {(k, "source"): mg for (k, _c), mg in s3.items()}
+    save_categorical_baseline(other, str(bp))
+    merged = load_categorical_baseline(str(bp))
+    assert ("__all__", "lang") in merged and ("__all__", "source") in merged
