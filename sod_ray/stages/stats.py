@@ -225,6 +225,7 @@ def heavy_hitters(
     tokenize: bool = False,
     num_buckets: int = 64,
     batch_size: int = 8192,
+    as_dataset: bool = False,
 ):
     """Misra–Gries heavy hitters over a (possibly tokenized) string
     column — ONE corpus scan, NO data shuffle: per-batch MG partials
@@ -234,7 +235,10 @@ def heavy_hitters(
     whole pipeline runs per partition key (top values per lang/host —
     partials and merges carry the key; driver state is #keys
     summaries). Returns the merged :class:`MisraGries` (global) or
-    ``{key_value: MisraGries}``; every value with true count >
+    ``{key_value: MisraGries}``; with ``as_dataset=True`` the final
+    per-key fold happens in one more groupby and a (part_key, mg)
+    Dataset returns instead — the fine-key path (10^6 hosts × O(m)
+    bytes never lands on the driver). Every value with true count >
     ``err_ub`` is guaranteed present with ``est ≤ true ≤ est +
     err_ub``.
 
@@ -288,10 +292,31 @@ def heavy_hitters(
         ds.map_batches(partials, batch_format="pyarrow", batch_size=batch_size)
         .groupby(["part_key", "bucket"])
         .map_groups(merge, batch_format="pyarrow")
-        .to_pandas()
     )
+    if as_dataset:
+        # fine-key path (e.g. 10^6 hosts): the driver never holds all
+        # summaries — one more groupby folds each key's ≤ num_buckets
+        # rows into its final sketch, returned as a (part_key, mg)
+        # Dataset (land/consume downstream)
+        def merge_key(group: pa.Table) -> pa.Table:
+            sk = MisraGries(m=m)
+            for b in group["mg"].to_pylist():
+                sk.merge(MisraGries.from_bytes(b))
+            return pa.table(
+                {
+                    "part_key": pa.array(
+                        [group["part_key"][0].as_py()], pa.string()
+                    ),
+                    "mg": pa.array([sk.to_bytes()], pa.binary()),
+                }
+            )
+
+        return level1.groupby("part_key").map_groups(
+            merge_key, batch_format="pyarrow"
+        )
+    pdf = level1.to_pandas()
     merged: dict = {}
-    for part_key, b in zip(level1["part_key"], level1["mg"]):
+    for part_key, b in zip(pdf["part_key"], pdf["mg"]):
         sk = merged.setdefault(part_key, MisraGries(m=m))
         sk.merge(MisraGries.from_bytes(b))
     if key is None:

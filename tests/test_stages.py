@@ -776,3 +776,25 @@ def test_categorical_drift_cross_run(ray_session, tmp_path):
     save_categorical_baseline(other, str(bp))
     merged = load_categorical_baseline(str(bp))
     assert ("__all__", "lang") in merged and ("__all__", "source") in merged
+
+
+def test_heavy_hitters_as_dataset(ray_session):
+    import ray.data as rd
+
+    from sod_ray.state.sketches import MisraGries
+    from sod_ray.stages.stats import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    keys = np.array([f"host{i}" for i in rng.integers(0, 50, 10_000)])
+    vals = np.array([f"v{i}" for i in rng.zipf(1.5, 10_000)])
+    ds = rd.from_arrow(
+        pa.table({"host": pa.array(keys.tolist()), "v": pa.array(vals.tolist())})
+    ).repartition(4)
+    out = heavy_hitters(ds, "v", key="host", m=32, as_dataset=True).to_pandas()
+    assert len(out) == len(np.unique(keys))
+    # parity with the driver-dict path per key
+    ref = heavy_hitters(ds, "v", key="host", m=32)
+    for pk, b in zip(out["part_key"], out["mg"]):
+        got = MisraGries.from_bytes(b)
+        assert got.n == ref[pk].n
+        assert got.top(3) == ref[pk].top(3)
