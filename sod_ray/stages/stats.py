@@ -237,10 +237,15 @@ def heavy_hitters(
     summaries). Returns the merged :class:`MisraGries` (global) or
     ``{key_value: MisraGries}``; with ``as_dataset=True`` the final
     per-key fold happens in one more groupby and a (part_key, mg)
-    Dataset returns instead — the fine-key path (10^6 hosts × O(m)
-    bytes never lands on the driver). Every value with true count >
-    ``err_ub`` is guaranteed present with ``est ≤ true ≤ est +
-    err_ub``.
+    Dataset returns instead (per-key summaries never land on the
+    driver). Cardinality contract: the partials stage folds one MG
+    per DISTINCT KEY PER BATCH (a Python fold each), so per-key mode
+    fits coarse keys × huge value sets (langs × vocab — measured
+    800M tokens in 8.9 s); when #keys approaches #rows per batch,
+    use the exact (key, value) count exchange instead
+    (`exchange.exchange_reduce` — exact and faster there). Every
+    value with true count > ``err_ub`` is guaranteed present with
+    ``est ≤ true ≤ est + err_ub``.
 
     The scale story vs ``top50_tokens`` (exact, one shuffle of
     (token, n) partials): this never shuffles token rows at all —
