@@ -2948,9 +2948,15 @@ def doc_perplexity(sf_dir: str):
     train-on-corpus → score-per-doc → threshold, is the same):
     per-doc perplexity = exp(-mean log p(token)). Two stages: ONE
     token-count groupby trains the LM (slim (term, count) rows), then
-    a term-keyed ``bucketed_equi_join`` ships each token's log-prob
-    back to its (doc, term, tf) rows and a doc groupby averages —
-    the vocabulary never sits on the driver or broadcasts whole."""
+    the log-probs ship back to the (doc, term, tf) rows and a doc
+    groupby averages. The ship-back dispatches on the vocab size (the
+    ref_orphan adaptive pattern): within the broadcast budget the LM
+    broadcasts ONCE and each batch probes it with an exact
+    ``pc.index_in`` on the real terms (hash build per batch is tiny —
+    the table is vocab-sized, not corpus-sized, so the pc.is_in
+    16M-key gotcha doesn't apply); above it, the term-keyed
+    ``bucketed_equi_join`` keeps the vocabulary off the driver (a
+    10^12-token web vocab — every typo and url — is join-sized)."""
     from ray.data.aggregate import Sum
 
     from ..stages.joins import bucketed_equi_join
@@ -3006,10 +3012,30 @@ def doc_perplexity(sf_dir: str):
             }
         )
 
-    scored = bucketed_equi_join(
-        tf, counts.map_batches(logp, batch_format="pyarrow"), key="term",
-        num_buckets=32,
-    )
+    lp_ds = counts.map_batches(logp, batch_format="pyarrow")
+    from ..stages.exchange import broadcast_rows_budget
+
+    if v <= broadcast_rows_budget(bytes_per_row=24):
+        import ray
+
+        lm = lp_ds.to_pandas()  # ≤ budget rows by the check above
+        vocab_arr = pa.array(lm["term"], pa.string())
+        lp_np = lm["lp"].to_numpy()
+        lm_ref = ray.put((vocab_arr, lp_np))
+
+        def attach_lp(t: pa.Table) -> pa.Table:
+            va, lpn = ray.get(lm_ref)
+            # exact string lookup (no hash64 collision surface); every
+            # tf term exists in the LM by construction (trained on the
+            # same corpus), so the indices are never null
+            idx = pc.index_in(
+                t["term"].combine_chunks(), value_set=va
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column("lp", pa.array(lpn[idx]))
+
+        scored = tf.map_batches(attach_lp, batch_format="pyarrow")
+    else:
+        scored = bucketed_equi_join(tf, lp_ds, key="term", num_buckets=32)
 
     def partial(t: pa.Table) -> pa.Table:
         tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
