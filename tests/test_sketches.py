@@ -547,3 +547,68 @@ def test_categorical_psi():
     a, b, c = mg(base_keys), mg(same_keys), mg(shift_keys)
     assert categorical_psi(a, b) < 0.02  # same distribution: quiet
     assert categorical_psi(a, c) > 0.2  # real mix shift: flags
+
+
+@given(
+    st.lists(
+        st.lists(st.floats(-1e6, 1e6), min_size=0, max_size=200),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_kll_property_weight_and_band(chunks):
+    """Under ANY chunking/merge order: weight conservation holds
+    exactly and every estimated quantile's exact rank stays within
+    the 3% checked band (tiny n → exact by construction)."""
+    from sod_ray.state.sketches import KLL
+
+    flat = (
+        np.concatenate([np.asarray(c) for c in chunks])
+        if any(len(c) for c in chunks)
+        else np.empty(0)
+    )
+    sk = KLL(k=64)
+    for c in chunks:
+        part = KLL(k=64)
+        part.update_array(np.asarray(c, dtype=np.float64))
+        sk.merge(part)
+    assert sk.total_weight() == sk.n == flat.size
+    if flat.size:
+        sv = np.sort(flat)
+        for q in (0.25, 0.5, 0.9):
+            est = sk.quantile(q)
+            lt = np.searchsorted(sv, est, side="left")
+            le = np.searchsorted(sv, est, side="right")
+            err = max(0.0, lt - q * flat.size, q * flat.size - le)
+            # k=64 → eps ~5%; band with the small-n +1 allowance
+            assert err <= 0.08 * flat.size + 1.0, (q, err, flat.size)
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(0, 30), min_size=0, max_size=150),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_misra_gries_property_band(chunks):
+    """Under ANY chunking: n is exact, err_ub <= n/(m+1), and every
+    tracked estimate obeys est <= true <= est + err_ub."""
+    import collections
+
+    from sod_ray.state.sketches import MisraGries
+
+    all_keys = [f"k{v}" for c in chunks for v in c]
+    mg = MisraGries(m=8)
+    for c in chunks:
+        part = MisraGries(m=8)
+        if c:
+            part.update_array(pa.array([f"k{v}" for v in c]))
+        mg.merge(part)
+    true = collections.Counter(all_keys)
+    assert mg.n == len(all_keys)
+    assert mg.err_ub <= len(all_keys) // 9 + 1
+    for k, est in mg.counts.items():
+        assert est <= true[k] <= est + mg.err_ub

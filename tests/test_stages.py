@@ -798,3 +798,44 @@ def test_heavy_hitters_as_dataset(ray_session):
         got = MisraGries.from_bytes(b)
         assert got.n == ref[pk].n
         assert got.top(3) == ref[pk].top(3)
+
+
+def test_pack_chunks_empty_and_budget_edges(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.budget import (
+        pack_chunks,
+        token_budget_keep,
+        token_budget_thresholds,
+    )
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+    )
+    assert pack_chunks(empty, 128).count() == 0
+    th = token_budget_thresholds(empty, 100)
+    assert token_budget_keep(empty, th).count() == 0
+
+    # budget=0 with the SQL prefix-cut semantics: a leading zero-token
+    # doc keeps (cum 0 <= 0); everything at or after the first
+    # overflow is excluded — including later zero-token docs, whose
+    # running cumsum already passed the budget
+    sl = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "lang": pa.array(["a", "a", "a", "a"]),
+                "n_tokens": pa.array([0, 5, 0, 7], pa.int64()),
+                "q6": pa.array([10, 10, 10, 10], pa.int64()),
+            }
+        )
+    )
+    th0 = token_budget_thresholds(sl, 0, key_col="lang", id_col="doc_id")
+    kept = token_budget_keep(sl, th0).to_pandas()
+    assert kept["doc_id"].tolist() == [0]
