@@ -36,13 +36,21 @@ def run_incremental(
     max_polls: int | None = None,
     max_empty_polls: int | None = 1,
     quarantine_grace_s: float = 5.0,
+    categorical_columns: tuple = (),
 ) -> dict:
     """Poll the landing zone until ``max_empty_polls`` consecutive
     empty polls (or ``max_polls``); validate each arrival batch;
     roll the drift baseline forward. Returns a summary with per-run
     results. Shards that are unreadable or missing flagship columns
     are quarantined by the landing zone (reported in the summary)
-    rather than wedging the loop."""
+    rather than wedging the loop.
+
+    ``categorical_columns`` (e.g. ``("lang",)``) additionally rolls a
+    CATEGORICAL drift baseline: each run's string-column value mixes
+    (Misra–Gries summaries, one scan) score against the accumulated
+    ``categorical_baseline.parquet`` via categorical PSI — lang/host
+    mix shift detection across arrival batches; per-run outcomes land
+    in the summary's ``categorical_drift``."""
     from .validate import WEBPAGE_SCHEMA
 
     os.makedirs(out_root, exist_ok=True)
@@ -52,6 +60,7 @@ def run_incremental(
         quarantine_grace_s=quarantine_grace_s,
     )
     baseline_path = os.path.join(out_root, "baseline.parquet")
+    cat_baseline_path = os.path.join(out_root, "categorical_baseline.parquet")
     runs: list[dict] = []
 
     def validate_batch(ds, files):
@@ -74,6 +83,32 @@ def run_incremental(
         # earlier runs' (key, column) rows survive)
         if res.stats is not None and res.stats.num_rows:
             save_baseline(res.stats.to_pandas(), baseline_path)
+        cat_out = None
+        if categorical_columns:
+            import ray.data as rd
+
+            from ..stages.drift import (
+                categorical_drift_check,
+                load_categorical_baseline,
+                save_categorical_baseline,
+            )
+
+            cds = rd.read_parquet(paths, columns=list(categorical_columns))
+            base = (
+                load_categorical_baseline(cat_baseline_path)
+                if os.path.exists(cat_baseline_path)
+                else None
+            )
+            summaries, res_t = categorical_drift_check(
+                cds, list(categorical_columns), base
+            )
+            save_categorical_baseline(summaries, cat_baseline_path)
+            cat_out = {
+                c: bool(d)
+                for c, d in zip(
+                    res_t["column"].to_pylist(), res_t["drifted"].to_pylist()
+                )
+            }
         runs.append(
             {
                 "run_id": rid,
@@ -82,6 +117,7 @@ def run_incremental(
                 "partitions": len(res.partitions_run) + len(res.partitions_skipped),
                 "partitions_resumed": len(res.partitions_skipped),
                 "all_passed": res.all_passed(),
+                "categorical_drift": cat_out,
                 "out_dir": out_dir,
             }
         )

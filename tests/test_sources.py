@@ -345,3 +345,48 @@ def test_scrape_to_landing(tmp_path):
     with open(path) as f:
         lines = [ln for ln in f.read().splitlines() if ln]
     assert len(lines) == 1 and json.loads(lines[0])["entity"] == "e"
+
+
+def test_incremental_categorical_drift(ray_session, tmp_path):
+    """categorical_columns rolls a lang-mix baseline across arrival
+    batches: an identical mix stays quiet; a skewed third wave flags."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from sod_ray.pipelines.incremental import run_incremental
+    from sod_ray.sources.webpages import synth_shard
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    t0, _ = synth_shard(1500, shard=0, seed=5)
+    pq.write_table(t0, os.path.join(landing, "s0.parquet"))
+    out = str(tmp_path / "incr")
+
+    r1 = run_incremental(
+        landing, out, max_empty_polls=1, categorical_columns=("lang",)
+    )
+    assert r1["runs"][0]["categorical_drift"] is None or not r1["runs"][0][
+        "categorical_drift"
+    ].get("lang")  # first run: no baseline → no flag
+    assert os.path.exists(os.path.join(out, "categorical_baseline.parquet"))
+
+    # same mix (fresh shard, same generator) → quiet
+    t1, _ = synth_shard(1500, shard=1, seed=5)
+    pq.write_table(t1, os.path.join(landing, "s1.parquet"))
+    r2 = run_incremental(
+        landing, out, max_empty_polls=1, categorical_columns=("lang",)
+    )
+    assert r2["runs"][0]["categorical_drift"] == {"lang": False}
+
+    # a wave that's ~100% one lang → mix shift flags
+    t2, _ = synth_shard(1500, shard=2, seed=6)
+    lang = pa.array(["zz"] * t2.num_rows, pa.string())
+    t2 = t2.set_column(t2.schema.get_field_index("lang"), "lang", lang)
+    pq.write_table(t2, os.path.join(landing, "s2.parquet"))
+    r3 = run_incremental(
+        landing, out, max_empty_polls=1, categorical_columns=("lang",)
+    )
+    assert r3["runs"][0]["categorical_drift"] == {"lang": True}
