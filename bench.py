@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "doc_kll_quantiles",
     "docs_token_budget_sample",
     "docs_pack_chunks",
+    "dsir_select_docs",
+    "semdedup_docs",
 ]
 
 

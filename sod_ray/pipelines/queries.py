@@ -3403,6 +3403,208 @@ FROM s2
 """
 
 
+def dsir_weights_checked(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169) with a
+    value-exact SQL twin: hashed unigram+bigram buckets (md5-hex →
+    int, B=256 — the winnowing twin-query hashing convention), target
+    distribution = the ``lang='en'`` slice, raw = the full corpus,
+    add-1-smoothed per-bucket log ratio, per-doc log importance
+    weight = Σ log-ratio over the doc's gram instances; output the 50
+    most-target-like docs by (round(logw, 6) DESC, doc_id). The
+    production path is the same two-scan + O(B)-reduce pipeline with
+    the vectorized ``hash64`` bucketing (`dsir_select_docs`)."""
+    from ..stages.dsir import (
+        dsir_log_ratio,
+        dsir_log_weights,
+        dsir_top_k,
+        gram_bucket_counts,
+    )
+
+    B = 256
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    raw = gram_bucket_counts(ds, n_buckets=B, hash_mode="md5")
+    tgt = gram_bucket_counts(
+        ds.filter(expr="lang == 'en'"), n_buckets=B, hash_mode="md5"
+    )
+    lr = dsir_log_ratio(raw, tgt)
+    w = dsir_log_weights(ds, lr, hash_mode="md5")
+    top = dsir_top_k(w, 50).to_pandas()
+    top["logw"] = top["logw"].round(6)
+    # re-rank on the ROUNDED weight (the SQL twin orders by the same
+    # rounded value, so the two cutoffs agree at fp-noise boundaries)
+    top = top.sort_values(
+        ["logw", "doc_id"], ascending=[False, True], kind="stable"
+    )
+    return pa.Table.from_pandas(
+        top[["doc_id", "logw"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+DSIR_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS arr FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(arr) AS g FROM docs
+  UNION ALL
+  SELECT doc_id, lang, arr[p] || ' ' || arr[p+1] AS g
+  FROM (SELECT doc_id, lang, arr, unnest(generate_series(1, len(arr)-1)) AS p
+        FROM docs WHERE len(arr) >= 2)
+), bk AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(g),1,4)) AS INTEGER) % 256 AS b
+  FROM grams
+), raw_c AS (SELECT b, COUNT(*) AS n FROM bk GROUP BY b),
+tgt_c AS (SELECT b, COUNT(*) AS n FROM bk WHERE lang='en' GROUP BY b),
+tot AS (SELECT (SELECT COUNT(*) FROM bk) AS rn,
+               (SELECT COUNT(*) FROM bk WHERE lang='en') AS tn),
+lr AS (
+  SELECT s.b,
+         ln((COALESCE(t.n,0)+1)::DOUBLE / (tot.tn + 256))
+       - ln((COALESCE(r.n,0)+1)::DOUBLE / (tot.rn + 256)) AS lr
+  FROM (SELECT unnest(generate_series(0,255)) AS b) s
+  LEFT JOIN raw_c r ON r.b = s.b LEFT JOIN tgt_c t ON t.b = s.b, tot
+)
+SELECT d.doc_id, ROUND(SUM(lr.lr), 6) AS logw
+FROM bk d JOIN lr ON lr.b = d.b
+GROUP BY d.doc_id
+ORDER BY ROUND(SUM(lr.lr), 6) DESC, d.doc_id
+LIMIT 50
+"""
+
+
+def dsir_select_docs(sf_dir: str):
+    """DSIR production path (rows-only): identical pipeline to
+    `dsir_weights_checked` but with the vectorized ``hash64``
+    bucketing at B=4096 — zero per-row Python anywhere (Arrow token
+    flatten + one binary_join for bigrams + bincount/cumsum kernels).
+    Pinned by `tests/test_dsir.py::test_hash64_path_matches_reference`
+    (exact count/weight parity vs a per-doc replay of the same hash)
+    and the planted-target ranking test; its selection semantics are
+    oracle-checked via the md5 twin."""
+    from ..stages.dsir import (
+        dsir_log_ratio,
+        dsir_log_weights,
+        dsir_top_k,
+        gram_bucket_counts,
+    )
+
+    B = 4096
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    raw = gram_bucket_counts(ds, n_buckets=B)
+    tgt = gram_bucket_counts(ds.filter(expr="lang == 'en'"), n_buckets=B)
+    lr = dsir_log_ratio(raw, tgt)
+    w = dsir_log_weights(ds, lr)
+    top = dsir_top_k(w, 50).to_pandas()
+    top["logw"] = top["logw"].round(6)
+    return pa.Table.from_pandas(
+        top[["doc_id", "logw"]].reset_index(drop=True),
+        preserve_index=False,
+    )
+
+
+def events_user_sample_checked(sf_dir: str):
+    """Deterministic per-key sample with a SQL twin: for every user,
+    the 2 events with the smallest (md5(event_id), event_id) rank —
+    seeded-hash reservoir sampling, reproducible and mergeable across
+    runs (stages.window.sample_per_key: raw-task exchange + per-bucket
+    lexsort/run-rank, no per-group Python). The md5 rank makes the
+    twin value-exact; production callers rank by ``hash64`` instead
+    (same kernel, vectorized rank)."""
+    import hashlib as _hl
+
+    from ..stages.window import sample_per_key
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id"])
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        r = [
+            _hl.md5(str(e).encode()).hexdigest()
+            for e in t["event_id"].to_pylist()
+        ]
+        return t.append_column("__rank", pa.array(r, pa.string()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    out = (
+        sample_per_key(
+            ranked, "user_id", 2, "__rank", tie_cols=["event_id"]
+        )
+        .to_pandas()
+        .sort_values(["user_id", "event_id"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+USER_SAMPLE_SQL = """
+SELECT user_id, event_id FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+  FROM events) WHERE rn <= 2
+ORDER BY user_id, event_id
+"""
+
+
+def semdedup_checked(sf_dir: str):
+    """SemDedup (Abbas et al. 2023) drop decision with a SQL twin: at
+    ``n_centroids=1`` the within-cluster rule degenerates to the
+    global all-pairs rule — drop vec_id iff some LOWER id has cosine
+    >= 0.4 with it — which DuckDB expresses directly. This
+    oracle-checks the whole decision kernel (exchange routing, blocked
+    upper-triangular cosine, keep-lowest-id); the clustered production
+    path (`semdedup_docs`) reuses the identical kernel per cluster."""
+    from ..stages.similarity import semdedup_drop_ids
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (
+        semdedup_drop_ids(
+            ds,
+            "embedding",
+            "vec_id",
+            n_centroids=1,
+            threshold=0.4,
+            dtype=np.float64,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SEMDEDUP_SQL = """
+SELECT DISTINCT b.vec_id AS node
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(
+        list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+        list_transform(b.embedding, x -> CAST(x AS DOUBLE))) >= 0.4
+ORDER BY node
+"""
+
+
+def semdedup_docs(sf_dir: str):
+    """SemDedup production shape (rows-only): k-means clusters
+    (seeded, trained on a sample) partition the corpus; the drop rule
+    runs within clusters only — the published accuracy/cost trade.
+    Approximate vs the n_centroids=1 oracle twin by construction
+    (cross-cluster near-dups are unseen — that is the method); pinned
+    by `tests/test_dsir.py` planted-duplicate recovery and
+    kernel-parity tests."""
+    from ..stages.similarity import semdedup_drop_ids
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (
+        semdedup_drop_ids(
+            ds, "embedding", "vec_id", n_centroids=8, threshold=0.4
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3486,6 +3688,12 @@ QUERIES = {
     "docs_pack_chunks": docs_pack_chunks,
     "doc_winnow_fingerprints": doc_winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs,
+    # r4 cont.: DSIR data selection + per-key hash sampling + SemDedup
+    "dsir_weights_checked": dsir_weights_checked,
+    "dsir_select_docs": dsir_select_docs,
+    "events_user_sample_checked": events_user_sample_checked,
+    "semdedup_checked": semdedup_checked,
+    "semdedup_docs": semdedup_docs,
 }
 
 ORACLES = {
@@ -3503,6 +3711,9 @@ ORACLES = {
     "docs_pack_chunks": PACK_CHUNKS_SQL,
     "doc_winnow_fingerprints": WINNOW_SQL,
     "winnow_overlap_pairs": WINNOW_PAIRS_SQL,
+    "dsir_weights_checked": DSIR_SQL,
+    "events_user_sample_checked": USER_SAMPLE_SQL,
+    "semdedup_checked": SEMDEDUP_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
     "lof_stream_frozen_checked": LOF_STREAM_SQL,

@@ -310,3 +310,108 @@ def ivf_topk(
     return pd.concat(out, ignore_index=True) if out else pd.DataFrame(
         columns=["query_id", "cand_id", "cosine", "rank"]
     )
+
+
+def semdedup_drop_ids(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 64,
+    threshold: float = 0.95,
+    num_buckets: int | None = None,
+    col_block: int = 4096,
+    dtype=np.float32,
+    centroids: np.ndarray | None = None,
+):
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540, public):
+    semantic dedup via embedding clustering — k-means the corpus into
+    clusters, then drop near-identical points WITHIN each cluster by
+    pairwise cosine. Returns a slim Dataset of dropped ids (one
+    ``node`` int64 column), the same decision contract as
+    ``dedup.neardup_drop_ids`` so ``dedup.apply_drops`` and the export
+    funnel's checkpointed-decision machinery apply unchanged.
+
+    Deterministic keep rule (diverges from the paper, documented): a
+    point is dropped iff SOME lower-id point in its cluster has cosine
+    >= threshold with it — canonical member = lowest id, matching the
+    engine's exact/near-dup keep-lowest-id convention (the paper keeps
+    the point with lowest cosine to the centroid, which is
+    tie-unstable under fp reductions). With ``n_centroids=1`` the rule
+    degenerates to the global all-pairs rule, which is
+    SQL-expressible — that mode is the oracle twin
+    (pipelines/queries.semdedup_checked).
+
+    Scale shape: centroids train driver-side on a seeded sample
+    (``train_centroids``); ONE scan assigns clusters (vectorized
+    matmul against the broadcast centroid matrix); one raw-task
+    exchange routes (id, vector) rows by cluster id; the per-bucket
+    kernel runs a BLOCKED upper-triangular cosine check per cluster —
+    O(c * col_block) memory, never a c x c matrix. Partitioning
+    assumption (documented per the brief): one CLUSTER's vectors fit
+    one worker's heap — size ``n_centroids`` ~ n/100k so clusters stay
+    ~100k x d; a pathological mega-cluster needs a larger
+    ``n_centroids`` (same contract as the embedding-LSH bucket cap).
+    """
+    from .exchange import exchange_reduce
+
+    if centroids is None:
+        centroids = train_centroids(ds, vec_col, n_centroids)
+    C = _normalize(np.ascontiguousarray(centroids, dtype=dtype))
+    c_ref = ray.put(C)
+
+    def assign(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        V = _normalize(_to_matrix(t[vec_col], dtype))
+        cl = (
+            np.argmax(V @ Cm.T, axis=1).astype(np.int64)
+            if Cm.shape[0] > 1
+            else np.zeros(V.shape[0], np.int64)
+        )
+        return pa.table(
+            {
+                "id": t[id_col],
+                "vec": t[vec_col],
+                "__cl": pa.array(cl, pa.int64()),
+            }
+        )
+
+    routed = ds.map_batches(assign, batch_format="pyarrow")
+    empty = pa.table({"node": pa.array([], pa.int64())})
+
+    def drop_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "id" not in t.column_names:
+            return empty
+        cl = t["__cl"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = t["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, cl))
+        cl_s, ids_s = cl[order], ids[order]
+        X = _normalize(_to_matrix(t["vec"], dtype))[order]
+        bnd = np.flatnonzero(
+            np.concatenate(([True], cl_s[1:] != cl_s[:-1]))
+        )
+        bounds = np.concatenate((bnd, [cl_s.shape[0]]))
+        dropped = []
+        for gi in range(bnd.shape[0]):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            c = hi - lo
+            if c < 2:
+                continue
+            M = X[lo:hi]
+            drop = np.zeros(c, dtype=bool)
+            rows_idx = np.arange(c)[:, None]
+            for s in range(1, c, col_block):
+                e = min(s + col_block, c)
+                S = M[:e] @ M[s:e].T  # (e, e-s)
+                m = (rows_idx[:e] < np.arange(s, e)[None, :]) & (
+                    S >= threshold
+                )
+                drop[s:e] |= m.any(axis=0)
+            if drop.any():
+                dropped.append(ids_s[lo:hi][drop])
+        if not dropped:
+            return empty
+        return pa.table(
+            {"node": pa.array(np.concatenate(dropped), pa.int64())}
+        )
+
+    return exchange_reduce(routed, "__cl", drop_bucket, num_buckets)

@@ -685,6 +685,81 @@ def retention_topk_by_recency(
     return exchange_reduce(routed, route_col, per_bucket, num_buckets)
 
 
+def sample_per_key(
+    ds,
+    key: str,
+    k: int,
+    rank_col: str,
+    tie_cols: list[str] | None = None,
+    num_buckets: int | None = None,
+    keep_rank: bool = False,
+):
+    """Deterministic per-key sample: the ``k`` rows with the SMALLEST
+    ``(rank_col, *tie_cols)`` per key — the distributed, resumable
+    form of per-key reservoir sampling. With ``rank_col`` a seeded
+    hash of a row id the sample is uniform per key, reproducible
+    across runs/retries, and MERGEABLE: the union of two shards'
+    hash-ranked top-k re-ranked is the corpus' top-k, which a
+    wall-clock RNG reservoir is not. Same raw-task exchange +
+    lexsort/run-rank shape as :func:`retention_topk_by_recency` — no
+    per-group Python, key-count ≈ row-count safe. Partitioning
+    assumption: one key's rows land in one bucket (sample inputs are
+    per-key bounded downstream, and the hash route spreads keys
+    uniformly)."""
+    from .exchange import exchange_reduce
+
+    routed, route_col, key_routed = _routed(ds, key)
+    sch = ds.schema()
+    out_cols = [
+        n for n in sch.names if keep_rank or n != rank_col
+    ]
+    empty = pa.schema(
+        [
+            pa.field(n, _arrow_type(t))
+            for n, t in zip(sch.names, sch.types)
+            if n in out_cols
+        ]
+    ).empty_table()
+    ties = list(tie_cols or [])
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if key not in t.column_names:
+            return empty
+        if t.num_rows == 0:
+            s = t.slice(0, 0)
+            drop = [c for c in ("__kh", *(
+                () if keep_rank else (rank_col,)
+            )) if c in s.column_names]
+            return s.drop_columns(drop) if drop else s
+        codes = _group_codes(t[key])
+        rank = t[rank_col]
+        if isinstance(rank, pa.ChunkedArray):
+            rank = rank.combine_chunks()
+        # string ranks (e.g. md5 hex) order lexicographically — encode
+        # to sortable codes; numerics pass through
+        if pa.types.is_string(rank.type) or pa.types.is_large_string(
+            rank.type
+        ):
+            rv = np.array(rank.to_pylist(), dtype=object)
+        else:
+            rv = rank.to_numpy(zero_copy_only=False)
+        tie_arrs = [t[c].to_numpy(zero_copy_only=False) for c in ties]
+        order = np.lexsort(tuple(reversed(tie_arrs)) + (rv, codes))
+        c = codes[order]
+        new = np.concatenate(([True], c[1:] != c[:-1]))
+        starts = np.flatnonzero(new)
+        lens = np.diff(np.concatenate((starts, [c.size])))
+        pos = np.arange(c.size) - np.repeat(starts, lens)
+        kept = order[pos < k]
+        out = t.take(pa.array(np.sort(kept)))
+        drop = [c2 for c2 in ("__kh", *(
+            () if keep_rank else (rank_col,)
+        )) if c2 in out.column_names]
+        return out.drop_columns(drop) if drop else out
+
+    return exchange_reduce(routed, route_col, per_bucket, num_buckets)
+
+
 def sessionize_agg(
     ds,
     key: str,

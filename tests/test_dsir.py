@@ -1,0 +1,325 @@
+"""DSIR importance resampling, per-key hash sampling, SemDedup.
+
+Pins: (1) the vectorized hash64 DSIR kernel against a per-doc replay
+of the same hash (exact count + weight parity — the vectorization
+proof), (2) planted-target ranking (English-like docs must outrank
+background under an English target), (3) deterministic Gumbel
+resampling, (4) sample_per_key against a pandas groupby reference,
+(5) the SemDedup drop rule against a numpy brute-force replay, with
+planted duplicates recovered keep-lowest-id."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from sod_ray.state.sketches import hash64
+
+
+def _doc_table(texts, langs=None):
+    n = len(texts)
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs or ["en"] * n, pa.string()),
+        }
+    )
+
+
+def _ref_weights(texts, lr, B):
+    """Per-doc replay of the hash64 gram pipeline (slow reference)."""
+    out = []
+    for txt in texts:
+        words = (txt or "").split()
+        grams = words + [
+            words[i] + " " + words[i + 1] for i in range(len(words) - 1)
+        ]
+        if not grams:
+            out.append((0.0, 0))
+            continue
+        bk = (hash64(pa.array(grams)) % np.uint64(B)).astype(np.int64)
+        out.append((float(lr[bk].sum()), len(grams)))
+    return out
+
+
+def test_hash64_path_matches_reference(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.dsir import (
+        dsir_log_ratio,
+        dsir_log_weights,
+        gram_bucket_counts,
+    )
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 30)))
+        for _ in range(200)
+    ]
+    texts += ["", "   ", "single"]  # empty / whitespace / 1-token docs
+    tbl = _doc_table(texts)
+    ds = rd.from_arrow(tbl)
+    B = 512
+    raw = gram_bucket_counts(ds, n_buckets=B)
+    tgt = gram_bucket_counts(
+        ds.filter(expr="doc_id < 100"), n_buckets=B
+    )
+
+    # counts: replay every doc through the same hash
+    ref_counts = np.zeros(B, np.int64)
+    for txt in texts:
+        words = (txt or "").split()
+        grams = words + [
+            words[i] + " " + words[i + 1] for i in range(len(words) - 1)
+        ]
+        if grams:
+            bk = (hash64(pa.array(grams)) % np.uint64(B)).astype(np.int64)
+            ref_counts += np.bincount(bk, minlength=B)
+    assert np.array_equal(raw, ref_counts)
+
+    lr = dsir_log_ratio(raw, tgt)
+    w = (
+        dsir_log_weights(ds, lr)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ref = _ref_weights(texts, lr, B)
+    assert len(w) == len(ref)
+    for i, (lw, ng) in enumerate(ref):
+        assert w.loc[i, "n_grams"] == ng
+        assert abs(w.loc[i, "logw"] - lw) < 1e-9
+
+
+def test_planted_target_ranking(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.dsir import (
+        dsir_log_ratio,
+        dsir_log_weights,
+        dsir_top_k,
+        gram_bucket_counts,
+    )
+
+    rng = np.random.default_rng(7)
+    en = [
+        "the quick brown fox jumps over the lazy dog and the cat",
+        "a day in the life of the data engine is long and busy",
+        "this is the way the world ends not with a bang",
+    ]
+    noise_vocab = [f"zz{i}" for i in range(300)]
+    noise = [
+        " ".join(rng.choice(noise_vocab, size=20)) for _ in range(60)
+    ]
+    # candidates: 5 English-like (drawn from en vocab) + noise
+    en_vocab = sorted({w for s in en for w in s.split()})
+    planted = [
+        " ".join(rng.choice(en_vocab, size=15)) for _ in range(5)
+    ]
+    texts = en + noise + planted
+    langs = ["en"] * len(en) + ["xx"] * len(noise) + ["xx"] * len(planted)
+    ds = rd.from_arrow(_doc_table(texts, langs))
+    B = 1024
+    raw = gram_bucket_counts(ds, n_buckets=B)
+    tgt = gram_bucket_counts(ds.filter(expr="lang == 'en'"), n_buckets=B)
+    lr = dsir_log_ratio(raw, tgt)
+    w = dsir_log_weights(ds, lr)
+    top = dsir_top_k(w, 8).to_pandas()
+    planted_ids = set(range(len(en) + len(noise), len(texts)))
+    target_ids = set(range(len(en)))
+    # the top-8 must be exactly the target + planted English-like docs
+    assert set(top["doc_id"]) == planted_ids | target_ids
+
+
+def test_gumbel_deterministic_and_seed_sensitive(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.dsir import (
+        dsir_log_ratio,
+        dsir_log_weights,
+        gram_bucket_counts,
+    )
+
+    texts = [f"tok{i} tok{i + 1} tok{i + 2}" for i in range(50)]
+    ds = rd.from_arrow(_doc_table(texts))
+    B = 128
+    c = gram_bucket_counts(ds, n_buckets=B)
+    lr = dsir_log_ratio(c, c)
+    g1 = (
+        dsir_log_weights(ds, lr, gumbel_seed=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    g1b = (
+        dsir_log_weights(ds, lr, gumbel_seed=1)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    g2 = (
+        dsir_log_weights(ds, lr, gumbel_seed=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert np.allclose(g1["logw_gumbel"], g1b["logw_gumbel"])
+    assert not np.allclose(g1["logw_gumbel"], g2["logw_gumbel"])
+    # identical log-ratio of a corpus against itself => logw == 0
+    assert np.allclose(g1["logw"], 0.0)
+
+
+def test_sample_per_key_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.window import sample_per_key
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "user": rng.integers(0, 137, n).astype(np.int64),
+            "item": np.arange(n, dtype=np.int64),
+            "val": rng.normal(size=n),
+        }
+    )
+    ds = rd.from_pandas(df).map_batches(
+        lambda t: t.append_column(
+            "__rank",
+            pa.array(
+                hash64(t["item"].combine_chunks()).view(np.int64),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+    )
+    got = (
+        sample_per_key(ds, "user", 3, "__rank", tie_cols=["item"])
+        .to_pandas()
+        .sort_values(["user", "item"])
+        .reset_index(drop=True)
+    )
+    ref = df.copy()
+    ref["__rank"] = hash64(pa.array(ref["item"])).view(np.int64)
+    ref = (
+        ref.sort_values(["user", "__rank", "item"])
+        .groupby("user")
+        .head(3)
+        .drop(columns="__rank")
+        .sort_values(["user", "item"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["user", "item", "val"]], ref[["user", "item", "val"]]
+    )
+    # every key sampled, sample size == min(3, group size)
+    sizes = got.groupby("user").size()
+    want = df.groupby("user").size().clip(upper=3)
+    assert sizes.equals(want)
+
+
+def _embed_table(X, ids=None):
+    n, d = X.shape
+    return pa.table(
+        {
+            "vec_id": pa.array(
+                ids if ids is not None else range(n), pa.int64()
+            ),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(X.reshape(-1), pa.float32()), d
+            ),
+        }
+    )
+
+
+def _brute_drop(X, ids, assign, tau):
+    """Numpy replay of the drop rule: i dropped iff some lower-id j in
+    the same cluster has cosine >= tau."""
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    dropped = []
+    for i_pos in order:
+        for j_pos in order:
+            if ids[j_pos] >= ids[i_pos] or assign[j_pos] != assign[i_pos]:
+                continue
+            if float(Xn[i_pos] @ Xn[j_pos]) >= tau:
+                dropped.append(ids[i_pos])
+                break
+    return sorted(dropped)
+
+
+def test_semdedup_global_rule_matches_brute(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.similarity import semdedup_drop_ids
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(300, 16)).astype(np.float64)
+    # plant duplicates and near-duplicates
+    X[250] = X[10]
+    X[251] = X[10] + 0.001 * rng.normal(size=16)
+    X[252] = X[20]
+    ids = np.arange(300)
+    ds = rd.from_arrow(_embed_table(X.astype(np.float32), ids))
+    got = (
+        semdedup_drop_ids(
+            ds,
+            "embedding",
+            "vec_id",
+            n_centroids=1,
+            threshold=0.8,
+            dtype=np.float64,
+        )
+        .to_pandas()["node"]
+        .sort_values()
+        .tolist()
+    )
+    ref = _brute_drop(
+        X.astype(np.float32).astype(np.float64),
+        ids,
+        np.zeros(300, np.int64),
+        0.8,
+    )
+    assert got == ref
+    # the planted dupes of lower ids must be dropped, originals kept
+    assert {250, 251, 252} <= set(got)
+    assert 10 not in got and 20 not in got
+
+
+def test_semdedup_clustered_drops_within_cluster(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.similarity import semdedup_drop_ids
+
+    rng = np.random.default_rng(9)
+    # two tight planted clusters + noise; duplicates within clusters
+    c1 = rng.normal(size=16)
+    c2 = rng.normal(size=16)
+    rows = []
+    for i in range(40):
+        base = c1 if i % 2 == 0 else c2
+        rows.append(base + 0.01 * rng.normal(size=16))
+    X = np.array(rows, dtype=np.float32)
+    ds = rd.from_arrow(_embed_table(X))
+    got = set(
+        semdedup_drop_ids(
+            ds, "embedding", "vec_id", n_centroids=2, threshold=0.99
+        )
+        .to_pandas()["node"]
+        .tolist()
+    )
+    # each tight cluster keeps exactly its lowest id (0 and 1)
+    assert 0 not in got and 1 not in got
+    assert got == set(range(2, 40))
+
+
+def test_semdedup_empty_and_singleton(ray_session):
+    import ray.data as rd
+
+    from sod_ray.stages.similarity import semdedup_drop_ids
+
+    X = np.random.default_rng(1).normal(size=(1, 8)).astype(np.float32)
+    ds = rd.from_arrow(_embed_table(X))
+    out = semdedup_drop_ids(
+        ds, "embedding", "vec_id", n_centroids=1, threshold=0.5
+    ).to_pandas()
+    assert len(out) == 0

@@ -1,6 +1,7 @@
 """Driver-mimicking harness: run every queries() entry at a given sf
 and compare against oracle_sql() via DuckDB (row count + sorted-column
-value frame equality). Usage: python tools/check_oracles.py [sf_dir]."""
+value frame equality). Usage:
+python tools/check_oracles.py [sf_dir] [only_query1,only_query2,...]"""
 
 from __future__ import annotations
 
@@ -39,7 +40,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set[str] | None = None):
     import ray
 
     ray.init(
@@ -54,6 +55,8 @@ def main(sf_dir: str):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
@@ -96,4 +99,9 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None,
+        )
+    )
