@@ -849,6 +849,8 @@ def run_export_incremental(
     cross_batch_neardup: bool = False,
     finalize_budget: int | None = None,
     finalize_budget_key: str | None = None,
+    bloom_prefilter: bool = True,
+    bloom_bits: int = 1 << 24,
 ) -> dict:
     """Continuous curation loop: poll the landing zone, run the export
     funnel over each arrival batch with cross-batch exact dedup against
@@ -887,7 +889,20 @@ def run_export_incremental(
     Surviving docs' signatures are staged with the batch and appended
     next to the hash-index shard under the same crash contract
     (idempotent write, same-batch exclusion on retry). LSH parameters
-    come from ``cfg.lsh_kwargs`` (n_perm/bands/shingle_k/seed)."""
+    come from ``cfg.lsh_kwargs`` (n_perm/bands/shingle_k/seed).
+
+    ``bloom_prefilter`` (default on): the LARGE-index probe path keeps
+    a Bloom sidecar (``hash_index/_bloom.bin``, ``bloom_bits`` bits)
+    covering every indexed md5; arrival rows whose hash MISSES the
+    bloom provably aren't in the index and skip the anti-join
+    entirely — only bloom hits (≈ true dups + the fp rate) pay the
+    exchange. Exactness is preserved (a Bloom has no false negatives).
+    Crash contract: the bloom is updated BEFORE the index shard lands
+    (bloom ⊇ index always holds; extra bloom bits from a crashed
+    attempt only cost a redundant exact check), updates are idempotent
+    OR-merges, and a missing sidecar (pre-bloom index) is rebuilt from
+    all shards at the next append — probing just falls back to the
+    full anti-join until then."""
     import ray
     import ray.data as rd
 
@@ -918,6 +933,36 @@ def run_export_incremental(
             for f in sorted(os.listdir(index_dir))
             if f.endswith(".parquet") and f != f"{exclude_rid}.parquet"
         ]
+
+    bloom_path = os.path.join(index_dir, "_bloom.bin")
+
+    def _load_bloom():
+        if not os.path.exists(bloom_path):
+            return None
+        from ..state.sketches import BloomFilter
+
+        with open(bloom_path, "rb") as f:
+            return BloomFilter.from_bytes(f.read())
+
+    def _update_bloom(new_hashes: pa.Table, rid: str) -> None:
+        """OR the batch's md5s into the sidecar — idempotent, written
+        BEFORE the index shard so bloom ⊇ index always holds. A
+        missing sidecar over a non-empty index (pre-bloom state, or a
+        deleted file) is rebuilt from every shard first."""
+        from ..state.sketches import BloomFilter
+
+        bf = _load_bloom()
+        if bf is None:
+            import pyarrow.parquet as pq
+
+            bf = BloomFilter(bloom_bits, 7)
+            for s in _index_shards(rid):
+                bf.add_array(pq.read_table(s, columns=["h"])["h"])
+        bf.add_array(new_hashes["h"])
+        tmp = bloom_path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(bf.to_bytes())
+        os.replace(tmp, bloom_path)
 
     def _md5_col(t: pa.Table) -> pa.Table:
         import hashlib as _hl
@@ -970,7 +1015,32 @@ def run_export_incremental(
                 batch = batch.map_batches(drop_seen, batch_format="pyarrow")
             else:
                 idx_ds = rd.read_parquet(shards)
-                batch = bucketed_anti_join(batch, idx_ds, fk="__h", pk="h")
+                bf = _load_bloom() if bloom_prefilter else None
+                if bf is not None:
+                    # bloom miss ⇒ provably not in the index: only the
+                    # hits (≈ true dups + fp rate) pay the anti-join
+                    bref = ray.put(bf)
+
+                    def add_hit(t: pa.Table) -> pa.Table:
+                        b = ray.get(bref)
+                        return t.append_column(
+                            "__bh", pa.array(b.contains_array(t["__h"]))
+                        )
+
+                    probed = batch.map_batches(
+                        add_hit, batch_format="pyarrow"
+                    ).materialize()
+                    miss = probed.filter(expr="__bh == False").drop_columns(
+                        ["__bh"]
+                    )
+                    hits = probed.filter(expr="__bh == True").drop_columns(
+                        ["__bh"]
+                    )
+                    batch = miss.union(
+                        bucketed_anti_join(hits, idx_ds, fk="__h", pk="h")
+                    )
+                else:
+                    batch = bucketed_anti_join(batch, idx_ds, fk="__h", pk="h")
         batch = batch.materialize()
         if cross_batch_neardup:
             from ..stages.dedup import (
@@ -1089,6 +1159,8 @@ def run_export_incremental(
         import pyarrow.parquet as pq
 
         nh = pq.ParquetDataset(os.path.join(staged, "new_hashes")).read()
+        if bloom_prefilter:
+            _update_bloom(nh, rid)  # MUST precede the shard rename
         tmpf = os.path.join(index_dir, f".{rid}.tmp")
         pq.write_table(nh, tmpf)
         os.replace(tmpf, os.path.join(index_dir, f"{rid}.parquet"))

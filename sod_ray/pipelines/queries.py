@@ -3605,6 +3605,130 @@ def semdedup_docs(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def bloom_membership_checked(sf_dir: str):
+    """Oracle-backed Bloom-filter validation (the HLL-twin pattern):
+    build a Bloom over the user_ids of EVEN event_ids (one
+    Dataset.aggregate scan, word-wise OR merge tree), probe the ODD
+    events' user_ids (one scan, broadcast bitset), then assert the
+    sketch's two guarantees in-band: ``no_false_neg`` — every probed
+    id that IS a member must hit (a false negative is impossible by
+    construction; FALSE would mean a broken kernel) — and ``fp_ok`` —
+    the measured false-positive rate on true non-members within 3× the
+    analytic occupancy^k bound (+1% floor). The SQL twin emits the
+    exact member count + TRUE + TRUE, so a broken bitset hash-fails
+    the driver compare. Exact member/probe sets are gate-scale
+    driver sets here; the production path is the streaming
+    ``bloom_probe_column`` pre-filter in front of an exact index."""
+    from ..stages.stats import bloom_build_column, bloom_probe_column
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def even_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+        )
+
+    def odd_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)
+        )
+
+    evens = ds.map_batches(even_only, batch_format="pyarrow")
+    odds = ds.map_batches(odd_only, batch_format="pyarrow")
+    bloom = bloom_build_column(evens, "user_id", m_bits=1 << 20, k=7)
+
+    probed = bloom_probe_column(odds, "user_id", bloom).to_pandas()
+    members = set(
+        evens.select_columns(["user_id"]).to_pandas()["user_id"]
+    )
+    hit = probed.groupby("user_id")["bloom_hit"].max()
+    is_member = hit.index.isin(members)
+    no_false_neg = bool(hit[is_member].all()) if is_member.any() else True
+    n_non = int((~is_member).sum())
+    fp = float(hit[~is_member].mean()) if n_non else 0.0
+    fp_ok = fp <= max(0.01, 3.0 * bloom.fp_rate())
+    return pa.table(
+        {
+            "n_members": pa.array([len(members)], pa.int64()),
+            "no_false_neg": pa.array([no_false_neg], pa.bool_()),
+            "fp_ok": pa.array([bool(fp_ok)], pa.bool_()),
+        }
+    )
+
+
+BLOOM_CHECKED_SQL = """
+SELECT COUNT(DISTINCT user_id) AS n_members,
+       TRUE AS no_false_neg, TRUE AS fp_ok
+FROM events WHERE event_id % 2 = 0
+"""
+
+
+_MIX_UP = ("src0", "src1", "src2", "src3", "src4")
+
+
+def docs_domain_mix_checked(sf_dir: str):
+    """Domain mixing (the data-mixing recipe of every LLM corpus:
+    per-source quotas, e.g. upweight curated domains): keep 10 docs
+    from each upweighted source (src0-src4) and 3 from every other,
+    each chosen by the deterministic md5 hash rank — i.e. a per-domain
+    uniform reproducible sample at domain-specific rates. Composition
+    of TWO `sample_per_key` exchanges (one per quota tier); the SQL
+    twin is row_number over the same rank with a CASE quota."""
+    import hashlib as _hl
+
+    from ..stages.window import sample_per_key
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        r = [
+            _hl.md5(str(d).encode()).hexdigest()
+            for d in t["doc_id"].to_pylist()
+        ]
+        return t.append_column("__rank", pa.array(r, pa.string()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    up_list = list(_MIX_UP)
+
+    def up_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["source"], pa.array(up_list)))
+
+    def rest_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.invert(pc.is_in(t["source"], pa.array(up_list)))
+        )
+
+    up = sample_per_key(
+        ranked.map_batches(up_only, batch_format="pyarrow"),
+        "source", 10, "__rank", tie_cols=["doc_id"],
+    )
+    rest = sample_per_key(
+        ranked.map_batches(rest_only, batch_format="pyarrow"),
+        "source", 3, "__rank", tie_cols=["doc_id"],
+    )
+    out = (
+        up.union(rest)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(
+        out[["source", "doc_id"]], preserve_index=False
+    )
+
+
+DOMAIN_MIX_SQL = """
+SELECT source, doc_id FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                 THEN 10 ELSE 3 END
+ORDER BY source, doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3694,6 +3818,8 @@ QUERIES = {
     "events_user_sample_checked": events_user_sample_checked,
     "semdedup_checked": semdedup_checked,
     "semdedup_docs": semdedup_docs,
+    "bloom_membership_checked": bloom_membership_checked,
+    "docs_domain_mix_checked": docs_domain_mix_checked,
 }
 
 ORACLES = {
@@ -3714,6 +3840,8 @@ ORACLES = {
     "dsir_weights_checked": DSIR_SQL,
     "events_user_sample_checked": USER_SAMPLE_SQL,
     "semdedup_checked": SEMDEDUP_SQL,
+    "bloom_membership_checked": BLOOM_CHECKED_SQL,
+    "docs_domain_mix_checked": DOMAIN_MIX_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
     "lof_stream_frozen_checked": LOF_STREAM_SQL,

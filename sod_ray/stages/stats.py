@@ -349,3 +349,47 @@ def strip_salt(table: pa.Table, col: str = "part_key") -> pa.Table:
 
     stripped = pc.replace_substring_regex(table[col], "#[0-9]+$", "")
     return table.set_column(table.schema.get_field_index(col), col, stripped)
+
+
+def bloom_build_column(
+    ds, column: str, m_bits: int = 1 << 23, k: int = 7
+):
+    """Build a BloomFilter over one column in ONE scan — per-block
+    accumulate + word-wise OR merge via the Dataset.aggregate tree
+    (the gram_bucket_counts shape: only m_bits/8-byte bitsets cross
+    the reduce, never rows). The cheap membership pre-filter for
+    cross-batch dedup probes: bloom MISSES skip the exact index scan
+    entirely; HITS (~true members + fp_rate) go on to the exact
+    check, so end-to-end semantics stay exact."""
+    from ray.data.aggregate import AggregateFn
+
+    from ..state.sketches import BloomFilter
+
+    def acc(bf, block):
+        if not isinstance(block, pa.Table):
+            block = pa.table(block)
+        return bf.add_array(block[column])
+
+    agg = AggregateFn(
+        init=lambda _: BloomFilter(m_bits, k),
+        accumulate_block=acc,
+        merge=lambda a, b: a.merge(b),
+        name="bloom",
+    )
+    return ds.select_columns([column]).aggregate(agg)["bloom"]
+
+
+def bloom_probe_column(ds, column: str, bloom):
+    """One scan adding a ``bloom_hit`` boolean per row (broadcast the
+    bitset once with ray.put; each task reads it zero-copy)."""
+    import ray
+
+    ref = ray.put(bloom)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bf = ray.get(ref)
+        return t.append_column(
+            "bloom_hit", pa.array(bf.contains_array(t[column]))
+        )
+
+    return ds.map_batches(probe, batch_format="pyarrow")

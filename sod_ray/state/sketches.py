@@ -1069,3 +1069,102 @@ def ks_statistic(a: TDigest, b: TDigest, n_points: int = 256) -> float:
         return np.interp(xs, d.means, cum / w.sum(), left=0.0, right=1.0)
 
     return float(np.max(np.abs(cdf(a, grid) - cdf(b, grid))))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (approximate membership)
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter(_Serializable):
+    """Mergeable Bloom filter (Bloom 1970) — approximate set membership
+    with NO false negatives and a bounded false-positive rate; the
+    membership counterpart of the HLL cardinality sketch, completing
+    the sketch family (Welford / t-digest / KLL / HLL / MG / Histogram
+    / Bloom).
+
+    Engine role: the cheap pre-filter for cross-batch membership
+    probes — a 10^9-url seen-set is ~1.2 GB of bitset at 1% fp (vs the
+    exact parquet hash index's ~8 GB + a scan per probe); only bloom
+    HITS need the exact index. Trillion-row corpora shard the bitset
+    by hash prefix (each shard is an independent BloomFilter, merge is
+    per-shard OR).
+
+    Vectorized double hashing (Kirsch & Mitzenmacher 2006):
+    h_i(x) = h1(x) + i * h2(x) mod m, with h1 = hash64 and
+    h2 = splitmix64(h1) | 1 (odd, so strides cycle the full ring for
+    m a power of two). add/contains take whole Arrow/numpy arrays;
+    merge is a word-wise OR (associative, commutative, idempotent —
+    safe under salted two-level merges and task retries)."""
+
+    _TAG = b"F"
+
+    def __init__(self, m_bits: int = 1 << 23, k: int = 7):
+        if m_bits % 64:
+            raise ValueError("m_bits must be a multiple of 64")
+        self.m_bits = int(m_bits)
+        self.k = int(k)
+        self.words = np.zeros(m_bits // 64, dtype=np.uint64)
+
+    def _positions(self, values) -> np.ndarray:
+        h1 = hash64(values)
+        h2 = _splitmix64(h1) | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :])
+                    % np.uint64(self.m_bits)).ravel()
+
+    def add_array(self, values) -> "BloomFilter":
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if len(values) == 0:
+            return self
+        pos = self._positions(values)
+        if not self.words.flags.writeable:  # plasma zero-copy deserialization
+            self.words = self.words.copy()
+        np.bitwise_or.at(
+            self.words, (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+        return self
+
+    def contains_array(self, values) -> np.ndarray:
+        """Boolean membership per value — True may be a false positive
+        (rate ~ occupancy^k), False is certain."""
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        n = len(values)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(values)
+        bits = (
+            self.words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))
+        ) & np.uint64(1)
+        return bits.reshape(self.k, n).all(axis=0)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        if (self.m_bits, self.k) != (other.m_bits, other.k):
+            raise ValueError("cannot merge BloomFilters with different params")
+        if not self.words.flags.writeable:  # plasma zero-copy deserialization
+            self.words = self.words.copy()
+        np.bitwise_or(self.words, other.words, out=self.words)
+        return self
+
+    def fp_rate(self) -> float:
+        """Estimated false-positive probability at current occupancy."""
+        occ = float(np.unpackbits(self.words.view(np.uint8)).sum()) / self.m_bits
+        return occ ** self.k
+
+    def _to_compact(self) -> bytes:
+        head = struct.pack("<cqq", self._TAG, self.m_bits, self.k)
+        return head + self.words.tobytes()
+
+    @classmethod
+    def _from_compact(cls, b: bytes) -> "BloomFilter":
+        tag, m_bits, k = struct.unpack("<cqq", b[:17])
+        if tag != cls._TAG:
+            raise TypeError(f"BloomFilter: bad tag {tag!r}")
+        bf = cls(m_bits=m_bits, k=k)
+        bf.words = np.frombuffer(b[17:], dtype=np.uint64).copy()
+        return bf

@@ -654,3 +654,84 @@ def test_export_pack_chunks_sidecar(ray_session, tmp_path):
     # resume reuses the committed manifest
     res2 = run_export(d, out, cfg)
     assert "pack_chunks" in res2.report["resumed_stages"]
+
+
+def test_export_incremental_bloom_prefilter_large_path(ray_session, tmp_path):
+    """Bloom pre-filter in front of the LARGE-index anti-join path
+    (index_broadcast_limit=0 forces it): cross-batch dedup results are
+    identical with and without the bloom, the sidecar exists and covers
+    the whole index (bloom superset invariant), and a pre-bloom index
+    (sidecar deleted) is rebuilt at the next append while probing falls
+    back to the full anti-join meanwhile."""
+    import pyarrow as pa
+
+    from sod_ray.pipelines import export as ex
+    from sod_ray.state.sketches import BloomFilter
+
+    cfg = ex.CurateConfig(quality_filter=False, pii_redact=False)
+    texts1 = [f"bloom path doc {i} body words" for i in range(12)]
+    texts2 = texts1[:6] + [f"later bloom arrival {i}" for i in range(6)]
+
+    results = {}
+    for variant, bloom_on in (("with", True), ("without", False)):
+        landing = os.path.join(str(tmp_path), f"landing_{variant}")
+        out = os.path.join(str(tmp_path), f"out_{variant}")
+        _write_shard(landing, "b1.parquet", list(range(12)), texts1)
+        ex.run_export_incremental(
+            landing, out, cfg, max_polls=1,
+            index_broadcast_limit=0, bloom_prefilter=bloom_on,
+        )
+        _write_shard(
+            landing, "b2.parquet", list(range(100, 112)), texts2
+        )
+        s2 = ex.run_export_incremental(
+            landing, out, cfg, max_polls=1,
+            index_broadcast_limit=0, bloom_prefilter=bloom_on,
+        )
+        b2 = s2["batches"][0]
+        results[variant] = (b2["rows_new"], b2["rows_out"])
+        got = pq.ParquetDataset(
+            os.path.join(b2["out_dir"], "corpus")
+        ).read()
+        assert sorted(got["doc_id"].to_pylist()) == list(range(106, 112))
+        bloom_file = os.path.join(out, "hash_index", "_bloom.bin")
+        assert os.path.exists(bloom_file) == bloom_on
+        if bloom_on:
+            with open(bloom_file, "rb") as f:
+                bf = BloomFilter.from_bytes(f.read())
+            # superset invariant: every indexed md5 hits the bloom
+            shards = [
+                os.path.join(out, "hash_index", s)
+                for s in os.listdir(os.path.join(out, "hash_index"))
+                if s.endswith(".parquet")
+            ]
+            all_h = pa.concat_tables(
+                [pq.read_table(s, columns=["h"]) for s in shards]
+            )["h"]
+            assert bf.contains_array(all_h).all()
+    assert results["with"] == results["without"] == (6, 6)
+
+    # pre-bloom index: delete the sidecar, a third batch still dedups
+    # (anti-join fallback) and the append rebuilds a FULL-index bloom
+    landing = os.path.join(str(tmp_path), "landing_with")
+    out = os.path.join(str(tmp_path), "out_with")
+    os.remove(os.path.join(out, "hash_index", "_bloom.bin"))
+    texts3 = texts2[6:9] + [f"third bloom wave {i}" for i in range(3)]
+    _write_shard(landing, "b3.parquet", list(range(200, 206)), texts3)
+    s3 = ex.run_export_incremental(
+        landing, out, cfg, max_polls=1,
+        index_broadcast_limit=0, bloom_prefilter=True,
+    )
+    b3 = s3["batches"][0]
+    assert (b3["rows_new"], b3["rows_out"]) == (3, 3)
+    with open(os.path.join(out, "hash_index", "_bloom.bin"), "rb") as f:
+        bf = BloomFilter.from_bytes(f.read())
+    shards = [
+        os.path.join(out, "hash_index", s)
+        for s in os.listdir(os.path.join(out, "hash_index"))
+        if s.endswith(".parquet")
+    ]
+    all_h = pa.concat_tables(
+        [pq.read_table(s, columns=["h"]) for s in shards]
+    )["h"]
+    assert bf.contains_array(all_h).all()

@@ -612,3 +612,72 @@ def test_misra_gries_property_band(chunks):
     assert mg.err_ub <= len(all_keys) // 9 + 1
     for k, est in mg.counts.items():
         assert est <= true[k] <= est + mg.err_ub
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_fp_band():
+    import numpy as np
+    import pyarrow as pa
+
+    from sod_ray.state.sketches import BloomFilter
+
+    bf = BloomFilter(m_bits=1 << 16, k=5)
+    members = pa.array([f"u{i}" for i in range(2000)])
+    bf.add_array(members)
+    assert bf.contains_array(members).all()  # the hard guarantee
+    absent = pa.array([f"x{i}" for i in range(20000)])
+    fp = float(bf.contains_array(absent).mean())
+    # analytic: occupancy^k; allow 3x + small floor
+    assert fp <= max(0.01, 3.0 * bf.fp_rate())
+    # numeric values hash via the splitmix path
+    nums = pa.array(np.arange(100, dtype=np.int64))
+    bf2 = BloomFilter(m_bits=1 << 12, k=4).add_array(nums)
+    assert bf2.contains_array(nums).all()
+
+
+def test_bloom_merge_equals_bulk_and_codec():
+    import pyarrow as pa
+
+    from sod_ray.state.sketches import BloomFilter
+
+    a_vals = pa.array([f"a{i}" for i in range(500)])
+    b_vals = pa.array([f"b{i}" for i in range(500)])
+    bulk = BloomFilter(1 << 14, 6).add_array(a_vals).add_array(b_vals)
+    merged = (
+        BloomFilter(1 << 14, 6)
+        .add_array(a_vals)
+        .merge(BloomFilter(1 << 14, 6).add_array(b_vals))
+    )
+    assert (bulk.words == merged.words).all()
+    rt = BloomFilter.from_bytes(merged.to_bytes())
+    assert (rt.words == merged.words).all()
+    assert (rt.m_bits, rt.k) == (merged.m_bits, merged.k)
+    # merge is idempotent (safe under task retries)
+    again = merged.merge(BloomFilter(1 << 14, 6).add_array(a_vals))
+    assert (again.words == bulk.words).all()
+    import pytest
+
+    with pytest.raises(ValueError):
+        merged.merge(BloomFilter(1 << 15, 6))
+
+
+def test_bloom_build_column_distributed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sod_ray.stages.stats import bloom_build_column, bloom_probe_column
+    from sod_ray.state.sketches import BloomFilter
+
+    ids = np.arange(5000, dtype=np.int64) * 7
+    ds = rd.from_pandas(pd.DataFrame({"uid": ids})).repartition(8)
+    bloom = bloom_build_column(ds, "uid", m_bits=1 << 16, k=5)
+    serial = BloomFilter(1 << 16, 5).add_array(pa.array(ids))
+    assert (bloom.words == serial.words).all()
+    probed = bloom_probe_column(ds, "uid", bloom).to_pandas()
+    assert probed["bloom_hit"].all()

@@ -1,0 +1,102 @@
+"""SemDedup scale bench with planted-truth recovery.
+
+Corpus: the embedding_neardup_bench generator — random unit vectors;
+odd id 2k+1 copies 2k (+ tiny noise) when k % 10 == 0, so those
+(2k, 2k+1) pairs sit at cos >= ~0.999 and are the planted truth (one
+per 20 ids). semdedup_drop_ids at threshold 0.99 must drop EXACTLY
+the odd member of every planted pair (keep-lowest-id): recall <1.0
+only if a planted pair straddled clusters (the pair is near-identical,
+so assignments agree unless the pair sits on a centroid boundary);
+precision <1.0 only if random 64-d vectors hit cos >= 0.99 (P ~ 0).
+
+Usage: python tools/semdedup_bench.py [n_docs] [dim] [n_centroids]
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_docs: int = 1_000_000, dim: int = 64, n_centroids: int = 0):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=32,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    from bench import contention_probe
+    from sod_ray.stages.similarity import semdedup_drop_ids
+    from tools.embedding_neardup_bench import PLANT_EVERY, gen_block
+
+    if not n_centroids:
+        # one cluster per ~100k vectors (the documented heap contract)
+        n_centroids = max(8, n_docs // 100_000)
+
+    corpus_dir = f"/tmp/sod_semdedup/corpus-{n_docs}-{dim}"
+    if not os.path.exists(corpus_dir):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        base = rd.range(
+            n_docs, override_num_blocks=max(32, n_docs // 250_000)
+        )
+        base.map_batches(
+            lambda b: gen_block(b, dim, 12345), batch_format="pyarrow"
+        ).write_parquet(corpus_dir)
+
+    ds = rd.read_parquet(corpus_dir)
+    probe_pre = contention_probe()
+    t0 = time.perf_counter()
+    drops = semdedup_drop_ids(
+        ds,
+        "embedding",
+        "vec_id",
+        n_centroids=n_centroids,
+        threshold=0.99,
+    ).to_pandas()
+    wall = time.perf_counter() - t0
+    probe_post = contention_probe()
+
+    got = set(drops["node"].tolist())
+    # planted truth: odd ids 2k+1 with k % PLANT_EVERY == 0
+    want = {
+        2 * k + 1
+        for k in range(0, n_docs // 2, PLANT_EVERY)
+        if 2 * k + 1 < n_docs
+    }
+    tp = len(got & want)
+    print(
+        json.dumps(
+            {
+                "n_docs": n_docs,
+                "dim": dim,
+                "n_centroids": n_centroids,
+                "wall_s": round(wall, 1),
+                "docs_per_sec": round(n_docs / wall, 1),
+                "n_dropped": len(got),
+                "n_planted": len(want),
+                "recall": round(tp / max(1, len(want)), 4),
+                "precision": round(tp / max(1, len(got)), 4),
+                "probe_pre": probe_pre,
+                "probe_post": probe_post,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main(
+        int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000,
+        int(sys.argv[2]) if len(sys.argv) > 2 else 64,
+        int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+    )
