@@ -948,17 +948,29 @@ def run_export_incremental(
         """OR the batch's md5s into the sidecar — idempotent, written
         BEFORE the index shard so bloom ⊇ index always holds. A
         missing sidecar over a non-empty index (pre-bloom state, or a
-        deleted file) is rebuilt from every shard first."""
+        deleted file) is rebuilt from every shard first. When the
+        accumulated corpus saturates the bitset (fp rate > 5% — a
+        saturated bloom silently degrades to "everything hits", i.e.
+        the plain anti-join), the sidecar is REBUILT at 4x bits from
+        the shards: one index read, amortized over every later batch."""
+        import pyarrow.parquet as pq
+
         from ..state.sketches import BloomFilter
+
+        def rebuild(bits: int) -> "BloomFilter":
+            nb = BloomFilter(bits, 7)
+            for s in _index_shards(rid):
+                nb.add_array(pq.read_table(s, columns=["h"])["h"])
+            return nb
 
         bf = _load_bloom()
         if bf is None:
-            import pyarrow.parquet as pq
-
-            bf = BloomFilter(bloom_bits, 7)
-            for s in _index_shards(rid):
-                bf.add_array(pq.read_table(s, columns=["h"])["h"])
+            bf = rebuild(bloom_bits)
         bf.add_array(new_hashes["h"])
+        while bf.fp_rate() > 0.05:
+            grown = rebuild(bf.m_bits * 4)
+            grown.add_array(new_hashes["h"])
+            bf = grown
         tmp = bloom_path + ".tmp"
         with open(tmp, "wb") as f:
             f.write(bf.to_bytes())
@@ -1017,8 +1029,15 @@ def run_export_incremental(
                 idx_ds = rd.read_parquet(shards)
                 bf = _load_bloom() if bloom_prefilter else None
                 if bf is not None:
-                    # bloom miss ⇒ provably not in the index: only the
-                    # hits (≈ true dups + fp rate) pay the anti-join
+                    # bloom miss ⇒ provably not in the index. The HITS
+                    # (≈ true dups + fp rate) resolve via the
+                    # minhash_index_probe shape — broadcast the sorted
+                    # hit hashes, scan the index COLUMN-PRUNED with a
+                    # searchsorted filter (no shuffle), broadcast back
+                    # the found set — instead of an anti-join that
+                    # exchanges every index row. Dup-heavy batches
+                    # (hits above the broadcast budget) fall back to
+                    # the anti-join of the hits.
                     bref = ray.put(bf)
 
                     def add_hit(t: pa.Table) -> pa.Table:
@@ -1036,9 +1055,78 @@ def run_export_incremental(
                     hits = probed.filter(expr="__bh == True").drop_columns(
                         ["__bh"]
                     )
-                    batch = miss.union(
-                        bucketed_anti_join(hits, idx_ds, fk="__h", pk="h")
-                    )
+                    n_hits = hits.count()
+                    if n_hits == 0:
+                        batch = miss
+                    elif n_hits <= ibl:
+                        from ..state.sketches import hash64 as _h64
+
+                        hh_tbl = hits.select_columns(["__h"]).to_pandas()
+                        hh = np.unique(
+                            np.asarray(hh_tbl["__h"], dtype="S32")
+                        )
+                        hh64 = np.sort(
+                            _h64(pa.array(hh_tbl["__h"])).view(np.int64)
+                        )
+                        href = ray.put((hh, hh64))
+
+                        def found_in_shard(t: pa.Table) -> pa.Table:
+                            # vectorized route on hash64 (no Python
+                            # string objects over the index), exact
+                            # string confirm only on the rare matches
+                            s, s64 = ray.get(href)
+                            h64 = _h64(t["h"]).view(np.int64)
+                            pos = np.minimum(
+                                np.searchsorted(s64, h64),
+                                s64.shape[0] - 1,
+                            )
+                            cand = t.filter(pa.array(s64[pos] == h64))
+                            if cand.num_rows == 0:
+                                return cand
+                            hs = np.asarray(
+                                cand["h"].to_pylist(), dtype="S32"
+                            )
+                            p2 = np.minimum(
+                                np.searchsorted(s, hs), s.shape[0] - 1
+                            )
+                            return cand.filter(pa.array(s[p2] == hs))
+
+                        found = np.unique(
+                            np.asarray(
+                                rd.read_parquet(shards)
+                                .map_batches(
+                                    found_in_shard,
+                                    batch_format="pyarrow",
+                                )
+                                .to_pandas()["h"],
+                                dtype="S32",
+                            )
+                        )
+                        fref = ray.put(found)
+
+                        def drop_found(t: pa.Table) -> pa.Table:
+                            f = ray.get(fref)
+                            if f.shape[0] == 0 or t.num_rows == 0:
+                                return t
+                            hs = np.asarray(
+                                t["__h"].to_pylist(), dtype="S32"
+                            )
+                            pos = np.minimum(
+                                np.searchsorted(f, hs), f.shape[0] - 1
+                            )
+                            return t.filter(pa.array(f[pos] != hs))
+
+                        batch = miss.union(
+                            hits.map_batches(
+                                drop_found, batch_format="pyarrow"
+                            )
+                        )
+                    else:
+                        batch = miss.union(
+                            bucketed_anti_join(
+                                hits, idx_ds, fk="__h", pk="h"
+                            )
+                        )
                 else:
                     batch = bucketed_anti_join(batch, idx_ds, fk="__h", pk="h")
         batch = batch.materialize()

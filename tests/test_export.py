@@ -735,3 +735,48 @@ def test_export_incremental_bloom_prefilter_large_path(ray_session, tmp_path):
         [pq.read_table(s, columns=["h"]) for s in shards]
     )["h"]
     assert bf.contains_array(all_h).all()
+
+
+def test_export_incremental_bloom_autogrow(ray_session, tmp_path):
+    """A deliberately tiny sidecar (bloom_bits=64) saturates on the
+    first batch; the append must rebuild it larger (fp rate back under
+    5%) while keeping the superset invariant and exact dedup."""
+    import pyarrow as pa
+
+    from sod_ray.pipelines import export as ex
+    from sod_ray.state.sketches import BloomFilter
+
+    cfg = ex.CurateConfig(quality_filter=False, pii_redact=False)
+    landing = os.path.join(str(tmp_path), "landing")
+    out = os.path.join(str(tmp_path), "out")
+    texts1 = [f"autogrow doc {i} body" for i in range(50)]
+    _write_shard(landing, "b1.parquet", list(range(50)), texts1)
+    ex.run_export_incremental(
+        landing, out, cfg, max_polls=1,
+        index_broadcast_limit=0, bloom_bits=64,
+    )
+    with open(os.path.join(out, "hash_index", "_bloom.bin"), "rb") as f:
+        bf = BloomFilter.from_bytes(f.read())
+    assert bf.m_bits > 64
+    assert bf.fp_rate() <= 0.05
+    # second batch with overlaps still dedups exactly through the
+    # grown bloom
+    texts2 = texts1[:20] + [f"autogrow fresh {i}" for i in range(10)]
+    _write_shard(landing, "b2.parquet", list(range(100, 130)), texts2)
+    s2 = ex.run_export_incremental(
+        landing, out, cfg, max_polls=1,
+        index_broadcast_limit=0, bloom_bits=64,
+    )
+    b2 = s2["batches"][0]
+    assert (b2["rows_new"], b2["rows_out"]) == (10, 10)
+    shards = [
+        os.path.join(out, "hash_index", s)
+        for s in os.listdir(os.path.join(out, "hash_index"))
+        if s.endswith(".parquet")
+    ]
+    with open(os.path.join(out, "hash_index", "_bloom.bin"), "rb") as f:
+        bf2 = BloomFilter.from_bytes(f.read())
+    all_h = pa.concat_tables(
+        [pq.read_table(s, columns=["h"]) for s in shards]
+    )["h"]
+    assert bf2.contains_array(all_h).all()
