@@ -3729,6 +3729,332 @@ ORDER BY source, doc_id
 """
 
 
+def doc_bigram_perplexity(sf_dir: str):
+    """Bigram-LM perplexity filter — the KenLM-fidelity upgrade of
+    `doc_perplexity` (CCNet trains 5-gram KenLM models; the container
+    has no model libs, so the corpus-trained add-one bigram LM is the
+    highest-order exactly-SQL-reproducible stand-in): per doc,
+    exp(-mean log p(w2|w1)) over its bigram instances with
+    p(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V), V = unigram vocab size.
+    Docs with < 2 tokens carry no bigram evidence and are excluded.
+
+    Scale shape (all slim rows, never raw text past the first scan):
+    one scan emits (doc, bigram, tf) + distinct-token partials; the
+    LM is TWO small groupbys (bigram counts, context counts = bigram
+    counts re-grouped on w1) joined once per DISTINCT bigram; log
+    probs ship back to the doc rows by the adaptive
+    broadcast/bucketed-join dispatch `doc_perplexity` established."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.exchange import broadcast_rows_budget
+    from ..stages.joins import bucketed_equi_join
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), ""))
+        words = pc.utf8_split_whitespace(txt)
+        flat = pc.list_flatten(words)
+        per_doc = pc.list_value_length(words).to_numpy().astype(np.int64)
+        keep = pc.utf8_length(flat).to_numpy().astype(np.int64) > 0
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), per_doc)
+        if not keep.all():
+            doc_idx = doc_idx[keep]
+            flat = flat.filter(pa.array(keep))
+            per_doc = np.bincount(doc_idx, minlength=len(t)).astype(
+                np.int64
+            )
+        T = len(flat)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "bg": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+            }
+        )
+        if T < 2:
+            return empty
+        bg = pc.binary_join_element_wise(
+            flat.slice(0, T - 1), flat.slice(1, T - 1), " "
+        )
+        ends = np.cumsum(per_doc)
+        bvalid = np.ones(T - 1, dtype=bool)
+        cut = ends[:-1] - 1
+        cut = cut[(cut >= 0) & (cut < T - 1)]
+        bvalid[cut] = False
+        bg = bg.filter(pa.array(bvalid))
+        bdoc = doc_idx[:-1][bvalid]
+        if len(bg) == 0:
+            return empty
+        enc = pc.dictionary_encode(bg)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = enc.dictionary
+        uk, cnt = np.unique(
+            bdoc * len(vocab) + codes, return_counts=True
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"]
+                .take(pa.array(uk // len(vocab)))
+                .cast(pa.int64()),
+                "bg": vocab.take(pa.array(uk % len(vocab))),
+                "tf": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    tf = ds.map_batches(bigram_rows, batch_format="pyarrow").materialize()
+    bg_counts = (
+        tf.groupby("bg").aggregate(Sum("tf", alias_name="n")).materialize()
+    )
+
+    # context counts c(w1 ·) and the unigram vocab size V, both derived
+    # from the bigram-count table (c(w1 ·) = Σ_w2 c(w1 w2); V = distinct
+    # tokens = distinct contexts ∪ distinct seconds — computed exactly
+    # from one extra slim pass over the DISTINCT bigrams)
+    def split_ctx(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(
+            t["bg"].combine_chunks(), " ", max_splits=1
+        )
+        flat = pc.list_flatten(parts)
+        return pa.table(
+            {
+                "w1": flat.slice(0, len(flat)).take(
+                    pa.array(np.arange(0, len(flat), 2))
+                ),
+                "w2": flat.take(pa.array(np.arange(1, len(flat), 2))),
+                "n": t["n"],
+            }
+        )
+
+    ctx_rows = bg_counts.map_batches(split_ctx, batch_format="pyarrow").materialize()
+    ctx_counts = (
+        ctx_rows.select_columns(["w1", "n"])
+        .groupby("w1")
+        .aggregate(Sum("n", alias_name="cn"))
+        .materialize()
+    )
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        def arr(c):
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        toks = pa.concat_arrays([arr(t["w1"]), arr(t["w2"])])
+        return pa.table({"tok": pc.unique(toks)})
+
+    # V = exact unigram vocab: every token of a >=2-token doc appears
+    # as some bigram endpoint; tokens appearing ONLY as a 1-token doc
+    # are unioned in from one slim extra scan
+    def lone_tokens(t: pa.Table) -> pa.Table:
+        txt = pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), ""))
+        words = pc.utf8_split_whitespace(txt)
+        flat = pc.list_flatten(words)
+        per_doc = pc.list_value_length(words).to_numpy().astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), per_doc)
+        keep = pc.utf8_length(flat).to_numpy().astype(np.int64) > 0
+        n_real = np.bincount(doc_idx[keep], minlength=len(t))
+        mask = keep & (n_real[doc_idx] == 1)
+        return pa.table(
+            {"tok": pc.unique(flat.filter(pa.array(mask)))}
+        )
+
+    V = int(
+        ctx_rows.map_batches(tok_rows, batch_format="pyarrow")
+        .union(ds.map_batches(lone_tokens, batch_format="pyarrow"))
+        .groupby("tok")
+        .count()
+        .count()
+    )
+
+    # lp per DISTINCT bigram: join bigram counts with context counts
+    join_budget = broadcast_rows_budget(bytes_per_row=24)
+    n_ctx = ctx_counts.count()
+    if n_ctx <= join_budget:
+        import ray
+
+        cm = ctx_counts.to_pandas()
+        ctx_ref = ray.put(
+            (pa.array(cm["w1"], pa.string()), cm["cn"].to_numpy())
+        )
+
+        def attach_lp(t: pa.Table) -> pa.Table:
+            va, cnv = ray.get(ctx_ref)
+            parts = pc.split_pattern(
+                t["bg"].combine_chunks(), " ", max_splits=1
+            )
+            flat = pc.list_flatten(parts)
+            w1 = flat.take(pa.array(np.arange(0, len(flat), 2)))
+            idx = pc.index_in(w1, value_set=va).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            lp = np.log((n + 1.0) / (cnv[idx].astype(np.float64) + V))
+            return pa.table({"bg": t["bg"], "lp": pa.array(lp)})
+
+        lp_ds = bg_counts.map_batches(attach_lp, batch_format="pyarrow")
+    else:
+        joined = bucketed_equi_join(
+            ctx_rows, ctx_counts, key="w1", num_buckets=32
+        )
+
+        def lp_from_join(t: pa.Table) -> pa.Table:
+            n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+            cn = t["cn"].to_numpy(zero_copy_only=False).astype(np.float64)
+            bg = pc.binary_join_element_wise(
+                t["w1"].combine_chunks(), t["w2"].combine_chunks(), " "
+            )
+            return pa.table(
+                {"bg": bg, "lp": pa.array(np.log((n + 1.0) / (cn + V)))}
+            )
+
+        lp_ds = joined.map_batches(lp_from_join, batch_format="pyarrow")
+
+    # ship log-probs back to the doc rows (same adaptive dispatch)
+    n_bg = bg_counts.count()
+    if n_bg <= join_budget:
+        import ray
+
+        lm = lp_ds.to_pandas()
+        lm_ref = ray.put(
+            (pa.array(lm["bg"], pa.string()), lm["lp"].to_numpy())
+        )
+
+        def attach_doc_lp(t: pa.Table) -> pa.Table:
+            va, lpn = ray.get(lm_ref)
+            idx = pc.index_in(
+                t["bg"].combine_chunks(), value_set=va
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column("lp", pa.array(lpn[idx]))
+
+        scored = tf.map_batches(attach_doc_lp, batch_format="pyarrow")
+    else:
+        scored = bucketed_equi_join(tf, lp_ds, key="bg", num_buckets=32)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = t["lp"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "s": pa.array(tfv * lp),
+                "w": pa.array(tfv),
+            }
+        )
+
+    from ray.data.aggregate import Sum as S2
+
+    agg = (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(S2("s", alias_name="s"), S2("w", alias_name="w"))
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        ppl = np.exp(-s / np.maximum(w, 1.0))
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "n_bigrams": pa.array(w.astype(np.int64)),
+                "perplexity": pa.array(ppl),
+            }
+        )
+        return _round_cols(out, {"perplexity": 4})
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+BIGRAM_PERPLEXITY_SQL = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS arr
+  FROM documents
+), bgs AS (
+  SELECT doc_id, arr[p] || ' ' || arr[p+1] AS bg, arr[p] AS w1
+  FROM (SELECT doc_id, arr,
+               unnest(generate_series(1, len(arr)-1)) AS p
+        FROM docs WHERE len(arr) >= 2)
+), tf AS (
+  SELECT doc_id, bg, COUNT(*) AS tf FROM bgs GROUP BY doc_id, bg
+), lm AS (
+  SELECT bg, CAST(SUM(tf) AS DOUBLE) AS n FROM tf GROUP BY bg
+), ctx AS (
+  SELECT w1, CAST(COUNT(*) AS DOUBLE) AS cn FROM bgs GROUP BY w1
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+  FROM (SELECT unnest(arr) AS w FROM docs)
+), scored AS (
+  SELECT t.doc_id, t.tf,
+         ln((l.n + 1.0) / (c.cn + vocab.v)) AS lp
+  FROM tf t
+  JOIN lm l USING (bg)
+  JOIN ctx c ON c.w1 = split_part(t.bg, ' ', 1)
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(exp(-SUM(tf * lp) / GREATEST(SUM(tf), 1)), 4) AS perplexity
+FROM scored GROUP BY doc_id
+"""
+
+
+def bpe_merges_docs(sf_dir: str):
+    """BPE tokenizer training over the corpus (rows-only: the merge
+    loop is iterative, not SQL-expressible; the kernel is pinned by
+    `tests/test_dsir.py` — the paper's worked example exactly, parity
+    with an independent reimplementation, and determinism). The
+    distributed part is the (word, freq) type histogram — the
+    `top50_tokens` combiner shape (only per-batch (type, n) partials
+    cross the shuffle) — capped at the top 2,000 types by frequency;
+    the merge loop then runs driver-side over that compact table
+    (functions/bpe.bpe_train). Output: the first 40 merges in order."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.bpe import bpe_train
+
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(
+                pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), ""))
+            )
+        )
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    top = merged.sort_values(
+        ["n", "token"], ascending=[False, True], kind="stable"
+    ).head(2000)
+    merges = bpe_train(
+        list(zip(top["token"], top["n"])), n_merges=40
+    )
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(merges) + 1), pa.int64()),
+            "left": pa.array([m[0] for m in merges], pa.string()),
+            "right": pa.array([m[1] for m in merges], pa.string()),
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -3820,6 +4146,8 @@ QUERIES = {
     "semdedup_docs": semdedup_docs,
     "bloom_membership_checked": bloom_membership_checked,
     "docs_domain_mix_checked": docs_domain_mix_checked,
+    "doc_bigram_perplexity": doc_bigram_perplexity,
+    "bpe_merges_docs": bpe_merges_docs,
 }
 
 ORACLES = {
@@ -3842,6 +4170,7 @@ ORACLES = {
     "semdedup_checked": SEMDEDUP_SQL,
     "bloom_membership_checked": BLOOM_CHECKED_SQL,
     "docs_domain_mix_checked": DOMAIN_MIX_SQL,
+    "doc_bigram_perplexity": BIGRAM_PERPLEXITY_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
     "lof_stream_frozen_checked": LOF_STREAM_SQL,

@@ -323,3 +323,85 @@ def test_semdedup_empty_and_singleton(ray_session):
         ds, "embedding", "vec_id", n_centroids=1, threshold=0.5
     ).to_pandas()
     assert len(out) == 0
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_paper_example():
+    """Sennrich et al. 2016 §3.2 worked example: vocab {low:5,
+    lower:2, newest:6, widest:3} — the first merges are (e,s), (es,t),
+    (est,</w>), (l,o), (lo,w)."""
+    from sod_ray.functions.bpe import bpe_encode, bpe_train
+
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    merges = bpe_train(wf, n_merges=5)
+    assert merges == [
+        ("e", "s"),
+        ("es", "t"),
+        ("est", "</w>"),
+        ("l", "o"),
+        ("lo", "w"),
+    ]
+    assert bpe_encode("lowest", merges) == ["low", "est</w>"]
+    assert bpe_encode("newest", merges) == ["n", "e", "w", "est</w>"]
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Independent reimplementation via string replacement over
+    space-joined symbol strings (different mechanics from the tuple
+    kernel)."""
+    import re
+    from collections import Counter
+
+    seqs = {
+        w: " ".join(list(w) + ["</w>"]) for w, _ in word_freqs
+    }
+    freqs = dict(word_freqs)
+    merges = []
+    for _ in range(n_merges):
+        counts = Counter()
+        for w, s in seqs.items():
+            sym = s.split(" ")
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] += freqs[w]
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(best[0] + " " + best[1]) + r"(?!\S)"
+        )
+        seqs = {w: pat.sub(best[0] + best[1], s) for w, s in seqs.items()}
+    return merges
+
+
+def test_bpe_matches_independent_reference():
+    import numpy as np
+
+    from sod_ray.functions.bpe import bpe_train
+
+    rng = np.random.default_rng(13)
+    words = [
+        "".join(rng.choice(list("abcdef"), size=rng.integers(1, 9)))
+        for _ in range(300)
+    ]
+    wf = [(w, int(rng.integers(1, 50))) for w in set(words)]
+    assert bpe_train(wf, 30) == _bpe_reference(wf, 30)
+
+
+def test_bpe_merges_docs_deterministic(ray_session, sf_smoke):
+    from sod_ray.pipelines.queries import bpe_merges_docs
+
+    a = bpe_merges_docs(sf_smoke).to_pandas()
+    b = bpe_merges_docs(sf_smoke).to_pandas()
+    assert a.equals(b)
+    assert len(a) == 40
+    # early merges of a natural-language corpus are high-frequency
+    # character pairs; every merge must have non-empty sides
+    assert (a["left"].str.len() > 0).all()
+    assert (a["right"].str.len() > 0).all()
