@@ -3997,6 +3997,57 @@ FROM scored GROUP BY doc_id
 """
 
 
+def docs_split_checked(sf_dir: str):
+    """Deterministic train/val/test split (90/5/5) by hashed id — the
+    standard leakage-safe split recipe (a row's split is a pure
+    function of its id: stable under re-runs, resumes, repartitions
+    and corpus growth, unlike row-position splits). Bucket =
+    md5(doc_id) first 4 hex chars mod 100; one vectorized-shape scan,
+    no shuffle; SQL twin is the same CASE expression. Production
+    callers use hash64 in place of md5 (same structure, the
+    winnowing/DSIR twin convention)."""
+    import hashlib as _hl
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def add_split(t: pa.Table) -> pa.Table:
+        b = np.array(
+            [
+                int(_hl.md5(str(d).encode()).hexdigest()[:4], 16) % 100
+                for d in t["doc_id"].to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        split = np.where(b < 90, "train", np.where(b < 95, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "split": pa.array(split.tolist(), pa.string()),
+            }
+        )
+
+    out = (
+        ds.map_batches(add_split, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DOCS_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN b < 90 THEN 'train'
+            WHEN b < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 100 AS b
+      FROM documents)
+ORDER BY doc_id
+"""
+
+
 def bpe_merges_docs(sf_dir: str):
     """BPE tokenizer training over the corpus (rows-only: the merge
     loop is iterative, not SQL-expressible; the kernel is pinned by
@@ -4148,6 +4199,7 @@ QUERIES = {
     "docs_domain_mix_checked": docs_domain_mix_checked,
     "doc_bigram_perplexity": doc_bigram_perplexity,
     "bpe_merges_docs": bpe_merges_docs,
+    "docs_split_checked": docs_split_checked,
 }
 
 ORACLES = {
@@ -4171,6 +4223,7 @@ ORACLES = {
     "bloom_membership_checked": BLOOM_CHECKED_SQL,
     "docs_domain_mix_checked": DOMAIN_MIX_SQL,
     "doc_bigram_perplexity": BIGRAM_PERPLEXITY_SQL,
+    "docs_split_checked": DOCS_SPLIT_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
     "lof_stream_frozen_checked": LOF_STREAM_SQL,
