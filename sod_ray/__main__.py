@@ -64,6 +64,13 @@ def main_export(argv) -> int:
         help="key column for --token-budget (None = one global budget)",
     )
     p.add_argument(
+        "--dsir-keep", type=int, default=None,
+        help="DSIR selection: keep this many most-target-like docs "
+        "among funnel survivors (needs --dsir-target-col/-value)",
+    )
+    p.add_argument("--dsir-target-col", default=None)
+    p.add_argument("--dsir-target-value", default=None)
+    p.add_argument(
         "--pack-chunk-tokens", type=int, default=None,
         help="emit a chunks/ training manifest: per-doc concat-and-"
         "chunk spans at this many tokens per chunk",
@@ -119,6 +126,9 @@ def main_export(argv) -> int:
         shuffle_seed=args.shuffle_seed,
         token_budget=args.token_budget,
         token_budget_key=args.token_budget_key,
+        dsir_keep=args.dsir_keep,
+        dsir_target_col=args.dsir_target_col,
+        dsir_target_value=args.dsir_target_value,
         pack_chunk_tokens=args.pack_chunk_tokens,
     )
     res = run_export(args.input, args.out, cfg, resume=not args.no_resume)

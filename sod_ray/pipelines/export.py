@@ -76,6 +76,18 @@ class CurateConfig:
     # finalize_corpus_budget (end-of-ingest global cut).
     token_budget: int | None = None
     token_budget_key: str | None = None
+    # DSIR data selection (Xie et al. 2023; stages/dsir.py) over the
+    # funnel SURVIVORS: keep only the `dsir_keep` most-target-like
+    # docs by hashed-ngram log importance weight, with the target
+    # distribution defined by rows whose `dsir_target_col` equals
+    # `dsir_target_value` (e.g. lang == 'en'). Runs after every dedup
+    # decision and BEFORE the token budget (select the distribution
+    # first, then cap volume). Docs with zero tokens carry no
+    # evidence and are dropped. None disables.
+    dsir_keep: int | None = None
+    dsir_target_col: str | None = None
+    dsir_target_value: str | None = None
+    dsir_buckets: int = 65536
     # training-chunk manifest sidecar: after the corpus write, emit
     # ``chunks/`` — per-doc concat-and-chunk spans (chunk_start/
     # chunk_end/chunk_offset at this many whitespace tokens per chunk,
@@ -522,6 +534,74 @@ def run_export(
             )
 
         decision("neardup", near_drops)
+
+    if cfg.dsir_keep is not None:
+        if not (cfg.dsir_target_col and cfg.dsir_target_value is not None):
+            raise ValueError(
+                "dsir_keep needs dsir_target_col and dsir_target_value "
+                "to define the target distribution"
+            )
+
+        def dsir_drops():
+            import ray
+
+            from ..stages.dsir import (
+                dsir_log_ratio,
+                dsir_log_weights,
+                dsir_top_k,
+                gram_bucket_counts,
+            )
+
+            base = filtered([id_col, text_col, cfg.dsir_target_col])
+            raw = gram_bucket_counts(
+                base, text_col=text_col, n_buckets=cfg.dsir_buckets
+            )
+            tgt = gram_bucket_counts(
+                base.filter(
+                    expr=f"{cfg.dsir_target_col} == "
+                    f"{cfg.dsir_target_value!r}"
+                ),
+                text_col=text_col,
+                n_buckets=cfg.dsir_buckets,
+            )
+            lr = dsir_log_ratio(raw, tgt)
+            w = dsir_log_weights(
+                base, lr, text_col=text_col, id_col=id_col
+            ).materialize()
+            top = dsir_top_k(w, cfg.dsir_keep, id_col=id_col)
+            keep_ids = np.sort(
+                top[id_col].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            )
+            kref = ray.put(keep_ids)
+
+            def not_kept(t: pa.Table) -> pa.Table:
+                k = ray.get(kref)
+                ids = t[id_col].to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                if k.shape[0] == 0:
+                    member = np.zeros(ids.shape[0], bool)
+                else:
+                    pos = np.minimum(
+                        np.searchsorted(k, ids), k.shape[0] - 1
+                    )
+                    member = k[pos] == ids
+                return pa.table(
+                    {
+                        "node": pa.array(
+                            ids[~member], pa.int64()
+                        )
+                    }
+                )
+
+            d = w.select_columns([id_col]).map_batches(
+                not_kept, batch_format="pyarrow"
+            ).materialize()
+            return d if d.count() else None
+
+        decision("dsir", dsir_drops)
 
     if cfg.token_budget is not None:
 

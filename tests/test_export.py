@@ -780,3 +780,72 @@ def test_export_incremental_bloom_autogrow(ray_session, tmp_path):
         [pq.read_table(s, columns=["h"]) for s in shards]
     )["h"]
     assert bf2.contains_array(all_h).all()
+
+
+def test_export_dsir_stage(ray_session, tmp_path):
+    """DSIR selection as a funnel decision stage: plant target-like
+    docs among noise, keep the top-K most-target-like — the kept set
+    must be exactly the target slice + the planted docs, the decision
+    checkpoints like every stage (resume reuses it), and it runs
+    BEFORE the token budget in the report order."""
+    import numpy as np
+
+    from sod_ray.pipelines import export as ex
+
+    rng = np.random.default_rng(21)
+    tgt_vocab = [f"t{i}" for i in range(50)]
+    noise_vocab = [f"zz{i}" for i in range(500)]
+    # 8 target docs (lang=en), 40 noise, 4 planted target-like (xx)
+    texts, langs = [], []
+    for _ in range(8):
+        texts.append(" ".join(rng.choice(tgt_vocab, size=30)))
+        langs.append("en")
+    for _ in range(40):
+        texts.append(" ".join(rng.choice(noise_vocab, size=30)))
+        langs.append("xx")
+    for _ in range(4):
+        texts.append(" ".join(rng.choice(tgt_vocab, size=25)))
+        langs.append("xx")
+    inp = os.path.join(str(tmp_path), "docs")
+    os.makedirs(inp, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(langs, pa.string()),
+            }
+        ),
+        os.path.join(inp, "d.parquet"),
+    )
+    cfg = ex.CurateConfig(
+        quality_filter=False,
+        exact_dedup=False,
+        pii_redact=False,
+        dsir_keep=12,
+        dsir_target_col="lang",
+        dsir_target_value="en",
+    )
+    out = os.path.join(str(tmp_path), "out")
+    res = ex.run_export(inp, out, cfg)
+    got = pq.ParquetDataset(res.corpus_dir).read()
+    kept = sorted(got["doc_id"].to_pylist())
+    # exactly the 8 target + 4 planted docs survive
+    assert kept == list(range(8)) + list(range(48, 52))
+    assert res.report["rows_out"] == 12
+
+    # resume: the dsir decision is reloaded, corpus identical
+    res2 = ex.run_export(inp, out, cfg, resume=True)
+    assert "dsir" in res2.report["resumed_stages"]
+    got2 = pq.ParquetDataset(res2.corpus_dir).read()
+    assert sorted(got2["doc_id"].to_pylist()) == kept
+
+    # misconfiguration fails loudly
+    import pytest
+
+    bad = ex.CurateConfig(
+        quality_filter=False, exact_dedup=False, pii_redact=False,
+        dsir_keep=5,
+    )
+    with pytest.raises(ValueError, match="dsir_keep needs"):
+        ex.run_export(inp, os.path.join(str(tmp_path), "out2"), bad)
