@@ -306,25 +306,45 @@ def winnow_select(h, w: int):
 
 def winnow_fingerprints_fast(text: str | None, k: int = 5, w: int = 8):
     """Production-path winnowing (same selection kernel as the
-    md5-oracle twin, different gram hash): BYTE k-grams (k ≤ 8) packed
-    into uint64 by base-256 positional weights — an exact injective
-    encoding, so equal grams ⇔ equal packs — then splitmix64-mixed so
-    window minima are uniform. Fully vectorized per doc (one
-    sliding-window view + one matmul + the winnow_select kernel).
+    md5-oracle twin, different gram hash): BYTE k-grams packed into
+    uint64 by base-256 positional weights — for k ≤ 8 one window, an
+    exact injective encoding; for 8 < k ≤ 16 TWO overlapping 8-byte
+    windows ([0:8) and [k-8:k), which jointly cover every gram byte,
+    so the pair is still injective) mixed together — then
+    splitmix64-mixed so window minima are uniform. Equal grams ⇔
+    equal fingerprints in both regimes. Fully vectorized per doc.
+
+    WHY k > 8 exists: fingerprint document-frequency must stay below
+    any pair-mining df cap, and k-char gram recurrence falls steeply
+    with k — at 10^6 web-scale docs, 8-char grams recur ~10²× (common
+    words, digit runs) while 16-char grams recur only in genuinely
+    repeated text (measured in tools/winnow_bench.py; the
+    winnow-overlap miner defaults to k=16 for exactly this reason).
     Returns (positions int64, fingerprints uint64)."""
     import numpy as _np
 
     from ..state.sketches import _splitmix64
 
+    if k > 16:
+        raise ValueError("winnow_fingerprints_fast supports k <= 16")
     if text is None:
         return _np.empty(0, _np.int64), _np.empty(0, _np.uint64)
     data = _np.frombuffer(text.encode("utf-8"), dtype=_np.uint8)
     n = data.shape[0] - k + 1
     if n < w:
         return _np.empty(0, _np.int64), _np.empty(0, _np.uint64)
-    win = _np.lib.stride_tricks.sliding_window_view(data, k)
-    weights = (256 ** _np.arange(k - 1, -1, -1, dtype=_np.uint64))
-    packed = win.astype(_np.uint64) @ weights
-    h = _splitmix64(packed)
+    if k <= 8:
+        win = _np.lib.stride_tricks.sliding_window_view(data, k)
+        weights = (256 ** _np.arange(k - 1, -1, -1, dtype=_np.uint64))
+        h = _splitmix64(win.astype(_np.uint64) @ weights)
+    else:
+        w8 = _np.lib.stride_tricks.sliding_window_view(data, 8)
+        weights = (256 ** _np.arange(7, -1, -1, dtype=_np.uint64))
+        packed = w8.astype(_np.uint64) @ weights  # pack at every pos
+        with _np.errstate(over="ignore"):
+            h = _splitmix64(packed[:n]) ^ _splitmix64(
+                packed[k - 8 : k - 8 + n]
+                + _np.uint64(0x9E3779B97F4A7C15)
+            )
     sel = winnow_select(h, w)
     return sel, h[sel]

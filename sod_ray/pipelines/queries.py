@@ -3997,6 +3997,32 @@ FROM scored GROUP BY doc_id
 """
 
 
+def winnow_overlap_drops(sf_dir: str):
+    """Containment-dedup decision over documents via the DISTRIBUTED
+    winnow-overlap path (stages/dedup.winnow_overlap_drop_ids: fp
+    exchange → capped pair expansion → count threshold → CC →
+    keep-lowest-id) — the scale closure of the `winnow_overlap_pairs`
+    SQL-oracle query (which pins the selection kernel itself via its
+    md5 twin; this path swaps in the packed-uint64 production hash, so
+    it is rows-only, pinned by
+    `tests/test_dedup.py::test_winnow_overlap_*` — reference parity,
+    containment recovery, df-cap blowup guard)."""
+    from ..stages.dedup import winnow_overlap_drop_ids
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # corpus-scale gram config (see winnow_overlap_pairs_ds docstring:
+    # k=16 grams keep fingerprint df under the cap at 10^6+ docs)
+    drops = winnow_overlap_drop_ids(
+        ds, "text", "doc_id", k=16, w=16, min_shared=20, max_df=256
+    )
+    if drops is None:
+        return pa.table({"node": pa.array([], pa.int64())})
+    out = (
+        drops.to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def docs_split_checked(sf_dir: str):
     """Deterministic train/val/test split (90/5/5) by hashed id — the
     standard leakage-safe split recipe (a row's split is a pure
@@ -4200,6 +4226,7 @@ QUERIES = {
     "doc_bigram_perplexity": doc_bigram_perplexity,
     "bpe_merges_docs": bpe_merges_docs,
     "docs_split_checked": docs_split_checked,
+    "winnow_overlap_drops": winnow_overlap_drops,
 }
 
 ORACLES = {

@@ -74,6 +74,13 @@ def _norm_edges(a: np.ndarray, b: np.ndarray):
 
 @ray.remote
 def _block_to_edges(t: pa.Table, id_a: str, id_b: str):
+    # a zero-row COLUMN-LESS block can reach here (Ray Data emits one
+    # when an upstream operator produces an empty bundle after a
+    # schema-bearing one) — treat it as zero edges
+    if id_a not in t.column_names or id_b not in t.column_names:
+        return _norm_edges(
+            np.empty(0, np.int64), np.empty(0, np.int64)
+        )
     return _norm_edges(_np_i64(t[id_a]), _np_i64(t[id_b]))
 
 

@@ -2524,3 +2524,307 @@ def decontaminate(
         )
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing overlap (containment) dedup
+# ---------------------------------------------------------------------------
+
+
+def winnow_overlap_pairs_ds(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+    min_shared: int = 40,
+    max_df: int = 256,
+    num_buckets: int | None = None,
+    fp_sample: int = 1,
+):
+    """Distributed winnowing-overlap candidate pairs: docs sharing >=
+    ``min_shared`` distinct selected fingerprints (MOSS / SIGMOD'03
+    semantics — any shared substring of >= w+k-1 chars shares a
+    fingerprint, so this catches CONTAINMENT overlap that set-Jaccard
+    misses: doc B embedded inside a larger doc A barely moves Jaccard
+    but shares nearly all of B's fingerprints). The distributed closure
+    of the gate-scale `winnow_overlap_pairs` oracle query.
+
+    Shape = the `jaccard_all_pairs` three-exchange composition with
+    fingerprints instead of shingles: one scan -> distinct (fp, doc)
+    rows (vectorized per-doc packed-uint64 winnowing,
+    functions/text.winnow_fingerprints_fast) -> fp exchange with
+    vectorized upper-triangle pair expansion -> pair-key exchange with
+    run-length counts, thresholded at ``min_shared``.
+
+    ``max_df`` (REQUIRED here, unlike jaccard's optional cap) drops
+    fingerprints shared by more than that many docs before pairing:
+    template boilerplate makes nearly every doc pair share SOME
+    fingerprint (measured: family median 111 shared vs random median 6
+    on the synthetic corpus), so ubiquitous fps carry no containment
+    signal while costing g(g-1)/2 pair rows each — the MOSS paper
+    drops them for the same reason. Counts are therefore "shared
+    NON-UBIQUITOUS fps", and ``min_shared`` should sit well above the
+    template background (see tools/winnow_bench.py separation data).
+
+    GRAM-SIZE CONTRACT AT CORPUS SCALE: with the default ``k=5`` char
+    grams, natural-language gram frequency is Zipfian — at 10^6+ docs
+    even content grams exceed any df cap and the cap deletes ALL
+    signal (measured: zero pairs at 1M docs, k=5, max_df=256). Pass
+    ``k=8`` (the uint64 injective-pack limit) and ``w=16`` for corpus-
+    scale mining: 8-char grams mostly span token boundaries, so their
+    df tracks token-PAIR frequency, which stays under real caps; the
+    winnowing guarantee weakens to shared-substring >= w+k-1 = 23
+    chars, still far below a contained span. k=5/w=8 remains the
+    gate-scale oracle-family config (md5 twin parity).
+
+    SCALE CAVEAT (inherent, like `jaccard_all_pairs`): pair volume is
+    O(Σ_fp df²), and winnow selection BIASES df high — local-minimum
+    selection picks low-hash grams in EVERY doc containing them, so
+    selected fps concentrate on a heavy head (measured: the exact
+    k=8 pass at 1M docs emitted tens of GB of pair rows). For corpus
+    scale set ``fp_sample=s`` (> 1): keeps a uniform 1/s of
+    fingerprints by a second independent hash (decorrelated from the
+    selection minimum), cutting pair volume ~s² per group; the shared
+    count becomes an UNBIASED 1/s-scaled estimate, so ``min_shared``
+    is divided by s internally (pass the same full-count threshold).
+    Exact when fp_sample=1.
+
+    Returns a Dataset of (id_a, id_b, n_shared), id_a < id_b —
+    n_shared is the sampled count when fp_sample > 1."""
+    from ..functions.text import winnow_fingerprints_fast
+    from .exchange import exchange_reduce
+
+    from ..state.sketches import _splitmix64
+
+    def make_fp_rows(sample: int):
+        samp_cut = np.uint64(2**64 - 1) // np.uint64(max(1, sample))
+
+        def fp_rows(t: pa.Table) -> pa.Table:
+            fps, docs = [], []
+            ids = t[id_col].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            for i, txt in enumerate(t[text_col].to_pylist()):
+                _, h = winnow_fingerprints_fast(txt, k=k, w=w)
+                if h.shape[0] == 0:
+                    continue
+                u = np.unique(h)
+                if sample > 1:
+                    # second independent mix — decorrelated from the
+                    # window-minimum that selected the fp in the first
+                    # place (sampling on the fp value itself would
+                    # re-bias toward the already-heavy low-hash head)
+                    u = u[
+                        _splitmix64(u ^ np.uint64(0xA5A5A5A5A5A5A5A5))
+                        <= samp_cut
+                    ]
+                    if u.shape[0] == 0:
+                        continue
+                fps.append(u.view(np.int64))
+                docs.append(
+                    np.full(u.shape[0], ids[i], dtype=np.int64)
+                )
+            if not fps:
+                return pa.table(
+                    {
+                        "fp": pa.array([], pa.int64()),
+                        "doc": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "fp": pa.array(np.concatenate(fps), pa.int64()),
+                    "doc": pa.array(np.concatenate(docs), pa.int64()),
+                }
+            )
+
+        return fp_rows
+
+    def make_emit_pairs(df_cap: int):
+        def emit_pairs(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "pk": pa.array([], pa.int64()),
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_rows == 0 or "fp" not in t.column_names:
+                return empty
+            fp = t["fp"].to_numpy(zero_copy_only=False)
+            doc = t["doc"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((doc, fp))
+            fp, doc = fp[order], doc[order]
+            new = np.concatenate(([True], fp[1:] != fp[:-1]))
+            starts = np.flatnonzero(new)
+            sizes = np.diff(np.concatenate((starts, [fp.shape[0]])))
+            pos = np.arange(fp.shape[0]) - np.repeat(starts, sizes)
+            gsz = np.repeat(sizes, sizes)
+            cnt = gsz - 1 - pos
+            cnt[gsz > df_cap] = 0  # ubiquitous/template fingerprints
+            total = int(cnt.sum())
+            if total == 0:
+                return empty
+            left = np.repeat(np.arange(fp.shape[0]), cnt)
+            cum = np.cumsum(cnt)
+            offset = np.arange(total) - np.repeat(cum - cnt, cnt) + 1
+            right = left + offset
+            ia, ib = doc[left], doc[right]
+            pk = (
+                ia.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                ^ ib.astype(np.uint64)
+            ).view(np.int64)
+            return pa.table(
+                {
+                    "pk": pa.array(pk, pa.int64()),
+                    "id_a": pa.array(ia, pa.int64()),
+                    "id_b": pa.array(ib, pa.int64()),
+                }
+            )
+
+        return emit_pairs
+
+    def make_count_pairs(min_count: int):
+        def count_pairs(t: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+            if t.num_rows == 0 or "id_a" not in t.column_names:
+                return empty
+            a = t["id_a"].to_numpy(zero_copy_only=False)
+            b = t["id_b"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            new = np.concatenate(
+                ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]))
+            )
+            starts = np.flatnonzero(new)
+            cnts = np.diff(np.concatenate((starts, [a.shape[0]])))
+            keep = cnts >= min_count
+            return pa.table(
+                {
+                    "id_a": pa.array(a[starts][keep], pa.int64()),
+                    "id_b": pa.array(b[starts][keep], pa.int64()),
+                    "n_shared": pa.array(
+                        cnts[keep].astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+        return count_pairs
+
+    def chain(src_ds, sample: int, min_count: int):
+        slim = src_ds.map_batches(
+            make_fp_rows(sample), batch_format="pyarrow"
+        ).materialize()
+        # the df cap must SCALE with the sample: a group whose true df
+        # exceeds max_df has expected sampled df max_df/sample — an
+        # unscaled cap would admit (and pay g² for) every group with
+        # true df in (max_df, max_df*sample], which is exactly the
+        # heavy head the cap exists to kill (measured: ENOSPC at 1M
+        # docs with the unscaled cap)
+        pair_rows = exchange_reduce(
+            slim,
+            "fp",
+            make_emit_pairs(max(2, max_df // sample)),
+            num_buckets,
+        )
+        return exchange_reduce(
+            pair_rows, "pk", make_count_pairs(min_count), num_buckets
+        )
+
+    if fp_sample <= 1:
+        return chain(ds, 1, min_shared)
+
+    # sampled candidate pass (low bar: half the scaled expectation,
+    # floor 1 — high candidate recall), then an EXACT verify pass over
+    # the candidate docs only: final counts/threshold are the full
+    # min_shared semantics, so sampling costs candidate recall, never
+    # precision. NOTE the verify pass caps max_df by df WITHIN the
+    # candidate subset (<= global df), which can only keep more
+    # fingerprints than the global cap — recall-safe vs the exact op.
+    # ceil division: at min_shared=20, s=8 this gives 2, not 1 — a
+    # floor of 1 admits every pair sharing a single sampled fp, which
+    # at 10^7+ docs is millions of background candidate docs (measured:
+    # 6.3M at 20M docs, over the broadcast budget); a true pair's
+    # sampled count is Binomial(shared, 1/s) with mean >= min_shared/s,
+    # so requiring half the mean costs ~0.5% candidacy recall
+    cand_min = max(1, -(-min_shared // (2 * fp_sample)))
+    cand = chain(ds, fp_sample, cand_min).materialize()
+    if cand.count() == 0:
+        return cand
+
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                np.concatenate(
+                    [
+                        b["id_a"].to_numpy(zero_copy_only=False),
+                        b["id_b"].to_numpy(zero_copy_only=False),
+                    ]
+                )
+                for b in cand.iter_batches(batch_format="pyarrow")
+                if b.num_rows
+            ]
+        )
+    )
+    budget = broadcast_rows_budget()
+    if cand_ids.shape[0] > budget:
+        raise ValueError(
+            f"winnow_overlap_pairs_ds: {cand_ids.shape[0]} candidate "
+            f"docs exceed the broadcast budget ({budget}); raise "
+            "min_shared / fp_sample or max_df to tighten candidacy"
+        )
+    cref = ray.put(cand_ids)
+
+    def member_only(t: pa.Table) -> pa.Table:
+        cids = ray.get(cref)
+        ids = t[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(cids, ids), cids.shape[0] - 1)
+        return t.filter(pa.array(cids[pos] == ids))
+
+    subset = ds.map_batches(member_only, batch_format="pyarrow")
+    return chain(subset, 1, min_shared)
+
+
+def winnow_overlap_drop_ids(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 8,
+    min_shared: int = 40,
+    max_df: int = 256,
+    num_buckets: int | None = None,
+    fp_sample: int = 1,
+):
+    """Containment-dedup DECISION: the slim drop-id Dataset (one
+    ``node`` int64 column — non-canonical members of every
+    winnow-overlap cluster, canonical = min member id) or ``None``
+    when no pair qualifies. Same contract as ``neardup_drop_ids`` /
+    ``similarity.semdedup_drop_ids``, so ``apply_drops`` and the
+    export funnel's checkpointed decisions compose unchanged. This is
+    the dedup family that catches partial overlap / document
+    containment, which the Jaccard-based MinHash chain structurally
+    under-weights (|A∩B|/|A∪B| is small when |A| >> |B|)."""
+    pairs = winnow_overlap_pairs_ds(
+        ds, text_col, id_col, k=k, w=w,
+        min_shared=min_shared, max_df=max_df, num_buckets=num_buckets,
+        fp_sample=fp_sample,
+    ).map_batches(
+        lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+    ).materialize()
+    if pairs.count() == 0:
+        return None
+    labels = connected_components_distributed(pairs)
+
+    def non_canonical(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["node"], t["label"])
+        return pa.table({"node": t.filter(keep)["node"].cast(pa.int64())})
+
+    return labels.map_batches(non_canonical, batch_format="pyarrow")

@@ -1190,3 +1190,179 @@ def test_embedding_band_spill_dir_parity(ray_session, tmp_path):
         spilled.sort_values(cols).reset_index(drop=True),
     )
     assert (tmp_path / "ebands" / "_sod_bands").exists()
+
+
+# ---------------------------------------------------------------------------
+# Winnowing overlap (containment) dedup — distributed path
+# ---------------------------------------------------------------------------
+
+
+def _winnow_ref_pairs(texts, ids, k, w, min_shared, max_df):
+    """Driver-side reference: same fingerprint kernel, pandas merge."""
+    import pandas as pd
+
+    from sod_ray.functions.text import winnow_fingerprints_fast
+
+    rows = []
+    for did, txt in zip(ids, texts):
+        _, h = winnow_fingerprints_fast(txt, k=k, w=w)
+        for fp in set(h.tolist()):
+            rows.append((fp, did))
+    df = pd.DataFrame(rows, columns=["fp", "doc"])
+    dfc = df.groupby("fp")["doc"].transform("size")
+    df = df[dfc <= max_df]
+    m = df.merge(df, on="fp")
+    m = m[m["doc_x"] < m["doc_y"]]
+    out = (
+        m.groupby(["doc_x", "doc_y"])
+        .size()
+        .reset_index(name="n_shared")
+    )
+    out = out[out["n_shared"] >= min_shared]
+    return {
+        (a, b): n
+        for a, b, n in zip(out["doc_x"], out["doc_y"], out["n_shared"])
+    }
+
+
+def test_winnow_overlap_distributed_matches_reference(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import winnow_overlap_pairs_ds
+
+    rng = np.random.default_rng(31)
+    vocab = [f"word{i}" for i in range(2000)]
+    texts = [
+        " ".join(rng.choice(vocab, size=60)) for _ in range(120)
+    ]
+    # plant containment: doc 100 contains a big chunk of doc 3;
+    # doc 101 is a near-copy of doc 7
+    texts[100] = " ".join(rng.choice(vocab, size=20)) + " " + texts[3][:200]
+    texts[101] = texts[7]
+    ids = list(range(len(texts)))
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in zip(ids, texts)]
+    )
+    got_tbl = winnow_overlap_pairs_ds(
+        ds, "text", "doc_id", min_shared=10, max_df=64
+    ).to_pandas()
+    got = {
+        (a, b): n
+        for a, b, n in zip(
+            got_tbl["id_a"], got_tbl["id_b"], got_tbl["n_shared"]
+        )
+    }
+    ref = _winnow_ref_pairs(texts, ids, 5, 8, 10, 64)
+    assert got == ref
+    assert (3, 100) in got and (7, 101) in got
+
+
+def test_winnow_overlap_catches_containment_jaccard_misses(ray_session):
+    """A short doc embedded in a much longer one: token-set Jaccard is
+    tiny (|A∩B|/|A∪B| ~ |B|/|A|) but the contained span shares its
+    fingerprints — the case this dedup family exists for."""
+    import numpy as np
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import winnow_overlap_drop_ids
+
+    rng = np.random.default_rng(7)
+    vocab = [f"tk{i}" for i in range(5000)]
+    long_doc = " ".join(rng.choice(vocab, size=500))
+    short_doc = long_doc[1000:1400]  # contained span
+    noise = [
+        " ".join(rng.choice(vocab, size=80)) for _ in range(50)
+    ]
+    texts = [long_doc] + noise + [short_doc]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    # token-set jaccard of the planted pair is small
+    a, b = set(long_doc.split()), set(short_doc.split())
+    assert len(a & b) / len(a | b) < 0.25
+    drops = winnow_overlap_drop_ids(
+        ds, "text", "doc_id", min_shared=20, max_df=64
+    )
+    got = set(drops.to_pandas()["node"].tolist())
+    # the contained doc (higher id) is dropped, the container kept
+    assert len(texts) - 1 in got
+    assert 0 not in got
+
+
+def test_winnow_overlap_max_df_kills_template_blowup(ray_session):
+    """300 docs sharing one template sentence (df=300 > max_df): the
+    template fingerprints are dropped before pairing, so template-only
+    sharing produces NO pairs — the O(g^2) blowup guard."""
+    import numpy as np
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import winnow_overlap_pairs_ds
+
+    rng = np.random.default_rng(13)
+    vocab = [f"q{i}" for i in range(3000)]
+    template = "subscribe to our newsletter for updates and offers today"
+    texts = [
+        template + " " + " ".join(rng.choice(vocab, size=40))
+        for _ in range(300)
+    ]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    from sod_ray.functions.text import winnow_fingerprints_fast
+
+    # the template alone selects this many fingerprints; any doc pair
+    # shares AT LEAST these when template fps are not capped away
+    n_tpl = len(set(winnow_fingerprints_fast(template)[1].tolist()))
+    assert n_tpl >= 5
+    uncapped = winnow_overlap_pairs_ds(
+        ds, "text", "doc_id", min_shared=n_tpl, max_df=10**9
+    ).to_pandas()
+    capped = winnow_overlap_pairs_ds(
+        ds, "text", "doc_id", min_shared=n_tpl, max_df=256
+    ).to_pandas()
+    # uncapped: every one of the 300*299/2 pairs qualifies via the
+    # template; capped: the template fps (df=300 > 256) are dropped
+    # before pairing, so the count collapses to the (char-gram noise)
+    # background — orders of magnitude fewer
+    assert len(uncapped) == 300 * 299 // 2
+    assert len(capped) < len(uncapped) / 100
+
+
+def test_winnow_overlap_sampled_verify_matches_exact(ray_session):
+    """fp_sample > 1 path: sampled candidacy + exact verify must
+    return a SUBSET of the exact full pass with identical counts on
+    every returned pair, and recover the planted containment/copy
+    pairs (their shared-fp mass makes candidacy near-certain)."""
+    import numpy as np
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import winnow_overlap_pairs_ds
+
+    rng = np.random.default_rng(41)
+    vocab = [f"tok{i}" for i in range(4000)]
+    texts = [" ".join(rng.choice(vocab, size=80)) for _ in range(200)]
+    texts[150] = texts[5]  # copy
+    texts[151] = " ".join(rng.choice(vocab, size=10)) + " " + texts[9][:300]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    kw = dict(k=8, w=16, min_shared=8, max_df=64)
+    exact = winnow_overlap_pairs_ds(ds, "text", "doc_id", **kw).to_pandas()
+    sampled = winnow_overlap_pairs_ds(
+        ds, "text", "doc_id", fp_sample=2, **kw
+    ).to_pandas()
+    ex = {
+        (a, b): n
+        for a, b, n in zip(exact["id_a"], exact["id_b"], exact["n_shared"])
+    }
+    sp = {
+        (a, b): n
+        for a, b, n in zip(
+            sampled["id_a"], sampled["id_b"], sampled["n_shared"]
+        )
+    }
+    assert set(sp) <= set(ex)
+    for p, n in sp.items():
+        assert ex[p] == n  # verify pass counts are exact
+    assert (5, 150) in sp and (9, 151) in sp

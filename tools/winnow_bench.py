@@ -124,3 +124,63 @@ def main(n_docs: int = 1_000_000):
 
 if __name__ == "__main__":
     main(int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000)
+
+
+def overlap_pairs_bench(n_docs: int = 5_000_000, min_shared: int = 20,
+                        fp_sample: int = 8):
+    """Distributed winnow-overlap pair mining on the planted-family
+    corpus: family pairs (1-2 token edits, long shared substrings)
+    must be recovered; random pairs (median 6 shared fps) must not.
+    Measures the full fp-exchange -> capped pair expansion -> count
+    threshold chain (stages/dedup.winnow_overlap_pairs_ds)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data as rd
+
+    rd.DataContext.get_current().enable_progress_bars = False
+    from bench import contention_probe
+    from sod_ray.stages.dedup import winnow_overlap_pairs_ds
+    from tools.dedup_bench import gen_corpus
+
+    d = f"/tmp/sod_dedup/corpus-{n_docs}"
+    if not os.path.exists(f"{d}/truth.json"):
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+        _, truth = gen_corpus(f"{d}/docs", n_docs, 64)
+        with open(f"{d}/truth.json", "w") as f:
+            json.dump(sorted(truth), f)
+    truth = {tuple(p) for p in json.load(open(f"{d}/truth.json"))}
+
+    probe_pre = contention_probe()
+    ds = rd.read_parquet(f"{d}/docs")
+    t0 = time.time()
+    pairs = winnow_overlap_pairs_ds(
+        ds, "text", "doc_id", k=16, w=16,
+        min_shared=min_shared, max_df=256, fp_sample=fp_sample,
+    ).to_pandas()
+    wall = time.time() - t0
+    probe_post = contention_probe()
+    got = {
+        (int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])
+    }
+    tp = len(got & truth)
+    print(json.dumps({
+        "mode": "overlap_pairs",
+        "n_docs": n_docs,
+        "min_shared": min_shared,
+        "fp_sample": fp_sample,
+        "wall_s": round(wall, 1),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "n_pairs": len(got),
+        "n_truth": len(truth),
+        "recall": round(tp / max(1, len(truth)), 4),
+        "precision": round(tp / max(1, len(got)), 4),
+        "probe_pre": probe_pre,
+        "probe_post": probe_post,
+    }))
+    ray.shutdown()
