@@ -47,6 +47,12 @@ def main_export(argv) -> int:
     p.add_argument("--no-pii", action="store_true")
     p.add_argument("--neardup", action="store_true")
     p.add_argument("--line-dedup", action="store_true")
+    p.add_argument(
+        "--overlap-dedup", action="store_true",
+        help="winnow-overlap containment dedup (doc-inside-doc)",
+    )
+    p.add_argument("--overlap-min-shared", type=int, default=20)
+    p.add_argument("--overlap-fp-sample", type=int, default=1)
     p.add_argument("--jaccard-threshold", type=float, default=0.7)
     p.add_argument(
         "--neardup-emission", choices=["star", "pairs"], default="star",
@@ -118,6 +124,9 @@ def main_export(argv) -> int:
         url_dedup=args.url_col is not None,
         exact_dedup=not args.no_exact,
         neardup=args.neardup,
+        overlap_dedup=args.overlap_dedup,
+        overlap_min_shared=args.overlap_min_shared,
+        overlap_fp_sample=args.overlap_fp_sample,
         lsh_kwargs={"pair_emission": args.neardup_emission},
         line_dedup=args.line_dedup,
         pii_redact=not args.no_pii,

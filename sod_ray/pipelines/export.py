@@ -58,6 +58,15 @@ class CurateConfig:
     url_dedup: bool = False  # canonical-URL keep-min-id
     exact_dedup: bool = True  # md5(text) keep-min-id
     neardup: bool = False  # MinHash+LSH → CC → keep canonical
+    # winnow-overlap containment dedup (stages/dedup.
+    # winnow_overlap_drop_ids — catches doc-inside-doc partial overlap
+    # that Jaccard under-weights; runs AFTER neardup so full near-dups
+    # are already gone). k=16/w=16 fingerprints; see the stage
+    # docstring for the df-cap and fp_sample scale contracts.
+    overlap_dedup: bool = False
+    overlap_min_shared: int = 20
+    overlap_max_df: int = 256
+    overlap_fp_sample: int = 1  # >1 = sampled candidacy + exact verify
     # benchmark decontamination: drop docs sharing any word-level
     # n-gram with these eval-suite texts (GPT-3 appendix-C hygiene)
     decontaminate_texts: list | None = None
@@ -534,6 +543,25 @@ def run_export(
             )
 
         decision("neardup", near_drops)
+
+    if cfg.overlap_dedup:
+
+        def overlap_drops():
+            from ..stages.dedup import winnow_overlap_drop_ids
+
+            base = filtered([id_col, text_col])
+            return winnow_overlap_drop_ids(
+                base,
+                text_col,
+                id_col,
+                k=16,
+                w=16,
+                min_shared=cfg.overlap_min_shared,
+                max_df=cfg.overlap_max_df,
+                fp_sample=cfg.overlap_fp_sample,
+            )
+
+        decision("overlap", overlap_drops)
 
     if cfg.dsir_keep is not None:
         if not (cfg.dsir_target_col and cfg.dsir_target_value is not None):

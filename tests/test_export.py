@@ -849,3 +849,47 @@ def test_export_dsir_stage(ray_session, tmp_path):
     )
     with pytest.raises(ValueError, match="dsir_keep needs"):
         ex.run_export(inp, os.path.join(str(tmp_path), "out2"), bad)
+
+
+def test_export_overlap_dedup_stage(ray_session, tmp_path):
+    """Containment dedup as a funnel stage: a doc embedded inside a
+    longer one is dropped (keep-lowest-id keeps the container, which
+    arrived first) while Jaccard-near-dup stages would miss it; the
+    decision checkpoints and resumes like every stage."""
+    import numpy as np
+
+    from sod_ray.pipelines import export as ex
+
+    rng = np.random.default_rng(33)
+    vocab = [f"ov{i}" for i in range(5000)]
+    texts = [" ".join(rng.choice(vocab, size=300))]  # container (id 0)
+    texts += [" ".join(rng.choice(vocab, size=80)) for _ in range(30)]
+    texts.append(texts[0][500:1100])  # contained span (id 31)
+    inp = os.path.join(str(tmp_path), "docs")
+    os.makedirs(inp, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        os.path.join(inp, "d.parquet"),
+    )
+    cfg = ex.CurateConfig(
+        quality_filter=False,
+        exact_dedup=False,
+        pii_redact=False,
+        overlap_dedup=True,
+        overlap_min_shared=15,
+    )
+    out = os.path.join(str(tmp_path), "out")
+    res = ex.run_export(inp, out, cfg)
+    got = pq.ParquetDataset(res.corpus_dir).read()
+    kept = sorted(got["doc_id"].to_pylist())
+    assert 31 not in kept and 0 in kept
+    assert len(kept) == len(texts) - 1
+    assert res.report["stages"]["overlap"]["dropped"] == 1
+
+    res2 = ex.run_export(inp, out, cfg, resume=True)
+    assert "overlap" in res2.report["resumed_stages"]
