@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "dsir_select_docs",
     "semdedup_docs",
     "doc_bigram_perplexity",
+    "winnow_overlap_drops",
 ]
 
 
