@@ -3997,6 +3997,80 @@ FROM scored GROUP BY doc_id
 """
 
 
+def cm_token_counts_checked(sf_dir: str):
+    """Oracle-backed Count-Min validation (the HLL/MG twin pattern):
+    ONE aggregate-tree scan builds a Count-Min over every corpus token
+    (stages.stats.cm_build_tokens); the exact top-30 token counts
+    (SQL-reproducible) then probe it, asserting the sketch's published
+    guarantees in-band — ``no_undercount`` (estimate >= exact, always,
+    by construction) and ``overcount_ok`` (estimate - exact <=
+    8·N/width per item; with depth=4 rows the per-item failure odds
+    are (1/8)^4, and the fixed hash makes the outcome deterministic
+    for a given corpus). The SQL twin emits exact counts + TRUE +
+    TRUE, so a broken counter array hash-fails the driver compare."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.stats import cm_build_tokens
+
+    ds = _read(sf_dir, "documents", ["text"])
+    cm = cm_build_tokens(ds, "text", width=1 << 15, depth=4)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(t["text"].combine_chunks())
+        )
+        if len(toks) == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        vc = toks.value_counts()
+        return pa.table(
+            {
+                "token": vc.field("values"),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    top = (
+        merged.sort_values(["n", "token"], ascending=[False, True])
+        .head(30)
+        .reset_index(drop=True)
+    )
+    est = cm.estimate_array(pa.array(top["token"], pa.string()))
+    exact = top["n"].to_numpy().astype(np.int64)
+    bound = cm.error_bound(slack=8.0)
+    return pa.table(
+        {
+            "token": pa.array(top["token"], pa.string()),
+            "n": pa.array(exact, pa.int64()),
+            "no_undercount": pa.array([bool((est >= exact).all())] * 30),
+            "overcount_ok": pa.array(
+                [bool((est - exact <= bound).all())] * 30
+            ),
+        }
+    )
+
+
+CM_CHECKED_SQL = r"""
+SELECT token, n, TRUE AS no_undercount, TRUE AS overcount_ok
+FROM (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+        FROM documents)
+  GROUP BY token ORDER BY n DESC, token LIMIT 30
+)
+"""
+
+
 def winnow_overlap_drops(sf_dir: str):
     """Containment-dedup decision over documents via the DISTRIBUTED
     winnow-overlap path (stages/dedup.winnow_overlap_drop_ids: fp
@@ -4227,6 +4301,7 @@ QUERIES = {
     "bpe_merges_docs": bpe_merges_docs,
     "docs_split_checked": docs_split_checked,
     "winnow_overlap_drops": winnow_overlap_drops,
+    "cm_token_counts_checked": cm_token_counts_checked,
 }
 
 ORACLES = {
@@ -4251,6 +4326,7 @@ ORACLES = {
     "docs_domain_mix_checked": DOMAIN_MIX_SQL,
     "doc_bigram_perplexity": BIGRAM_PERPLEXITY_SQL,
     "docs_split_checked": DOCS_SPLIT_SQL,
+    "cm_token_counts_checked": CM_CHECKED_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
     "lof_stream_frozen_checked": LOF_STREAM_SQL,

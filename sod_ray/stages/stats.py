@@ -393,3 +393,35 @@ def bloom_probe_column(ds, column: str, bloom):
         )
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def cm_build_tokens(
+    ds, text_col: str = "text", width: int = 1 << 15, depth: int = 4
+):
+    """Count-Min over a corpus's whitespace tokens in ONE scan —
+    per-block accumulate + counter-sum merge via the Dataset.aggregate
+    tree (the bloom_build_column shape; depth×width int64 counters
+    cross the reduce, never token instances). The any-item frequency
+    probe next to Misra-Gries' heavy-hitter summary."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn
+
+    from ..state.sketches import CountMin
+
+    def acc(cm, block):
+        if not isinstance(block, pa.Table):
+            block = pa.table(block)
+        toks = pc.list_flatten(
+            pc.utf8_split_whitespace(
+                pc.fill_null(block[text_col].combine_chunks(), "")
+            )
+        )
+        return cm.add_array(toks)
+
+    agg = AggregateFn(
+        init=lambda _: CountMin(width, depth),
+        accumulate_block=acc,
+        merge=lambda a, b: a.merge(b),
+        name="cm",
+    )
+    return ds.select_columns([text_col]).aggregate(agg)["cm"]

@@ -1168,3 +1168,109 @@ class BloomFilter(_Serializable):
         bf = cls(m_bits=m_bits, k=k)
         bf.words = np.frombuffer(b[17:], dtype=np.uint64).copy()
         return bf
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (approximate frequencies)
+# ---------------------------------------------------------------------------
+
+
+class CountMin(_Serializable):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) — approximate
+    per-item frequencies with a ONE-SIDED guarantee: the estimate
+    never undercounts, and overcounts by more than ``e·N/width`` with
+    probability at most ``(1/e)^depth`` (N = total count mass).
+    Completes the sketch family next to Misra-Gries: MG answers "which
+    items are heavy" with a deterministic band; Count-Min answers
+    "how often does THIS item occur" for any queried item, including
+    ones MG evicted.
+
+    Vectorized: ``depth`` hash rows via the Bloom-style double hashing
+    (h1 + i·h2, i < depth) over one ``hash64`` pass; add/estimate take
+    whole Arrow/numpy arrays; merge is an element-wise counter sum
+    (associative/commutative — safe under salted two-level merges).
+    NOTE merge is NOT idempotent (unlike Bloom's OR) — merging the
+    same partial twice double-counts, the same contract as every
+    counting sketch here (Welford, MG)."""
+
+    _TAG = b"C"
+
+    def __init__(self, width: int = 1 << 14, depth: int = 4):
+        self.width = int(width)
+        self.depth = int(depth)
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+        self.n = 0  # total count mass (for the error bound)
+
+    def _cols(self, values) -> np.ndarray:
+        h1 = hash64(values)
+        h2 = _splitmix64(h1) | np.uint64(1)
+        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + i * h2[None, :])
+                    % np.uint64(self.width)).astype(np.int64)
+
+    def add_array(self, values, weights=None) -> "CountMin":
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        m = len(values)
+        if m == 0:
+            return self
+        if not self.counts.flags.writeable:  # plasma zero-copy
+            self.counts = self.counts.copy()
+        w = (
+            np.ones(m, np.int64)
+            if weights is None
+            else np.asarray(weights, np.int64)
+        )
+        cols = self._cols(values)
+        for d in range(self.depth):
+            np.add.at(self.counts[d], cols[d], w)
+        self.n += int(w.sum())
+        return self
+
+    def estimate_array(self, values) -> np.ndarray:
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if len(values) == 0:
+            return np.zeros(0, np.int64)
+        cols = self._cols(values)
+        return np.min(
+            np.stack(
+                [self.counts[d][cols[d]] for d in range(self.depth)]
+            ),
+            axis=0,
+        )
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        if (self.width, self.depth) != (other.width, other.depth):
+            raise ValueError("cannot merge CountMin with different params")
+        if not self.counts.flags.writeable:
+            self.counts = self.counts.copy()
+        self.counts += other.counts
+        self.n += other.n
+        return self
+
+    def error_bound(self, slack: float = math.e) -> float:
+        """Overcount bound ``slack·N/width`` (slack=e gives the
+        published (1/e)^depth failure probability)."""
+        return slack * self.n / self.width
+
+    def _to_compact(self) -> bytes:
+        head = struct.pack(
+            "<cqqq", self._TAG, self.width, self.depth, self.n
+        )
+        return head + self.counts.tobytes()
+
+    @classmethod
+    def _from_compact(cls, b: bytes) -> "CountMin":
+        tag, width, depth, n = struct.unpack("<cqqq", b[:25])
+        if tag != cls._TAG:
+            raise TypeError(f"CountMin: bad tag {tag!r}")
+        cm = cls(width=width, depth=depth)
+        cm.counts = (
+            np.frombuffer(b[25:], dtype=np.int64)
+            .reshape(depth, width)
+            .copy()
+        )
+        cm.n = n
+        return cm

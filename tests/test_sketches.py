@@ -681,3 +681,74 @@ def test_bloom_build_column_distributed(ray_session):
     assert (bloom.words == serial.words).all()
     probed = bloom_probe_column(ds, "uid", bloom).to_pandas()
     assert probed["bloom_hit"].all()
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_guarantees_and_merge():
+    import numpy as np
+    import pyarrow as pa
+
+    from sod_ray.state.sketches import CountMin
+
+    rng = np.random.default_rng(17)
+    # zipf-ish stream with known exact counts
+    items = np.repeat(
+        [f"t{i}" for i in range(500)],
+        (2000 / (np.arange(500) + 1)).astype(int) + 1,
+    )
+    rng.shuffle(items)
+    cm = CountMin(width=1 << 12, depth=4)
+    cm.add_array(pa.array(items))
+    probe = [f"t{i}" for i in range(20)] + ["absent1", "absent2"]
+    est = cm.estimate_array(pa.array(probe))
+    import collections
+
+    exact = collections.Counter(items.tolist())
+    ex = np.array([exact.get(p, 0) for p in probe], np.int64)
+    assert (est >= ex).all()  # the one-sided guarantee, always
+    assert (est - ex <= cm.error_bound(slack=8.0)).all()
+    # chunked adds + merge == bulk add, element-exact
+    bulk = CountMin(1 << 12, 4).add_array(pa.array(items))
+    half = len(items) // 2
+    m = (
+        CountMin(1 << 12, 4)
+        .add_array(pa.array(items[:half]))
+        .merge(CountMin(1 << 12, 4).add_array(pa.array(items[half:])))
+    )
+    assert (bulk.counts == m.counts).all() and bulk.n == m.n
+    # weighted adds == repeated adds
+    wtd = CountMin(1 << 12, 4).add_array(
+        pa.array(["x", "y"]), weights=np.array([5, 3])
+    )
+    rep = CountMin(1 << 12, 4).add_array(pa.array(["x"] * 5 + ["y"] * 3))
+    assert (wtd.counts == rep.counts).all()
+    # codec round-trip
+    rt = CountMin.from_bytes(bulk.to_bytes())
+    assert (rt.counts == bulk.counts).all() and rt.n == bulk.n
+    import pytest
+
+    with pytest.raises(ValueError):
+        bulk.merge(CountMin(1 << 11, 4))
+
+
+def test_cm_build_tokens_distributed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sod_ray.stages.stats import cm_build_tokens
+    from sod_ray.state.sketches import CountMin
+
+    texts = [f"alpha beta w{i} alpha" for i in range(2000)]
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(8)
+    cm = cm_build_tokens(ds, "text", width=1 << 12, depth=4)
+    toks = [w for t in texts for w in t.split()]
+    serial = CountMin(1 << 12, 4).add_array(pa.array(toks))
+    assert (cm.counts == serial.counts).all() and cm.n == serial.n
+    est = cm.estimate_array(pa.array(["alpha", "beta"]))
+    assert est[0] >= 4000 and est[1] >= 2000
