@@ -3997,6 +3997,150 @@ FROM scored GROUP BY doc_id
 """
 
 
+def docs_c4_line_filter(sf_dir: str):
+    """C4 line-level quality filtering (Raffel et al. 2020 §2.2, the
+    cleanup that precedes the line dedup already implemented): keep
+    only lines with >= 5 words that end in terminal punctuation, and
+    drop docs left with < 3 such lines. The fixture docs are
+    single-line and unpunctuated, so both sides first derive
+    multi-line punctuated text with ONE shared RE2 rewrite (the
+    `doc_dup_fractions` oracle convention) — ``' scan '`` / ``' merge
+    '`` become sentence breaks. The filter itself is one vectorized
+    per-batch kernel: flatten lines with offsets, per-line word count
+    via ``count_substring_regex('\\S+')`` + terminal-punct regex,
+    per-doc kept counts from offsets, Arrow ``binary_join``
+    reassembly — per-doc decisions are local, NO shuffle anywhere."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        txt = pc.replace_substring_regex(
+            pc.fill_null(t["text"].combine_chunks(), ""),
+            r" (scan|merge) ",
+            ".\n",
+        )
+        lines = pc.split_pattern(txt, "\n")
+        flat = lines.combine_chunks().flatten() if isinstance(
+            lines, pa.ChunkedArray
+        ) else pc.list_flatten(lines)
+        n_per = pc.list_value_length(lines).to_numpy().astype(np.int64)
+        nw = pc.count_substring_regex(flat, r"\S+").to_numpy(
+            zero_copy_only=False
+        )
+        punct = pc.match_substring_regex(flat, r"[.!?\"]$").to_numpy(
+            zero_copy_only=False
+        )
+        keep_line = (nw >= 5) & punct
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_per)
+        kept_per_doc = np.bincount(
+            doc_idx[keep_line], minlength=len(t)
+        )
+        keep_doc = kept_per_doc >= 3
+        # reassemble kept lines of kept docs, in original line order
+        sel = keep_line & keep_doc[doc_idx]
+        if not sel.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "text_f": pa.array([], pa.string()),
+                }
+            )
+        kept_lines = flat.filter(pa.array(sel))
+        kept_docs = doc_idx[sel]
+        bnd = np.flatnonzero(
+            np.concatenate(([True], kept_docs[1:] != kept_docs[:-1]))
+        )
+        offsets = np.concatenate((bnd, [kept_docs.shape[0]])).astype(
+            np.int64
+        )
+        la = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()),
+            kept_lines.combine_chunks()
+            if isinstance(kept_lines, pa.ChunkedArray)
+            else kept_lines,
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"]
+                .take(pa.array(kept_docs[bnd]))
+                .cast(pa.int64()),
+                "text_f": pc.binary_join(la, "\n"),
+            }
+        )
+
+    out = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+C4_LINE_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, ' (scan|merge) ', '.' || chr(10), 'g'),
+                      chr(10)) AS ls
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         list_filter(ls, l ->
+           len(regexp_extract_all(l, '\S+')) >= 5
+           AND regexp_matches(l, '[.!?"]$')) AS kept
+  FROM d
+)
+SELECT doc_id, array_to_string(kept, chr(10)) AS text_f
+FROM f WHERE len(kept) >= 3
+ORDER BY doc_id
+"""
+
+
+_BLOCKLIST = ("spark", "dup", "poison")
+
+
+def docs_blocklist_checked(sf_dir: str):
+    """Wordlist-based document filtering (the C4 'bad words list'
+    component — C4 dropped any page containing a word from a public
+    blocklist; the list here is a fixture stand-in that actually fires
+    at gate scale). One vectorized scan: flatten tokens, ``pc.is_in``
+    against the (tiny) blocklist, per-doc any() via offsets — no
+    shuffle. Output: the surviving doc ids."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    bl = pa.array(list(_BLOCKLIST), pa.string())
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            pc.fill_null(t["text"].combine_chunks(), "")
+        )
+        flat = pc.list_flatten(toks)
+        n_per = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        hit = pc.is_in(flat, value_set=bl).to_numpy(
+            zero_copy_only=False
+        )
+        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), n_per)
+        bad = np.zeros(len(t), dtype=bool)
+        np.logical_or.at(bad, doc_idx, hit)
+        return pa.table(
+            {"doc_id": t["doc_id"].filter(pa.array(~bad)).cast(pa.int64())}
+        )
+
+    out = (
+        ds.map_batches(per_batch, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+BLOCKLIST_SQL = r"""
+SELECT doc_id FROM documents
+WHERE NOT list_has_any(regexp_extract_all(text, '\S+'),
+                       ['spark', 'dup', 'poison'])
+ORDER BY doc_id
+"""
+
+
 def cm_token_counts_checked(sf_dir: str):
     """Oracle-backed Count-Min validation (the HLL/MG twin pattern):
     ONE aggregate-tree scan builds a Count-Min over every corpus token
@@ -4302,6 +4446,8 @@ QUERIES = {
     "docs_split_checked": docs_split_checked,
     "winnow_overlap_drops": winnow_overlap_drops,
     "cm_token_counts_checked": cm_token_counts_checked,
+    "docs_c4_line_filter": docs_c4_line_filter,
+    "docs_blocklist_checked": docs_blocklist_checked,
 }
 
 ORACLES = {
@@ -4327,6 +4473,8 @@ ORACLES = {
     "doc_bigram_perplexity": BIGRAM_PERPLEXITY_SQL,
     "docs_split_checked": DOCS_SPLIT_SQL,
     "cm_token_counts_checked": CM_CHECKED_SQL,
+    "docs_c4_line_filter": C4_LINE_SQL,
+    "docs_blocklist_checked": BLOCKLIST_SQL,
     "psi_events_halves_exact": PSI_EXACT_SQL,
     "lof_predict_checked": LOF_PREDICT_SQL,
     "lof_stream_frozen_checked": LOF_STREAM_SQL,

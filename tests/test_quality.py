@@ -268,3 +268,75 @@ def test_dup_text_fractions_cases():
     assert abs(out.loc[3, "dup_line_frac"] - 0.4) < 1e-12
     assert out.loc[3, "n_paras"] == 3
     assert abs(out.loc[3, "dup_para_frac"] - 1 / 3) < 1e-12
+
+
+def test_c4_line_filter_boundaries(ray_session):
+    """Line predicate boundaries: exactly 5 words + punct kept, 4
+    words dropped, no-punct dropped; doc survives at exactly 3 kept
+    lines, dies at 2; empty/null text never crashes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import sod_ray.pipelines.queries as Q
+
+    keep = "one two three four five."
+    short = "one two three four."
+    nopunct = "one two three four five six"
+    texts = [
+        "\n".join([keep, keep, keep]),          # 3 kept -> survives
+        "\n".join([keep, keep, short]),         # 2 kept -> dropped
+        "\n".join([keep, nopunct, keep, keep]), # 3 kept -> survives
+        "",
+        None,
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+        out = Q.docs_c4_line_filter(d).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2]
+    assert out.set_index("doc_id").loc[0, "text_f"] == "\n".join(
+        [keep, keep, keep]
+    )
+    # the non-qualifying line is excised, order preserved
+    assert out.set_index("doc_id").loc[2, "text_f"] == "\n".join(
+        [keep, keep, keep]
+    )
+
+
+def test_blocklist_token_exactness(ray_session):
+    """Blocklist matches WHOLE tokens only: 'dup' fires, 'duplicate'
+    does not (substring matching would over-drop)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import sod_ray.pipelines.queries as Q
+
+    texts = [
+        "clean words only here",
+        "contains dup token",
+        "contains duplicate token",
+        "",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(tbl, os.path.join(d, "documents.parquet"))
+        out = Q.docs_blocklist_checked(d).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 2, 3]
