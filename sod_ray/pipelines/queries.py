@@ -1016,20 +1016,29 @@ FROM documents GROUP BY lang
 """
 
 
-def top50_tokens(sf_dir: str):
-    """Corpus vocabulary top-k: Arrow whitespace split + flatten per
-    batch, PARTIAL per-batch token counts (the combiner — only
-    (token, n) partials cross the shuffle, never token instances),
-    then a small groupby-sum and a driver top-k over the merged
-    counts. The vocab-building primitive of a training-data pipeline."""
+def _exact_token_topk(ds, k: int, lower: bool = False):
+    """Exact corpus token top-k WITHOUT a vocab-sized driver collect:
+    per-batch value_counts partials (the combiner — only (token, n)
+    partials cross the shuffle, never token instances) → groupby-sum
+    exchange → per-BLOCK top-k partials (a global top-k row is by
+    construction in its block's top-k, since the groupby output holds
+    each token exactly once) → driver merge over blocks×k rows.
+    Driver state is O(blocks·k), never O(vocab) — on a web corpus the
+    vocab is ~10^8 rows, which must not land on the driver.
+
+    Tokens are whitespace-split with empty strings filtered, matching
+    the SQL twins' RE2 ``\\S+`` (Arrow ``utf8_split_whitespace`` emits
+    '' at leading/trailing/repeated whitespace; ``\\S+`` never does).
+    Returns a pandas frame with columns (token, n) sorted by
+    (n DESC, token ASC)."""
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "documents", ["text"])
-
     def partial_counts(t: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(
-            pc.utf8_split_whitespace(t["text"].combine_chunks())
-        )
+        txt = t["text"].combine_chunks()
+        if lower:
+            txt = pc.utf8_lower(pc.fill_null(txt, ""))
+        toks = pc.list_flatten(pc.utf8_split_whitespace(txt))
+        toks = toks.filter(pc.not_equal(toks, ""))
         if len(toks) == 0:
             return pa.table(
                 {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
@@ -1046,11 +1055,36 @@ def top50_tokens(sf_dir: str):
         ds.map_batches(partial_counts, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
     )
-    top = merged.sort_values(["n", "token"], ascending=[False, True]).head(50)
+
+    def block_topk(t: pa.Table) -> pa.Table:
+        df = (
+            t.to_pandas()
+            .sort_values(["n", "token"], ascending=[False, True])
+            .head(k)
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = (
+        merged.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    )
+    top = (
+        partials.sort_values(["n", "token"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
     top["n"] = top["n"].astype("int64")
-    return pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+    return top
+
+
+def top50_tokens(sf_dir: str):
+    """Corpus vocabulary top-k via the exchange top-k
+    (:func:`_exact_token_topk` — per-batch combiners, groupby-sum,
+    per-block top-k partials; driver sees blocks×k rows, never the
+    vocab). The vocab-building primitive of a training-data pipeline."""
+    ds = _read(sf_dir, "documents", ["text"])
+    top = _exact_token_topk(ds, 50)
+    return pa.Table.from_pandas(top, preserve_index=False)
 
 
 TOP_TOKENS_SQL = r"""
@@ -1856,41 +1890,14 @@ def heavy_hitters_checked(sf_dir: str):
     one-scan, zero-shuffle MG summary (m=512) must hold each top token
     with ``est ≤ exact ≤ est + err_ub`` where err_ub is the sketch's
     own tracked subtraction total (≤ n_tokens/513). The SQL twin emits
-    the exact counts + TRUE."""
-    from ray.data.aggregate import Sum
-
+    the exact counts + TRUE. The exact side rides the exchange top-k
+    (:func:`_exact_token_topk`) — no vocab-sized driver collect."""
     from ..stages.stats import heavy_hitters
 
     ds = _read(sf_dir, "documents", ["text"])
     mg = heavy_hitters(ds, "text", tokenize=True, m=512)
 
-    def partial_counts(t: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(
-            pc.utf8_split_whitespace(t["text"].combine_chunks())
-        )
-        if len(toks) == 0:
-            return pa.table(
-                {"token": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
-            )
-        vc = toks.value_counts()
-        return pa.table(
-            {
-                "token": vc.field("values"),
-                "n": vc.field("counts").cast(pa.int64()),
-            }
-        )
-
-    merged = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
-    top = (
-        merged.sort_values(["n", "token"], ascending=[False, True])
-        .head(10)
-        .reset_index(drop=True)
-    )
+    top = _exact_token_topk(ds, 10)
     oks = [
         bool(
             mg.estimate(tok) <= n_true <= mg.estimate(tok) + mg.err_ub
@@ -3738,12 +3745,17 @@ def doc_bigram_perplexity(sf_dir: str):
     p(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V), V = unigram vocab size.
     Docs with < 2 tokens carry no bigram evidence and are excluded.
 
-    Scale shape (all slim rows, never raw text past the first scan):
-    one scan emits (doc, bigram, tf) + distinct-token partials; the
-    LM is TWO small groupbys (bigram counts, context counts = bigram
-    counts re-grouped on w1) joined once per DISTINCT bigram; log
-    probs ship back to the doc rows by the adaptive
-    broadcast/bucketed-join dispatch `doc_perplexity` established."""
+    Scale shape (all slim rows, never raw text past the first scan;
+    FUSED to 5 Dataset jobs — at gate scale the query is
+    job-orchestration-bound, so job count is the wall): ONE scan emits
+    (doc, bigram, tf) rows PLUS the lone tokens of 1-token docs as
+    tf=0 rows (so no second text scan); the LM is one groupby for
+    bigram counts and ONE merged groupby over (w1, n) ∪ (w2, 0) ∪
+    (lone, 0) rows that yields the context counts c(w1·) AND the
+    unigram vocab — V is just that table's row count (metadata-free on
+    a materialized dataset, no extra job). Log probs ship back to the
+    doc rows by the adaptive broadcast/bucketed-join dispatch
+    `doc_perplexity` established."""
     from ray.data.aggregate import Sum
 
     from ..stages.exchange import broadcast_rows_budget
@@ -3792,7 +3804,7 @@ def doc_bigram_perplexity(sf_dir: str):
         uk, cnt = np.unique(
             bdoc * len(vocab) + codes, return_counts=True
         )
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": t["doc_id"]
                 .take(pa.array(uk // len(vocab)))
@@ -3801,73 +3813,88 @@ def doc_bigram_perplexity(sf_dir: str):
                 "tf": pa.array(cnt, pa.int64()),
             }
         )
+        # lone tokens of 1-token docs ride the same scan as tf=0 rows
+        # (they carry no bigram evidence but DO count toward the
+        # unigram vocab V — this kills the second text scan)
+        lone_mask = per_doc[doc_idx] == 1
+        if lone_mask.any():
+            lone = pa.table(
+                {
+                    "doc_id": t["doc_id"]
+                    .take(pa.array(doc_idx[lone_mask]))
+                    .cast(pa.int64()),
+                    "bg": flat.filter(pa.array(lone_mask)),
+                    "tf": pa.array(
+                        np.zeros(int(lone_mask.sum()), np.int64)
+                    ),
+                }
+            )
+            out = pa.concat_tables([out, lone])
+        return out
 
-    tf = ds.map_batches(bigram_rows, batch_format="pyarrow").materialize()
+    tf_all = ds.map_batches(bigram_rows, batch_format="pyarrow").materialize()
+
+    def _pos(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["tf"], 0))
+
+    def _lone(t: pa.Table) -> pa.Table:
+        toks = pc.unique(
+            t.filter(pc.equal(t["tf"], 0))["bg"].combine_chunks()
+        )
+        return pa.table(
+            {"w1": toks, "n": pa.array(np.zeros(len(toks), np.int64))}
+        )
+
+    tf = tf_all.map_batches(_pos, batch_format="pyarrow")
     bg_counts = (
         tf.groupby("bg").aggregate(Sum("tf", alias_name="n")).materialize()
     )
 
-    # context counts c(w1 ·) and the unigram vocab size V, both derived
-    # from the bigram-count table (c(w1 ·) = Σ_w2 c(w1 w2); V = distinct
-    # tokens = distinct contexts ∪ distinct seconds — computed exactly
-    # from one extra slim pass over the DISTINCT bigrams)
-    def split_ctx(t: pa.Table) -> pa.Table:
+    # ONE merged groupby yields BOTH the context counts c(w1·) = Σ n
+    # over (w1, n) rows and the exact unigram vocab: (w2, 0) and
+    # lone-token (tok, 0) rows add zero mass but force a row per
+    # distinct token, so V is simply the groupby's row count (O(1)
+    # metadata on the materialized result — no separate vocab job).
+    def _endpoints(t: pa.Table):
         parts = pc.split_pattern(
             t["bg"].combine_chunks(), " ", max_splits=1
         )
         flat = pc.list_flatten(parts)
+        w1 = flat.take(pa.array(np.arange(0, len(flat), 2)))
+        w2 = flat.take(pa.array(np.arange(1, len(flat), 2)))
+        return w1, w2
+
+    def split_ctx(t: pa.Table) -> pa.Table:
+        w1, w2 = _endpoints(t)
+        w2u = pc.unique(w2)
         return pa.table(
             {
-                "w1": flat.slice(0, len(flat)).take(
-                    pa.array(np.arange(0, len(flat), 2))
+                "w1": pa.concat_arrays([w1, w2u]),
+                "n": pa.concat_arrays(
+                    [
+                        pa.array(
+                            t["n"].to_numpy(zero_copy_only=False).astype(
+                                np.int64
+                            )
+                        ),
+                        pa.array(np.zeros(len(w2u), np.int64)),
+                    ]
                 ),
-                "w2": flat.take(pa.array(np.arange(1, len(flat), 2))),
-                "n": t["n"],
             }
         )
 
-    ctx_rows = bg_counts.map_batches(split_ctx, batch_format="pyarrow").materialize()
     ctx_counts = (
-        ctx_rows.select_columns(["w1", "n"])
+        bg_counts.map_batches(split_ctx, batch_format="pyarrow")
+        .union(tf_all.map_batches(_lone, batch_format="pyarrow"))
         .groupby("w1")
         .aggregate(Sum("n", alias_name="cn"))
         .materialize()
     )
-
-    def tok_rows(t: pa.Table) -> pa.Table:
-        def arr(c):
-            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-
-        toks = pa.concat_arrays([arr(t["w1"]), arr(t["w2"])])
-        return pa.table({"tok": pc.unique(toks)})
-
-    # V = exact unigram vocab: every token of a >=2-token doc appears
-    # as some bigram endpoint; tokens appearing ONLY as a 1-token doc
-    # are unioned in from one slim extra scan
-    def lone_tokens(t: pa.Table) -> pa.Table:
-        txt = pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), ""))
-        words = pc.utf8_split_whitespace(txt)
-        flat = pc.list_flatten(words)
-        per_doc = pc.list_value_length(words).to_numpy().astype(np.int64)
-        doc_idx = np.repeat(np.arange(len(t), dtype=np.int64), per_doc)
-        keep = pc.utf8_length(flat).to_numpy().astype(np.int64) > 0
-        n_real = np.bincount(doc_idx[keep], minlength=len(t))
-        mask = keep & (n_real[doc_idx] == 1)
-        return pa.table(
-            {"tok": pc.unique(flat.filter(pa.array(mask)))}
-        )
-
-    V = int(
-        ctx_rows.map_batches(tok_rows, batch_format="pyarrow")
-        .union(ds.map_batches(lone_tokens, batch_format="pyarrow"))
-        .groupby("tok")
-        .count()
-        .count()
-    )
+    V = int(ctx_counts.count())  # one row per distinct unigram token
 
     # lp per DISTINCT bigram: join bigram counts with context counts
     join_budget = broadcast_rows_budget(bytes_per_row=24)
-    n_ctx = ctx_counts.count()
+    n_ctx = V
     if n_ctx <= join_budget:
         import ray
 
@@ -3892,8 +3919,15 @@ def doc_bigram_perplexity(sf_dir: str):
 
         lp_ds = bg_counts.map_batches(attach_lp, batch_format="pyarrow")
     else:
+        def _ctx_rows(t: pa.Table) -> pa.Table:
+            w1, w2 = _endpoints(t)
+            return pa.table({"w1": w1, "w2": w2, "n": t["n"]})
+
         joined = bucketed_equi_join(
-            ctx_rows, ctx_counts, key="w1", num_buckets=32
+            bg_counts.map_batches(_ctx_rows, batch_format="pyarrow"),
+            ctx_counts,
+            key="w1",
+            num_buckets=32,
         )
 
         def lp_from_join(t: pa.Table) -> pa.Table:
@@ -4151,44 +4185,15 @@ def cm_token_counts_checked(sf_dir: str):
     8·N/width per item; with depth=4 rows the per-item failure odds
     are (1/8)^4, and the fixed hash makes the outcome deterministic
     for a given corpus). The SQL twin emits exact counts + TRUE +
-    TRUE, so a broken counter array hash-fails the driver compare."""
-    from ray.data.aggregate import Sum
-
+    TRUE, so a broken counter array hash-fails the driver compare.
+    The exact side rides the exchange top-k (:func:`_exact_token_topk`)
+    — no vocab-sized driver collect."""
     from ..stages.stats import cm_build_tokens
 
     ds = _read(sf_dir, "documents", ["text"])
     cm = cm_build_tokens(ds, "text", width=1 << 15, depth=4)
 
-    def partial_counts(t: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(
-            pc.utf8_split_whitespace(t["text"].combine_chunks())
-        )
-        if len(toks) == 0:
-            return pa.table(
-                {
-                    "token": pa.array([], pa.string()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        vc = toks.value_counts()
-        return pa.table(
-            {
-                "token": vc.field("values"),
-                "n": vc.field("counts").cast(pa.int64()),
-            }
-        )
-
-    merged = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
-    top = (
-        merged.sort_values(["n", "token"], ascending=[False, True])
-        .head(30)
-        .reset_index(drop=True)
-    )
+    top = _exact_token_topk(ds, 30)
     est = cm.estimate_array(pa.array(top["token"], pa.string()))
     exact = top["n"].to_numpy().astype(np.int64)
     bound = cm.error_bound(slack=8.0)
@@ -4299,45 +4304,15 @@ def bpe_merges_docs(sf_dir: str):
     with an independent reimplementation, and determinism). The
     distributed part is the (word, freq) type histogram — the
     `top50_tokens` combiner shape (only per-batch (type, n) partials
-    cross the shuffle) — capped at the top 2,000 types by frequency;
-    the merge loop then runs driver-side over that compact table
-    (functions/bpe.bpe_train). Output: the first 40 merges in order."""
-    from ray.data.aggregate import Sum
-
+    cross the shuffle) — capped at the top 2,000 types by frequency
+    via the exchange top-k (:func:`_exact_token_topk`, driver sees
+    blocks×2000 rows, never the vocab); the merge loop then runs
+    driver-side over that compact table (functions/bpe.bpe_train).
+    Output: the first 40 merges in order."""
     from ..functions.bpe import bpe_train
 
     ds = _read(sf_dir, "documents", ["text"])
-
-    def partial_counts(t: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(
-            pc.utf8_split_whitespace(
-                pc.utf8_lower(pc.fill_null(t["text"].combine_chunks(), ""))
-            )
-        )
-        if len(toks) == 0:
-            return pa.table(
-                {
-                    "token": pa.array([], pa.string()),
-                    "n": pa.array([], pa.int64()),
-                }
-            )
-        vc = toks.value_counts()
-        return pa.table(
-            {
-                "token": vc.field("values"),
-                "n": vc.field("counts").cast(pa.int64()),
-            }
-        )
-
-    merged = (
-        ds.map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("token")
-        .aggregate(Sum("n", alias_name="n"))
-        .to_pandas()
-    )
-    top = merged.sort_values(
-        ["n", "token"], ascending=[False, True], kind="stable"
-    ).head(2000)
+    top = _exact_token_topk(ds, 2000, lower=True)
     merges = bpe_train(
         list(zip(top["token"], top["n"])), n_merges=40
     )

@@ -57,7 +57,10 @@ def token_budget_thresholds(
 
     def _key(t: pa.Table) -> np.ndarray:
         if key_col:
-            return t[key_col].to_numpy(zero_copy_only=False)
+            # str-coerce so phase B/C dict probes match the str(k)-keyed
+            # blv/bcut/kept dicts for non-string key columns too
+            # (token_budget_mask coerces the same way).
+            return t[key_col].to_numpy(zero_copy_only=False).astype(str)
         return np.full(t.num_rows, GLOBAL, dtype=object)
 
     # --- phase A: per-(key, quality-level) token sums

@@ -283,24 +283,74 @@ def exact_dup_groups(ds, column: str, num_buckets: int | None = None):
     return exchange_reduce(keyed, "__kh", reduce_bucket, num_buckets)
 
 
-def exact_duplicates(ds, column: str, keep_columns: list[str] | None = None):
-    """Exact duplicate finder returning EVERY member row of every dup
-    group — evidence-rich but O(dup rows); prefer ``exact_dup_groups``
-    (summary rows only) anywhere the dup rate can be material at scale.
-    Projects to the key (+ requested evidence columns) BEFORE the
-    groupby so wide payloads (html) never enter the exchange."""
+def exact_duplicates(
+    ds,
+    column: str,
+    keep_columns: list[str] | None = None,
+    max_examples: int = 8,
+):
+    """Bounded duplicate EVIDENCE: for every duplicated value of
+    ``column``, the TRUE group size (``dup_count``) plus up to
+    ``max_examples`` member rows with the requested evidence columns.
+    Same vectorized hash-exchange kernel as :func:`exact_dup_groups`
+    (collision-exact via (hash64, value-code) lexsort runs inside each
+    bucket) — no per-key Python groups, and the output is bounded at
+    ``#dup_groups × max_examples`` rows regardless of the dup rate, so
+    a 30%-dup web corpus emits evidence, not billions of member rows.
+    Pass ``max_examples=None`` only on provably small inputs.
+    Projects to the key (+ evidence columns) BEFORE the exchange so
+    wide payloads (html) never move. Within-group example order is
+    unspecified (bucket arrival order)."""
+    from ..state.sketches import hash64
+    from .exchange import exchange_reduce
+
     cols = [column] + [c for c in (keep_columns or []) if c != column]
     slim = ds.select_columns(cols)
+    schema = ds.schema()
+    fields = [
+        pa.field(c, schema.types[schema.names.index(c)]) for c in cols
+    ]
+    empty = pa.schema(fields + [pa.field("dup_count", pa.int64())]).empty_table()
 
-    def dups(group):
-        # pandas group in / out; emit groups with >1 row (all members)
-        if len(group) > 1:
-            g = group.copy()
-            g["dup_count"] = len(group)
-            return g
-        return group.iloc[0:0]
+    def add_kh(t: pa.Table) -> pa.Table:
+        kh = hash64(t[column].combine_chunks()).view(np.int64)
+        return t.append_column("__kh", pa.array(kh, pa.int64()))
 
-    return slim.groupby(column).map_groups(dups, batch_format="pandas")
+    keyed = slim.map_batches(add_kh, batch_format="pyarrow")
+    cap = None if max_examples is None else int(max_examples)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or column not in t.column_names:
+            return empty
+        n = t.num_rows
+        kh = t["__kh"].combine_chunks().to_numpy(zero_copy_only=False)
+        vals = t[column].combine_chunks()
+        codes = pc.fill_null(
+            vals.dictionary_encode().indices, -1
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((codes, kh))
+        khs, cs = kh[order], codes[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = (khs[1:] != khs[:-1]) | (cs[1:] != cs[:-1])
+        bounds = np.flatnonzero(first)
+        counts = np.diff(np.concatenate((bounds, [n])))
+        sel = counts > 1
+        if not sel.any():
+            return empty
+        starts, cnts = bounds[sel], counts[sel]
+        take_n = cnts if cap is None else np.minimum(cnts, cap)
+        # vectorized per-group head-K over the sorted run layout
+        within = np.arange(int(take_n.sum())) - np.repeat(
+            np.cumsum(take_n) - take_n, take_n
+        )
+        idx = order[np.repeat(starts, take_n) + within]
+        out = t.select(cols).take(pa.array(idx))
+        return out.append_column(
+            "dup_count", pa.array(np.repeat(cnts, take_n), pa.int64())
+        )
+
+    return exchange_reduce(keyed, "__kh", reduce_bucket)
 
 
 def exact_dup_counts(

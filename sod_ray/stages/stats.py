@@ -260,6 +260,10 @@ def heavy_hitters(
             col = col.combine_chunks()
         if tokenize:
             col = pc_.list_flatten(pc_.utf8_split_whitespace(col))
+            # utf8_split_whitespace emits '' at leading/trailing/repeated
+            # whitespace; \S+ (the oracle tokenizer) never does — filter
+            # so MG n / err_ub match the exact side's token universe
+            col = col.filter(pc_.not_equal(col, ""))
         return MisraGries(m=m).update_array(col).to_bytes()
 
     def partials(batch: pa.Table) -> pa.Table:
@@ -402,13 +406,21 @@ def cm_build_tokens(
     per-block accumulate + counter-sum merge via the Dataset.aggregate
     tree (the bloom_build_column shape; depth×width int64 counters
     cross the reduce, never token instances). The any-item frequency
-    probe next to Misra-Gries' heavy-hitter summary."""
+    probe next to Misra-Gries' heavy-hitter summary.
+
+    The accumulator crosses the tree as the TAGGED compact codec
+    (``CountMin.to_bytes`` — header + counter buffer, Arrow-native
+    binary) rather than a pickled object: the object form made every
+    intermediate block conversion log an ArrowConversionError before
+    falling back to pickle (noise that masks real errors) and shipped
+    ~1 MB of pickle per merge. Encode/decode is a memcpy of the
+    counter array — negligible next to the token hashing."""
     import pyarrow.compute as pc
     from ray.data.aggregate import AggregateFn
 
     from ..state.sketches import CountMin
 
-    def acc(cm, block):
+    def acc(cm_b, block):
         if not isinstance(block, pa.Table):
             block = pa.table(block)
         toks = pc.list_flatten(
@@ -416,12 +428,18 @@ def cm_build_tokens(
                 pc.fill_null(block[text_col].combine_chunks(), "")
             )
         )
-        return cm.add_array(toks)
+        # align with \S+: no empty tokens (keeps CM n / error_bound
+        # on the same token universe as the exact side)
+        toks = toks.filter(pc.not_equal(toks, ""))
+        return CountMin.from_bytes(cm_b).add_array(toks).to_bytes()
 
     agg = AggregateFn(
-        init=lambda _: CountMin(width, depth),
+        init=lambda _: CountMin(width, depth).to_bytes(),
         accumulate_block=acc,
-        merge=lambda a, b: a.merge(b),
+        merge=lambda a, b: (
+            CountMin.from_bytes(a).merge(CountMin.from_bytes(b)).to_bytes()
+        ),
         name="cm",
     )
-    return ds.select_columns([text_col]).aggregate(agg)["cm"]
+    out = ds.select_columns([text_col]).aggregate(agg)["cm"]
+    return CountMin.from_bytes(out)
