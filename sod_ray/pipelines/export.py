@@ -945,6 +945,137 @@ def _batch_run_id(files: list[str]) -> str:
     return "batch-" + _hl.sha1("\n".join(sorted(files)).encode()).hexdigest()[:12]
 
 
+_BLOOM_SHARD_BITS = 1 << 30  # ≤128 MB bitset per sidecar shard file
+_BLOOM_FLAT_MAX_BITS = 1 << 33  # above this, shard the sidecar
+
+
+def new_bloom_sidecar(bits: int):
+    """ShardedBloom sized for ``bits`` total: one shard below 2^33
+    bits (the flat regime — one object, one ray.put), then hash-prefix
+    shards of ≤2^30 bits each so the 10^9-10^10-hash tier keeps
+    per-file / per-merge / per-probe memory bounded."""
+    from ..state.sketches import ShardedBloom
+
+    bits = max(int(bits), 64)
+    if bits <= _BLOOM_FLAT_MAX_BITS:
+        n_shards = 1
+    else:
+        n_shards = 1 << max(
+            0, (bits + _BLOOM_SHARD_BITS - 1) // _BLOOM_SHARD_BITS - 1
+        ).bit_length()
+    per = -(-bits // n_shards)
+    per = ((per + 63) // 64) * 64  # multiple of 64
+    return ShardedBloom(n_shards=n_shards, m_bits_per_shard=per, k=7)
+
+
+def load_bloom_sidecar(index_dir: str):
+    """Load the hash-index Bloom sidecar: the v2 dir form
+    (``_bloom.d/`` — per-shard files + canary header), else the legacy
+    v1 single file (wrapped as a 1-shard ShardedBloom, bit-identical
+    layout; upgraded to v2 at the next save). Returns None when absent
+    or NOT TRUSTWORTHY:
+
+    - **canary mismatch** — the persisted bit positions came from a
+      polars aHash that differs from this process's (``hash64``'s
+      string path is documented stable only within a
+      process/container). A silently mismatched bloom returns FALSE
+      NEGATIVES, and a bloom miss skips the exact anti-join entirely,
+      so exactness would break with no error; treating the sidecar as
+      absent forces a rebuild from the index shards instead.
+    - **torn sidecar** — missing/short shard file or unreadable
+      header from a crashed pre-v2 writer.
+    """
+    from ..state.sketches import BloomFilter, ShardedBloom, hash_canary
+
+    bloom_dir = os.path.join(index_dir, "_bloom.d")
+    bloom_path = os.path.join(index_dir, "_bloom.bin")
+    if os.path.isdir(bloom_dir):
+        try:
+            with open(os.path.join(bloom_dir, "header.json")) as f:
+                hdr = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None
+        if int(hdr.get("canary", -1)) != hash_canary():
+            return None  # stale hash function — force rebuild
+        sb = ShardedBloom(
+            n_shards=int(hdr["n_shards"]),
+            m_bits_per_shard=int(hdr["m_bits_per_shard"]),
+            k=int(hdr["k"]),
+        )
+        step = sb.shards[0].m_bits // 8
+        for s in range(sb.n_shards):
+            try:
+                with open(
+                    os.path.join(bloom_dir, f"s{s:04d}.bin"), "rb"
+                ) as f:
+                    words = np.frombuffer(f.read(), dtype=np.uint64)
+            except OSError:
+                return None  # torn sidecar — rebuild
+            if words.nbytes != step:
+                return None
+            sb.shards[s].words = words.copy()
+        return sb
+    if os.path.exists(bloom_path):
+        # legacy flat file: no canary (pre-v2 contract: same
+        # container). Wrap 1-shard so the next save upgrades it to
+        # the canary-checked dir form.
+        with open(bloom_path, "rb") as f:
+            flat = BloomFilter.from_bytes(f.read())
+        sb = ShardedBloom(1, flat.m_bits, flat.k)
+        sb.shards[0] = flat
+        return sb
+    return None
+
+
+def save_bloom_sidecar(index_dir: str, sb) -> None:
+    """Per-shard atomic writes (tmp + replace) of DIRTY shards only,
+    header last — a maintenance batch rewrites ~shard_bytes per
+    touched shard, never a monolithic file. A crash mid-save leaves
+    some shards updated and some not — safe, because the caller
+    writes the bloom BEFORE the batch's index shard lands (bloom ⊇
+    index still holds) and the re-run's OR-adds are idempotent."""
+    import polars as pl
+
+    from ..state.sketches import hash_canary
+
+    bloom_dir = os.path.join(index_dir, "_bloom.d")
+    bloom_path = os.path.join(index_dir, "_bloom.bin")
+    fresh = not os.path.isdir(bloom_dir)
+    if not fresh:
+        # geometry change (autogrow / reshard) invalidates every file
+        try:
+            with open(os.path.join(bloom_dir, "header.json")) as f:
+                hdr = json.load(f)
+            fresh = (
+                int(hdr.get("n_shards", -1)) != sb.n_shards
+                or int(hdr.get("m_bits_per_shard", -1))
+                != sb.shards[0].m_bits
+            )
+        except (OSError, json.JSONDecodeError):
+            fresh = True
+    os.makedirs(bloom_dir, exist_ok=True)
+    todo = range(sb.n_shards) if fresh else sorted(sb.dirty)
+    for s in todo:
+        tmp = os.path.join(bloom_dir, f"s{s:04d}.bin.tmp")
+        with open(tmp, "wb") as f:
+            f.write(sb.shards[s].words.tobytes())
+        os.replace(tmp, os.path.join(bloom_dir, f"s{s:04d}.bin"))
+    hdr = {
+        "canary": hash_canary(),
+        "polars": pl.__version__,
+        "n_shards": sb.n_shards,
+        "m_bits_per_shard": sb.shards[0].m_bits,
+        "k": sb.k,
+    }
+    tmp = os.path.join(bloom_dir, "header.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(hdr, f)
+    os.replace(tmp, os.path.join(bloom_dir, "header.json"))
+    sb.dirty.clear()
+    if os.path.exists(bloom_path):
+        os.remove(bloom_path)  # retire the legacy v1 file
+
+
 def run_export_incremental(
     landing_dir: str,
     out_root: str,
@@ -1000,7 +1131,8 @@ def run_export_incremental(
     come from ``cfg.lsh_kwargs`` (n_perm/bands/shingle_k/seed).
 
     ``bloom_prefilter`` (default on): the LARGE-index probe path keeps
-    a Bloom sidecar (``hash_index/_bloom.bin``, ``bloom_bits`` bits)
+    a Bloom sidecar (``hash_index/_bloom.d/`` — per-shard files +
+    canary header, see :func:`load_bloom_sidecar`; ``bloom_bits`` bits)
     covering every indexed md5; arrival rows whose hash MISSES the
     bloom provably aren't in the index and skip the anti-join
     entirely — only bloom hits (≈ true dups + the fp rate) pay the
@@ -1042,31 +1174,25 @@ def run_export_incremental(
             if f.endswith(".parquet") and f != f"{exclude_rid}.parquet"
         ]
 
-    bloom_path = os.path.join(index_dir, "_bloom.bin")
-
     def _load_bloom():
-        if not os.path.exists(bloom_path):
-            return None
-        from ..state.sketches import BloomFilter
-
-        with open(bloom_path, "rb") as f:
-            return BloomFilter.from_bytes(f.read())
+        return load_bloom_sidecar(index_dir)
 
     def _update_bloom(new_hashes: pa.Table, rid: str) -> None:
         """OR the batch's md5s into the sidecar — idempotent, written
         BEFORE the index shard so bloom ⊇ index always holds. A
-        missing sidecar over a non-empty index (pre-bloom state, or a
-        deleted file) is rebuilt from every shard first. When the
+        missing sidecar over a non-empty index (pre-bloom state, a
+        deleted file, or a CANARY MISMATCH after a hash-function
+        change) is rebuilt from every shard first. When the
         accumulated corpus saturates the bitset (fp rate > 5% — a
         saturated bloom silently degrades to "everything hits", i.e.
         the plain anti-join), the sidecar is REBUILT at 4x bits from
-        the shards: one index read, amortized over every later batch."""
+        the shards: one index read, amortized over every later batch.
+        Past 2^33 bits the rebuild lands in the hash-prefix-sharded
+        form (per-shard files / merges / probes)."""
         import pyarrow.parquet as pq
 
-        from ..state.sketches import BloomFilter
-
-        def rebuild(bits: int) -> "BloomFilter":
-            nb = BloomFilter(bits, 7)
+        def rebuild(bits: int):
+            nb = new_bloom_sidecar(bits)
             for s in _index_shards(rid):
                 nb.add_array(pq.read_table(s, columns=["h"])["h"])
             return nb
@@ -1079,10 +1205,7 @@ def run_export_incremental(
             grown = rebuild(bf.m_bits * 4)
             grown.add_array(new_hashes["h"])
             bf = grown
-        tmp = bloom_path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(bf.to_bytes())
-        os.replace(tmp, bloom_path)
+        save_bloom_sidecar(index_dir, bf)
 
     def _md5_col(t: pa.Table) -> pa.Table:
         import hashlib as _hl

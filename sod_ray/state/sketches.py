@@ -1106,20 +1106,22 @@ class BloomFilter(_Serializable):
         self.k = int(k)
         self.words = np.zeros(m_bits // 64, dtype=np.uint64)
 
-    def _positions(self, values) -> np.ndarray:
-        h1 = hash64(values)
+    def _positions_from(self, h1: np.ndarray) -> np.ndarray:
         h2 = _splitmix64(h1) | np.uint64(1)
         i = np.arange(self.k, dtype=np.uint64)[:, None]
         with np.errstate(over="ignore"):
             return ((h1[None, :] + i * h2[None, :])
                     % np.uint64(self.m_bits)).ravel()
 
-    def add_array(self, values) -> "BloomFilter":
-        if isinstance(values, pa.ChunkedArray):
-            values = values.combine_chunks()
-        if len(values) == 0:
+    def _positions(self, values) -> np.ndarray:
+        return self._positions_from(hash64(values))
+
+    def add_hashes(self, h1: np.ndarray) -> "BloomFilter":
+        """Add precomputed ``hash64`` values (the sharded path routes
+        on the same hashes — computing them once for route + probe)."""
+        if len(h1) == 0:
             return self
-        pos = self._positions(values)
+        pos = self._positions_from(np.asarray(h1, np.uint64))
         if not self.words.flags.writeable:  # plasma zero-copy deserialization
             self.words = self.words.copy()
         np.bitwise_or.at(
@@ -1128,20 +1130,32 @@ class BloomFilter(_Serializable):
         )
         return self
 
-    def contains_array(self, values) -> np.ndarray:
-        """Boolean membership per value — True may be a false positive
-        (rate ~ occupancy^k), False is certain."""
+    def add_array(self, values) -> "BloomFilter":
         if isinstance(values, pa.ChunkedArray):
             values = values.combine_chunks()
-        n = len(values)
+        if len(values) == 0:
+            return self
+        return self.add_hashes(hash64(values))
+
+    def contains_hashes(self, h1: np.ndarray) -> np.ndarray:
+        n = len(h1)
         if n == 0:
             return np.zeros(0, dtype=bool)
-        pos = self._positions(values)
+        pos = self._positions_from(np.asarray(h1, np.uint64))
         bits = (
             self.words[(pos >> np.uint64(6)).astype(np.int64)]
             >> (pos & np.uint64(63))
         ) & np.uint64(1)
         return bits.reshape(self.k, n).all(axis=0)
+
+    def contains_array(self, values) -> np.ndarray:
+        """Boolean membership per value — True may be a false positive
+        (rate ~ occupancy^k), False is certain."""
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        return self.contains_hashes(hash64(values))
 
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         if (self.m_bits, self.k) != (other.m_bits, other.k):
@@ -1168,6 +1182,167 @@ class BloomFilter(_Serializable):
         bf = cls(m_bits=m_bits, k=k)
         bf.words = np.frombuffer(b[17:], dtype=np.uint64).copy()
         return bf
+
+
+_CANARY_SENTINEL = "__sod_bloom_canary__"
+
+
+def hash_canary() -> int:
+    """``hash64`` of a fixed sentinel string — persisted next to any
+    hash-derived on-disk structure (Bloom sidecars). The string path
+    of :func:`hash64` is polars aHash, documented stable only within
+    a process/container; if a loaded sidecar's canary differs from
+    the current process's, every persisted bit position is garbage
+    and the structure MUST be rebuilt (a silently mismatched Bloom
+    returns false negatives, which breaks the no-false-negative
+    exactness contract downstream)."""
+    return int(hash64(pa.array([_CANARY_SENTINEL]))[0])
+
+
+class ShardedBloom:
+    """Hash-prefix-sharded Bloom filter — the ≥10^9-hash tier of the
+    membership sidecar, where one flat bitset stops being practical
+    (10^10 hashes at ~10 bits/key is a 12 GB object: too big to ship
+    per node, to rewrite per maintenance batch, or to hold per probe
+    task).
+
+    Shard = top ``log2(n_shards)`` bits of ``hash64`` (in-shard probe
+    positions use the value's hash via the mod-m ring, so routing and
+    probing are independent). Each shard is a standalone
+    :class:`BloomFilter`, which buys, at scale:
+
+    - **per-shard OR-merge**: partial blooms from parallel build tasks
+      merge shard-by-shard (bounded per-merge memory = one shard, and
+      the merges parallelize across shards), still idempotent / safe
+      under task retries;
+    - **per-shard persistence**: the sidecar is a directory of shard
+      files — a maintenance batch rewrites ~shard_bytes per dirty
+      shard, never one monolithic file, and a crashed write loses at
+      most one shard (rebuildable from the index);
+    - **routed probes**: a batch hash-partitioned by the same prefix
+      probes with ONE shard resident per task (~m_bits/n_shards/8
+      bytes) instead of broadcasting the full bitset to every node.
+
+    The flat :class:`BloomFilter` remains the right shape below ~10^9
+    hashes (one object, one ``ray.put``); ``n_shards=1`` degenerates
+    to exactly that.
+    """
+
+    _TAG = b"S"
+
+    def __init__(
+        self, n_shards: int = 16, m_bits_per_shard: int = 1 << 23, k: int = 7
+    ):
+        if n_shards < 1 or (n_shards & (n_shards - 1)):
+            raise ValueError("n_shards must be a power of two")
+        self.n_shards = int(n_shards)
+        self._shift = np.uint64(64 - int(n_shards).bit_length() + 1)
+        self.shards = [
+            BloomFilter(m_bits_per_shard, k) for _ in range(n_shards)
+        ]
+        # shards touched since construction/load — a persistence layer
+        # rewrites only these (per-shard maintenance, not a monolith)
+        self.dirty: set[int] = set()
+
+    @property
+    def m_bits(self) -> int:
+        return self.shards[0].m_bits * self.n_shards
+
+    @property
+    def k(self) -> int:
+        return self.shards[0].k
+
+    def route(self, h1: np.ndarray) -> np.ndarray:
+        if self.n_shards == 1:
+            return np.zeros(len(h1), np.int64)
+        return (np.asarray(h1, np.uint64) >> self._shift).astype(np.int64)
+
+    def _by_shard(self, h1: np.ndarray):
+        """Yield (shard_id, hash-slice) for each non-empty shard, via
+        one stable argsort — O(n log n) once, not n_shards masks."""
+        sid = self.route(h1)
+        order = np.argsort(sid, kind="stable")
+        hs = np.asarray(h1, np.uint64)[order]
+        bounds = np.searchsorted(sid[order], np.arange(self.n_shards + 1))
+        for s in range(self.n_shards):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi > lo:
+                yield s, hs[lo:hi]
+
+    def add_hashes(self, h1: np.ndarray) -> "ShardedBloom":
+        for s, hs in self._by_shard(h1):
+            self.shards[s].add_hashes(hs)
+            self.dirty.add(s)
+        return self
+
+    def add_array(self, values) -> "ShardedBloom":
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if len(values) == 0:
+            return self
+        return self.add_hashes(hash64(values))
+
+    def contains_hashes(self, h1: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(h1), dtype=bool)
+        if len(h1) == 0:
+            return out
+        sid = self.route(h1)
+        order = np.argsort(sid, kind="stable")
+        hs = np.asarray(h1, np.uint64)[order]
+        bounds = np.searchsorted(sid[order], np.arange(self.n_shards + 1))
+        for s in range(self.n_shards):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi > lo:
+                out[order[lo:hi]] = self.shards[s].contains_hashes(hs[lo:hi])
+        return out
+
+    def contains_array(self, values) -> np.ndarray:
+        if isinstance(values, pa.ChunkedArray):
+            values = values.combine_chunks()
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        return self.contains_hashes(hash64(values))
+
+    def merge(self, other: "ShardedBloom") -> "ShardedBloom":
+        if (self.n_shards, self.m_bits, self.k) != (
+            other.n_shards, other.m_bits, other.k,
+        ):
+            raise ValueError("cannot merge ShardedBloom with different params")
+        for s, (a, b) in enumerate(zip(self.shards, other.shards)):
+            if b.words.any():
+                a.merge(b)
+                self.dirty.add(s)
+        return self
+
+    def fp_rate(self) -> float:
+        """Probe-weighted fp estimate: uniform hashes route uniformly,
+        so the mean of per-shard rates; ``max`` via
+        :meth:`fp_rate_max` for the conservative saturation check."""
+        return float(np.mean([s.fp_rate() for s in self.shards]))
+
+    def fp_rate_max(self) -> float:
+        return float(max(s.fp_rate() for s in self.shards))
+
+    def to_bytes(self) -> bytes:
+        head = struct.pack(
+            "<cqqq", self._TAG, self.n_shards, self.shards[0].m_bits, self.k
+        )
+        return head + b"".join(s.words.tobytes() for s in self.shards)
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "ShardedBloom":
+        tag, n_shards, m_bits, k = struct.unpack("<cqqq", b[:25])
+        if tag != cls._TAG:
+            raise TypeError(f"ShardedBloom: bad tag {tag!r}")
+        sb = cls(n_shards=n_shards, m_bits_per_shard=m_bits, k=k)
+        step = m_bits // 8
+        off = 25
+        for s in range(n_shards):
+            sb.shards[s].words = np.frombuffer(
+                b[off : off + step], dtype=np.uint64
+            ).copy()
+            off += step
+        return sb
 
 
 # ---------------------------------------------------------------------------

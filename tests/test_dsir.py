@@ -312,6 +312,58 @@ def test_semdedup_clustered_drops_within_cluster(ray_session):
     assert got == set(range(2, 40))
 
 
+def test_semdedup_twolevel_planted_and_deterministic(ray_session):
+    """Two-level SemDedup: tight planted clusters are deduped to their
+    lowest id by the per-shard local k-means + blocked kernel, and the
+    drop set is bit-identical across two runs (shard rows sorted by
+    id, per-shard seeded rng) regardless of block layout."""
+    import ray.data as rd
+
+    from sod_ray.stages.similarity import semdedup_drop_ids_twolevel
+
+    rng = np.random.default_rng(9)
+    # 8 tight planted clusters of 30 near-identical vectors + noise
+    rows, ids = [], []
+    nid = 0
+    for c in range(8):
+        base = rng.normal(size=32)
+        for _ in range(30):
+            rows.append(base + 0.005 * rng.normal(size=32))
+            ids.append(nid)
+            nid += 1
+    for _ in range(200):  # background noise, no near-dups at 0.99
+        rows.append(rng.normal(size=32))
+        ids.append(nid)
+        nid += 1
+    X = np.array(rows, dtype=np.float32)
+    ids = np.asarray(ids)
+
+    def run(nblocks):
+        ds = rd.from_arrow(_embed_table(X, ids)).repartition(nblocks)
+        return (
+            semdedup_drop_ids_twolevel(
+                ds,
+                "embedding",
+                "vec_id",
+                n_top=4,
+                target_cluster_rows=40,
+                threshold=0.99,
+            )
+            .to_pandas()["node"]
+            .sort_values()
+            .tolist()
+        )
+
+    got = run(3)
+    # every planted cluster keeps exactly its lowest id
+    want = set()
+    for c in range(8):
+        want |= set(range(c * 30 + 1, (c + 1) * 30))
+    assert set(got) == want
+    # determinism across a different block layout
+    assert run(7) == got
+
+
 def test_semdedup_empty_and_singleton(ray_session):
     import ray.data as rd
 

@@ -4,6 +4,7 @@ every funnel stage; resume reloads checkpointed decisions."""
 
 import json
 import os
+import shutil
 
 import pandas as pd
 import pyarrow as pa
@@ -694,11 +695,9 @@ def test_export_incremental_bloom_prefilter_large_path(ray_session, tmp_path):
             os.path.join(b2["out_dir"], "corpus")
         ).read()
         assert sorted(got["doc_id"].to_pylist()) == list(range(106, 112))
-        bloom_file = os.path.join(out, "hash_index", "_bloom.bin")
-        assert os.path.exists(bloom_file) == bloom_on
+        bf = ex.load_bloom_sidecar(os.path.join(out, "hash_index"))
+        assert (bf is not None) == bloom_on
         if bloom_on:
-            with open(bloom_file, "rb") as f:
-                bf = BloomFilter.from_bytes(f.read())
             # superset invariant: every indexed md5 hits the bloom
             shards = [
                 os.path.join(out, "hash_index", s)
@@ -715,7 +714,7 @@ def test_export_incremental_bloom_prefilter_large_path(ray_session, tmp_path):
     # (anti-join fallback) and the append rebuilds a FULL-index bloom
     landing = os.path.join(str(tmp_path), "landing_with")
     out = os.path.join(str(tmp_path), "out_with")
-    os.remove(os.path.join(out, "hash_index", "_bloom.bin"))
+    shutil.rmtree(os.path.join(out, "hash_index", "_bloom.d"))
     texts3 = texts2[6:9] + [f"third bloom wave {i}" for i in range(3)]
     _write_shard(landing, "b3.parquet", list(range(200, 206)), texts3)
     s3 = ex.run_export_incremental(
@@ -724,8 +723,7 @@ def test_export_incremental_bloom_prefilter_large_path(ray_session, tmp_path):
     )
     b3 = s3["batches"][0]
     assert (b3["rows_new"], b3["rows_out"]) == (3, 3)
-    with open(os.path.join(out, "hash_index", "_bloom.bin"), "rb") as f:
-        bf = BloomFilter.from_bytes(f.read())
+    bf = ex.load_bloom_sidecar(os.path.join(out, "hash_index"))
     shards = [
         os.path.join(out, "hash_index", s)
         for s in os.listdir(os.path.join(out, "hash_index"))
@@ -755,8 +753,7 @@ def test_export_incremental_bloom_autogrow(ray_session, tmp_path):
         landing, out, cfg, max_polls=1,
         index_broadcast_limit=0, bloom_bits=64,
     )
-    with open(os.path.join(out, "hash_index", "_bloom.bin"), "rb") as f:
-        bf = BloomFilter.from_bytes(f.read())
+    bf = ex.load_bloom_sidecar(os.path.join(out, "hash_index"))
     assert bf.m_bits > 64
     assert bf.fp_rate() <= 0.05
     # second batch with overlaps still dedups exactly through the
@@ -774,12 +771,141 @@ def test_export_incremental_bloom_autogrow(ray_session, tmp_path):
         for s in os.listdir(os.path.join(out, "hash_index"))
         if s.endswith(".parquet")
     ]
-    with open(os.path.join(out, "hash_index", "_bloom.bin"), "rb") as f:
-        bf2 = BloomFilter.from_bytes(f.read())
+    bf2 = ex.load_bloom_sidecar(os.path.join(out, "hash_index"))
     all_h = pa.concat_tables(
         [pq.read_table(s, columns=["h"]) for s in shards]
     )["h"]
     assert bf2.contains_array(all_h).all()
+
+
+def test_bloom_sidecar_canary_mismatch_forces_rebuild(ray_session, tmp_path):
+    """A sidecar written under a DIFFERENT hash function (simulated by
+    corrupting the header canary) must load as None — a mismatched
+    bloom would return false negatives and silently admit duplicates
+    (the exactness break ADVICE flagged). The next append then rebuilds
+    a full-index sidecar and dedup stays exact."""
+    from sod_ray.pipelines import export as ex
+
+    cfg = ex.CurateConfig(quality_filter=False, pii_redact=False)
+    landing = os.path.join(str(tmp_path), "landing")
+    out = os.path.join(str(tmp_path), "out")
+    texts1 = [f"canary doc {i} body words" for i in range(12)]
+    _write_shard(landing, "b1.parquet", list(range(12)), texts1)
+    ex.run_export_incremental(
+        landing, out, cfg, max_polls=1,
+        index_broadcast_limit=0, bloom_prefilter=True,
+    )
+    idx_dir = os.path.join(out, "hash_index")
+    assert ex.load_bloom_sidecar(idx_dir) is not None
+
+    # simulate a polars/aHash change across engine restarts
+    hdr_path = os.path.join(idx_dir, "_bloom.d", "header.json")
+    with open(hdr_path) as f:
+        hdr = json.load(f)
+    hdr["canary"] = hdr["canary"] ^ 1
+    with open(hdr_path, "w") as f:
+        json.dump(hdr, f)
+    assert ex.load_bloom_sidecar(idx_dir) is None  # stale → untrusted
+
+    # next append: dedup still exact (anti-join fallback), sidecar
+    # rebuilt with the CURRENT canary and full-index coverage
+    texts2 = texts1[:6] + [f"fresh canary {i}" for i in range(6)]
+    _write_shard(landing, "b2.parquet", list(range(100, 112)), texts2)
+    s2 = ex.run_export_incremental(
+        landing, out, cfg, max_polls=1,
+        index_broadcast_limit=0, bloom_prefilter=True,
+    )
+    b2 = s2["batches"][0]
+    assert (b2["rows_new"], b2["rows_out"]) == (6, 6)
+    bf = ex.load_bloom_sidecar(idx_dir)
+    assert bf is not None
+    shards = [
+        os.path.join(idx_dir, s)
+        for s in os.listdir(idx_dir)
+        if s.endswith(".parquet")
+    ]
+    all_h = pa.concat_tables(
+        [pq.read_table(s, columns=["h"]) for s in shards]
+    )["h"]
+    assert bf.contains_array(all_h).all()
+
+
+def test_bloom_sidecar_legacy_v1_upgrade(ray_session, tmp_path):
+    """A pre-v2 single-file `_bloom.bin` sidecar loads (wrapped
+    1-shard, bit-identical) and is upgraded to the canary-checked
+    `_bloom.d/` dir at the next save; probes see the same members."""
+    import pyarrow as pa
+
+    from sod_ray.pipelines import export as ex
+    from sod_ray.state.sketches import BloomFilter
+
+    idx_dir = os.path.join(str(tmp_path), "hash_index")
+    os.makedirs(idx_dir)
+    vals = pa.array([f"h{i:032x}"[:32] for i in range(500)])
+    flat = BloomFilter(1 << 14, 7).add_array(vals)
+    with open(os.path.join(idx_dir, "_bloom.bin"), "wb") as f:
+        f.write(flat.to_bytes())
+
+    sb = ex.load_bloom_sidecar(idx_dir)
+    assert sb is not None and sb.n_shards == 1
+    assert sb.contains_array(vals).all()
+    assert (sb.shards[0].words == flat.words).all()
+
+    ex.save_bloom_sidecar(idx_dir, sb)
+    assert not os.path.exists(os.path.join(idx_dir, "_bloom.bin"))
+    sb2 = ex.load_bloom_sidecar(idx_dir)
+    assert sb2 is not None and sb2.contains_array(vals).all()
+
+
+def test_bloom_sidecar_sharded_roundtrip(ray_session, tmp_path):
+    """Multi-shard sidecar: per-shard files land, only DIRTY shards
+    rewrite on a second save, and the loaded filter matches the
+    in-memory one bit for bit."""
+    import pyarrow as pa
+
+    from sod_ray.pipelines import export as ex
+    from sod_ray.state.sketches import ShardedBloom
+
+    idx_dir = os.path.join(str(tmp_path), "hash_index")
+    os.makedirs(idx_dir)
+    sb = ShardedBloom(n_shards=4, m_bits_per_shard=1 << 12, k=7)
+    sb.add_array(pa.array([f"url-{i}" for i in range(2000)]))
+    ex.save_bloom_sidecar(idx_dir, sb)
+    files = sorted(os.listdir(os.path.join(idx_dir, "_bloom.d")))
+    assert files == ["header.json", "s0000.bin", "s0001.bin",
+                     "s0002.bin", "s0003.bin"]
+    assert not sb.dirty  # cleared by save
+
+    got = ex.load_bloom_sidecar(idx_dir)
+    assert got.n_shards == 4
+    for a, b in zip(got.shards, sb.shards):
+        assert (a.words == b.words).all()
+
+    # dirty-shard-only rewrite: touch ONE value, check mtimes
+    mt0 = {
+        f: os.path.getmtime(os.path.join(idx_dir, "_bloom.d", f))
+        for f in files
+    }
+    import time as _t
+
+    _t.sleep(0.05)
+    sb.add_array(pa.array(["one-more-url"]))
+    assert len(sb.dirty) == 1
+    touched = next(iter(sb.dirty))
+    ex.save_bloom_sidecar(idx_dir, sb)
+    for f in files:
+        mt1 = os.path.getmtime(os.path.join(idx_dir, "_bloom.d", f))
+        if f == f"s{touched:04d}.bin" or f == "header.json":
+            assert mt1 > mt0[f]
+        else:
+            assert mt1 == mt0[f]
+
+    # geometry sanity for the auto-sizer
+    assert ex.new_bloom_sidecar(1 << 20).n_shards == 1
+    big = ex.new_bloom_sidecar(1 << 34)
+    assert big.n_shards >= 2
+    assert big.shards[0].m_bits <= 1 << 30
+    assert big.m_bits >= 1 << 34
 
 
 def test_export_dsir_stage(ray_session, tmp_path):

@@ -752,3 +752,52 @@ def test_cm_build_tokens_distributed(ray_session):
     assert (cm.counts == serial.counts).all() and cm.n == serial.n
     est = cm.estimate_array(pa.array(["alpha", "beta"]))
     assert est[0] >= 4000 and est[1] >= 2000
+
+
+def test_sharded_bloom_parity_and_merge():
+    """ShardedBloom: no false negatives, fp in band, 1-shard
+    degenerates bit-identically to the flat BloomFilter, incremental
+    merge == bulk build, codec round-trips, dirty tracking."""
+    import numpy as np
+    import pyarrow as pa
+
+    from sod_ray.state.sketches import BloomFilter, ShardedBloom
+
+    vals = pa.array([f"url-{i}" for i in range(30000)])
+    miss = pa.array([f"other-{i}" for i in range(30000)])
+
+    sb = ShardedBloom(n_shards=8, m_bits_per_shard=1 << 17, k=7)
+    sb.add_array(vals)
+    assert sb.contains_array(vals).all()  # NO false negatives, ever
+    assert sb.contains_array(miss).mean() < 0.01
+    assert 0 <= sb.fp_rate() <= sb.fp_rate_max() < 0.01
+
+    # 1-shard == flat BloomFilter, bit for bit
+    one = ShardedBloom(1, 1 << 20, 7).add_array(vals)
+    flat = BloomFilter(1 << 20, 7).add_array(vals)
+    assert (one.shards[0].words == flat.words).all()
+
+    # split merge == bulk build (idempotent OR: merging twice too)
+    a = ShardedBloom(8, 1 << 17).add_array(vals.slice(0, 15000))
+    b = ShardedBloom(8, 1 << 17).add_array(vals.slice(15000))
+    a.merge(b).merge(b)
+    assert a.to_bytes() == sb.to_bytes()
+
+    # codec round-trip
+    rt = ShardedBloom.from_bytes(sb.to_bytes())
+    assert rt.n_shards == 8 and rt.to_bytes() == sb.to_bytes()
+    assert not rt.dirty  # fresh load is clean
+
+    # dirty tracking: one value touches exactly one shard
+    rt.add_array(pa.array(["only-one"]))
+    assert len(rt.dirty) == 1
+
+    # routing uses the top hash bits; every shard gets real load
+    from sod_ray.state.sketches import hash64
+
+    sid = sb.route(hash64(vals))
+    assert set(np.unique(sid)) == set(range(8))
+
+    # hash-level API matches the value-level API
+    h = hash64(vals)
+    assert (sb.contains_hashes(h) == sb.contains_array(vals)).all()

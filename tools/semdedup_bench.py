@@ -9,7 +9,13 @@ only if a planted pair straddled clusters (the pair is near-identical,
 so assignments agree unless the pair sits on a centroid boundary);
 precision <1.0 only if random 64-d vectors hit cos >= 0.99 (P ~ 0).
 
-Usage: python tools/semdedup_bench.py [n_docs] [dim] [n_centroids]
+Usage: python tools/semdedup_bench.py [n_docs] [dim] [n_centroids] [--two-level]
+
+--two-level runs semdedup_drop_ids_twolevel (centroid-sharded: top
+shards route the exchange, per-shard LOCAL k-means into
+~target_cluster_rows sub-clusters, same blocked kernel) — the 10^8
+path where single-level's Σc²·d within-cluster wall hits ~10^14
+flops. n_centroids then means the TOP shard count (0 = auto).
 """
 from __future__ import annotations
 
@@ -22,7 +28,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_docs: int = 1_000_000, dim: int = 64, n_centroids: int = 0):
+def main(
+    n_docs: int = 1_000_000,
+    dim: int = 64,
+    n_centroids: int = 0,
+    two_level: bool = False,
+):
     import ray
 
     if not ray.is_initialized():
@@ -36,11 +47,14 @@ def main(n_docs: int = 1_000_000, dim: int = 64, n_centroids: int = 0):
 
     rd.DataContext.get_current().enable_progress_bars = False
     from bench import contention_probe
-    from sod_ray.stages.similarity import semdedup_drop_ids
+    from sod_ray.stages.similarity import (
+        semdedup_drop_ids,
+        semdedup_drop_ids_twolevel,
+    )
     from tools.embedding_neardup_bench import PLANT_EVERY, gen_block
 
     if not n_centroids:
-        # one cluster per ~100k vectors (the documented heap contract)
+        # one cluster/shard per ~100k vectors (the documented heap contract)
         n_centroids = max(8, n_docs // 100_000)
 
     corpus_dir = f"/tmp/sod_semdedup/corpus-{n_docs}-{dim}"
@@ -56,13 +70,23 @@ def main(n_docs: int = 1_000_000, dim: int = 64, n_centroids: int = 0):
     ds = rd.read_parquet(corpus_dir)
     probe_pre = contention_probe()
     t0 = time.perf_counter()
-    drops = semdedup_drop_ids(
-        ds,
-        "embedding",
-        "vec_id",
-        n_centroids=n_centroids,
-        threshold=0.99,
-    ).to_pandas()
+    if two_level:
+        drops = semdedup_drop_ids_twolevel(
+            ds,
+            "embedding",
+            "vec_id",
+            n_top=n_centroids,
+            target_cluster_rows=1024,
+            threshold=0.99,
+        ).to_pandas()
+    else:
+        drops = semdedup_drop_ids(
+            ds,
+            "embedding",
+            "vec_id",
+            n_centroids=n_centroids,
+            threshold=0.99,
+        ).to_pandas()
     wall = time.perf_counter() - t0
     probe_post = contention_probe()
 
@@ -79,6 +103,7 @@ def main(n_docs: int = 1_000_000, dim: int = 64, n_centroids: int = 0):
             {
                 "n_docs": n_docs,
                 "dim": dim,
+                "mode": "two_level" if two_level else "single",
                 "n_centroids": n_centroids,
                 "wall_s": round(wall, 1),
                 "docs_per_sec": round(n_docs / wall, 1),
@@ -95,8 +120,10 @@ def main(n_docs: int = 1_000_000, dim: int = 64, n_centroids: int = 0):
 
 
 if __name__ == "__main__":
+    args = [a for a in sys.argv[1:] if a != "--two-level"]
     main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000,
-        int(sys.argv[2]) if len(sys.argv) > 2 else 64,
-        int(sys.argv[3]) if len(sys.argv) > 3 else 0,
+        int(float(args[0])) if len(args) > 0 else 1_000_000,
+        int(args[1]) if len(args) > 1 else 64,
+        int(args[2]) if len(args) > 2 else 0,
+        two_level="--two-level" in sys.argv,
     )
