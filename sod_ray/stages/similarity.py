@@ -441,11 +441,11 @@ def _local_kmeans(
     matrix — the per-shard trainer of the two-level SemDedup. Same
     k-means++ seeding / Lloyd structure as ``train_centroids`` but
     with no Dataset plumbing; deterministic given (X row order, rng).
-    Returns the assignment vector (int64)."""
+    Returns the CENTROID matrix (k, d)."""
     n = X.shape[0]
     k = max(1, min(k, n))
     if k == 1:
-        return np.zeros(n, np.int64)
+        return X[:1].copy()
     seeds = np.empty(k, dtype=np.int64)
     seeds[0] = rng.integers(n)
     best = X @ X[seeds[0]]
@@ -470,7 +470,35 @@ def _local_kmeans(
         if (new == assign).all():
             break
         assign = new
-    return assign.astype(np.int64)
+    return C
+
+
+def _margin_assign(S: np.ndarray, margin: float):
+    """Top-1 assignment plus MULTI-PROBE boundary duplication: rows
+    whose runner-up cluster scores within ``margin`` cosine of the
+    winner are ALSO emitted to the runner-up (the LSH multi-probe
+    pattern). Returns (row_idx, cluster_id) index arrays covering the
+    base assignment followed by the duplicated boundary rows. The
+    candidate generation is what this widens — the downstream pair
+    check stays exact cosine, so duplication can only ADD true
+    near-dup pairs, never false drops."""
+    n, k = S.shape
+    a1 = np.argmax(S, axis=1)
+    base = (np.arange(n, dtype=np.int64), a1.astype(np.int64))
+    if k < 2 or margin <= 0:
+        return [base]
+    s1 = S[np.arange(n), a1]
+    S2 = S.copy()
+    S2[np.arange(n), a1] = -np.inf
+    a2 = np.argmax(S2, axis=1)
+    s2 = S2[np.arange(n), a2]
+    dup = s2 >= s1 - margin
+    if not dup.any():
+        return [base]
+    return [
+        base,
+        (np.flatnonzero(dup).astype(np.int64), a2[dup].astype(np.int64)),
+    ]
 
 
 def semdedup_drop_ids_twolevel(
@@ -485,6 +513,7 @@ def semdedup_drop_ids_twolevel(
     dtype=np.float32,
     seed: int = 5,
     kmeans_iters: int = 6,
+    probe_margin: float = 0.02,
 ):
     """Two-level (centroid-sharded) SemDedup — the 10^8-vector scale
     path of :func:`semdedup_drop_ids`.
@@ -516,8 +545,18 @@ def semdedup_drop_ids_twolevel(
 
     The sub-clustering is an approximation EXACTLY like the paper's
     clustering itself (near-identical pairs co-assign unless they
-    straddle a centroid boundary); `tools/semdedup_bench.py
-    --two-level` measures recall/precision against planted truth.
+    straddle a centroid boundary). ``probe_margin`` closes most of the
+    boundary loss by MULTI-PROBE duplication at both levels
+    (:func:`_margin_assign`): a row within ``probe_margin`` cosine of
+    its runner-up shard/sub-cluster is also emitted there, so a pair
+    split by a tight boundary still meets in the runner-up; the pair
+    check stays exact cosine, so precision is unaffected and the only
+    cost is the duplicated-row fraction (~margin-dependent, measured
+    single-digit % at margin 0.02). A dropped boundary row can be
+    reported from two buckets — drops are a SET (``apply_drops`` is
+    membership-based); per-bucket output is deduped.
+    `tools/semdedup_bench.py --two-level` measures recall/precision
+    against planted truth.
     """
     from .exchange import exchange_reduce
 
@@ -528,24 +567,39 @@ def semdedup_drop_ids_twolevel(
     centroids = train_centroids(ds, vec_col, n_top)
     C = _normalize(np.ascontiguousarray(centroids, dtype=dtype))
     c_ref = ray.put(C)
+    # bound the batch x n_top score matrix at ~256 MB
+    bs = max(1024, (256 << 20) // (4 * max(1, int(C.shape[0]))))
 
     def assign_top(t: pa.Table) -> pa.Table:
         Cm = ray.get(c_ref)
         V = _normalize(_to_matrix(t[vec_col], dtype))
-        cl = (
-            np.argmax(V @ Cm.T, axis=1).astype(np.int64)
-            if Cm.shape[0] > 1
-            else np.zeros(V.shape[0], np.int64)
-        )
-        return pa.table(
-            {
-                "id": t[id_col],
-                "vec": t[vec_col],
-                "__cl": pa.array(cl, pa.int64()),
-            }
-        )
+        if Cm.shape[0] == 1:
+            return pa.table(
+                {
+                    "id": t[id_col],
+                    "vec": t[vec_col],
+                    "__cl": pa.array(
+                        np.zeros(V.shape[0], np.int64), pa.int64()
+                    ),
+                }
+            )
+        S = V @ Cm.T
+        parts = []
+        for rows, cl in _margin_assign(S, probe_margin):
+            parts.append(
+                pa.table(
+                    {
+                        "id": t[id_col].take(pa.array(rows)),
+                        "vec": t[vec_col].take(pa.array(rows)),
+                        "__cl": pa.array(cl, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
 
-    routed = ds.map_batches(assign_top, batch_format="pyarrow")
+    routed = ds.map_batches(
+        assign_top, batch_format="pyarrow", batch_size=bs
+    )
     empty = pa.table({"node": pa.array([], pa.int64())})
 
     def drop_bucket(t: pa.Table) -> pa.Table:
@@ -571,13 +625,32 @@ def semdedup_drop_ids_twolevel(
             sub_ids = ids_s[lo:hi]
             k_sub = max(1, int(round(rows / target_cluster_rows)))
             rng = np.random.default_rng((seed << 20) ^ shard_id)
-            sub = _local_kmeans(M, k_sub, rng, iters=kmeans_iters)
-            so = np.lexsort((sub_ids, sub))
+            Csub = _local_kmeans(M, k_sub, rng, iters=kmeans_iters)
+            if Csub.shape[0] == 1:
+                d = _drop_within_groups(
+                    M,
+                    sub_ids,
+                    np.zeros(rows, np.int64),
+                    threshold,
+                    col_block,
+                )
+                if d is not None:
+                    dropped.append(d)
+                continue
+            S = M @ Csub.T
+            ridx, subcl = [], []
+            for rr, cc in _margin_assign(S, probe_margin):
+                ridx.append(rr)
+                subcl.append(cc)
+            ridx = np.concatenate(ridx)
+            subcl = np.concatenate(subcl)
+            Md, idd = M[ridx], sub_ids[ridx]
+            so = np.lexsort((idd, subcl))
             d = _drop_within_groups(
-                M[so], sub_ids[so], sub[so], threshold, col_block
+                Md[so], idd[so], subcl[so], threshold, col_block
             )
             if d is not None:
-                dropped.append(d)
+                dropped.append(np.unique(d))
         if not dropped:
             return empty
         return pa.table(
