@@ -151,3 +151,96 @@ def exchange_reduce(ds, key_col: str, fn, num_buckets: int | None = None):
     import ray.data as rd
 
     return rd.from_arrow_refs(outs)
+
+
+def exchange_reduce_spill(
+    ds,
+    key_col: str,
+    fn,
+    spill_dir: str,
+    num_buckets: int | None = None,
+    reduce_num_cpus: float = 2,
+):
+    """Disk-backed :func:`exchange_reduce` for inputs comparable to (or
+    larger than) the object store — e.g. 10^8 embedding rows, where the
+    in-plasma exchange holds input blocks + sorted splits (~2× the
+    data) and ENOSPCs the raylet spill on a disk-tight host.
+
+    Shape: ONE streaming pass lands the rows as PARTITIONED parquet
+    (``partition_cols=[__bkt]``, bucket = key % P) under a capped
+    landing budget (the r4 ``sig_spill_dir`` backpressure pattern —
+    25% of the smallest node's store), then one reduce task per bucket
+    reads exactly its bucket's files straight from disk and runs
+    ``fn`` over the concatenated bucket. Plasma never holds the
+    shuffle; peak disk = input + one landed copy. This is also the
+    10^12-row shape: at that scale every all-to-all goes through
+    disk/DFS anyway, and the landed form is resumable.
+
+    Same contract as ``exchange_reduce``: integer ``key_col``, all rows
+    of a key in one bucket, ``fn`` vectorized per bucket. Size
+    ``num_buckets`` so one bucket (~rows/P) fits a worker's heap.
+    """
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ray.data._internal.execution.interfaces.execution_options import (
+        ExecutionResources,
+    )
+
+    P = num_buckets or _default_buckets()
+    sub = os.path.join(spill_dir, "_sod_exchange")
+    shutil.rmtree(sub, ignore_errors=True)
+    os.makedirs(sub, exist_ok=True)
+
+    def add_bkt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return t
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        b = (k.astype(np.int64, copy=False) % P + P) % P
+        return t.append_column("__bkt", pa.array(b, pa.int64()))
+
+    routed = ds.map_batches(add_bkt, batch_format="pyarrow")
+    opts = getattr(
+        routed, "context", rd.DataContext.get_current()
+    ).execution_options
+    prev = opts.resource_limits
+    store = None
+    try:
+        if ray.is_initialized():
+            sizes = [
+                n["Resources"]["object_store_memory"]
+                for n in ray.nodes()
+                if n.get("Alive")
+                and n.get("Resources", {}).get("object_store_memory")
+            ]
+            if sizes:
+                store = min(sizes)
+    except Exception:
+        pass
+    try:
+        if store:
+            opts.resource_limits = ExecutionResources(
+                object_store_memory=int(store * 0.25)
+            )
+        routed.write_parquet(sub, partition_cols=["__bkt"])
+    finally:
+        opts.resource_limits = prev
+
+    @ray.remote(num_cpus=reduce_num_cpus)
+    def reduce_dir(path: str):
+        t = pq.read_table(path)
+        if "__bkt" in t.column_names:
+            t = t.drop_columns(["__bkt"])
+        return fn(t.combine_chunks())
+
+    bucket_dirs = sorted(
+        os.path.join(sub, d)
+        for d in os.listdir(sub)
+        if d.startswith("__bkt=")
+    )
+    if not bucket_dirs:
+        return rd.from_arrow(fn(pa.table({})))
+    return rd.from_arrow_refs([reduce_dir.remote(p) for p in bucket_dirs])

@@ -197,18 +197,52 @@ def cosine_all_pairs(
 
 
 def train_centroids(
-    ds, vec_col: str, n_centroids: int = 64, sample_rows: int = 10_000, seed: int = 5
+    ds,
+    vec_col: str,
+    n_centroids: int = 64,
+    sample_rows: int = 10_000,
+    seed: int = 5,
+    id_col: str | None = None,
 ) -> np.ndarray:
-    """Seeded k-means (few iterations) on a deterministic UNIFORM
-    sample (seeded random_sample — a bare limit() takes the first
-    blocks, which is biased when the corpus is ordered) — driver-side,
-    tiny. The IVF coarse quantizer."""
+    """Seeded k-means (few iterations) on a uniform sample —
+    driver-side, tiny. The IVF coarse quantizer.
+
+    Pass ``id_col`` for a REPRODUCIBLE sample: rows where
+    ``hash64(id)`` falls under a threshold, capped by taking the
+    hash-smallest ``sample_rows`` — a pure function of ids, identical
+    under any block layout or task completion order. Without it the
+    sample comes from ``random_sample(seed).limit()``, which is NOT
+    run-to-run deterministic (measured: the seeded per-task rng
+    depends on task/block order), so the trained centroids — and any
+    clustering decision derived from them — can drift between runs."""
     total = ds.count()  # parquet metadata / cached count
-    if total > sample_rows:
+    if total <= sample_rows:
+        sample = ds.to_pandas()
+    elif id_col is not None:
+        from ..state.sketches import hash64
+
+        frac = min(1.0, (2.5 * sample_rows) / total)
+        cut = np.uint64(int(frac * float(2**64 - 1)))
+
+        def pick(t: pa.Table) -> pa.Table:
+            h = hash64(t[id_col].combine_chunks())
+            m = h <= cut
+            return pa.table(
+                {
+                    vec_col: t[vec_col].filter(pa.array(m)),
+                    "__h": pa.array(h[m], pa.uint64()),
+                }
+            )
+
+        sample = (
+            ds.map_batches(pick, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("__h", kind="stable")
+            .head(sample_rows)
+        )
+    else:
         frac = min(1.0, (2.5 * sample_rows) / total)
         sample = ds.random_sample(frac, seed=seed).limit(sample_rows).to_pandas()
-    else:
-        sample = ds.to_pandas()
     X = _normalize(_to_matrix(sample[vec_col].tolist()))
     rng = np.random.default_rng(seed)
     n_centroids = min(n_centroids, X.shape[0])
@@ -265,7 +299,7 @@ def ivf_topk(
     EXACT (equal to brute force) — with ``dtype=np.float64`` that mode
     is oracle-checkable against the brute-force SQL twin."""
     if centroids is None:
-        centroids = train_centroids(ds, vec_col)
+        centroids = train_centroids(ds, vec_col, id_col=id_col)
     Q = _normalize(np.atleast_2d(np.asarray(queries, dtype=dtype)))
     probe = np.argsort(-(Q @ centroids.T), axis=1)[:, :nprobe]  # (n_q, nprobe)
     q_ref = ray.put((Q, centroids, probe))
@@ -355,7 +389,7 @@ def semdedup_drop_ids(
     from .exchange import exchange_reduce
 
     if centroids is None:
-        centroids = train_centroids(ds, vec_col, n_centroids)
+        centroids = train_centroids(ds, vec_col, n_centroids, id_col=id_col)
     C = _normalize(np.ascontiguousarray(centroids, dtype=dtype))
     c_ref = ray.put(C)
 
@@ -514,9 +548,18 @@ def semdedup_drop_ids_twolevel(
     seed: int = 5,
     kmeans_iters: int = 6,
     probe_margin: float = 0.02,
+    spill_dir: str | None = None,
 ):
     """Two-level (centroid-sharded) SemDedup — the 10^8-vector scale
     path of :func:`semdedup_drop_ids`.
+
+    ``spill_dir``: when the corpus is comparable to the object store
+    (10^8 × 64d ≈ 26 GB vs a 37 GB store), the in-plasma exchange
+    holds blocks + sorted splits (~2× the data) and ENOSPCs a
+    disk-tight host's raylet spill (measured). Pointing ``spill_dir``
+    at a scratch path routes the shard exchange through
+    ``exchange_reduce_spill`` — partitioned-parquet landing, one
+    bucket read per reduce task, plasma never holds the shuffle.
 
     Why the single-level shape stalls at 10^8: paper-faithful cluster
     sizes need K ~ n/1k clusters, and EITHER the assignment matmul is
@@ -558,13 +601,14 @@ def semdedup_drop_ids_twolevel(
     `tools/semdedup_bench.py --two-level` measures recall/precision
     against planted truth.
     """
-    from .exchange import exchange_reduce
+    from .exchange import exchange_reduce, exchange_reduce_spill
 
+    total = None
     if n_top is None:
         total = ds.count()
         # one top shard per ~100k rows, power-of-two-ish, >= 8
         n_top = int(max(8, min(4096, total // 100_000 or 8)))
-    centroids = train_centroids(ds, vec_col, n_top)
+    centroids = train_centroids(ds, vec_col, n_top, id_col=id_col)
     C = _normalize(np.ascontiguousarray(centroids, dtype=dtype))
     c_ref = ray.put(C)
     # bound the batch x n_top score matrix at ~256 MB
@@ -657,4 +701,13 @@ def semdedup_drop_ids_twolevel(
             {"node": pa.array(np.concatenate(dropped), pa.int64())}
         )
 
+    if spill_dir is not None:
+        if num_buckets is None:
+            if total is None:
+                total = ds.count()
+            # ~1.5M rows (≈400 MB of routed vec rows) per bucket read
+            num_buckets = max(32, -(-total // 1_500_000))
+        return exchange_reduce_spill(
+            routed, "__cl", drop_bucket, spill_dir, num_buckets
+        )
     return exchange_reduce(routed, "__cl", drop_bucket, num_buckets)

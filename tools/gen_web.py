@@ -5,7 +5,14 @@ shard in driver memory — fine at bench scale, not at 40M rows. This tool
 fans `synth_shard` out as Ray tasks (one per shard, each writes its own
 parquet file) and ships only the url column back for the refs table.
 
-Usage: python tools/gen_web.py OUT_DIR N_ROWS [N_SHARDS] [MEAN_TOKENS]
+Usage: python tools/gen_web.py OUT_DIR N_ROWS [N_SHARDS] [MEAN_TOKENS] [CODEC]
+
+CODEC defaults to zstd (level 3): the shards are web TEXT, which zstd
+packs ~1.6x tighter than snappy (measured 96.7 vs 154.4 MB on a 500k
+shard) — at 300M rows that is the difference between fitting this
+host's disk (≈56 GB input) and ENOSPC at ~88 GB. Reads stay
+vectorized; the flagship is disk-bandwidth-bound, so the smaller
+input also reads FASTER.
 """
 from __future__ import annotations
 
@@ -20,7 +27,7 @@ import pyarrow as pa
 import ray
 
 
-def main(out_dir: str, n_rows: int, n_shards: int = 128, mean_tokens: int = 40):
+def main(out_dir: str, n_rows: int, n_shards: int = 128, mean_tokens: int = 40, codec: str = "zstd"):
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=32, include_dashboard=False)
 
@@ -31,7 +38,12 @@ def main(out_dir: str, n_rows: int, n_shards: int = 128, mean_tokens: int = 40):
         from sod_ray.sources.webpages import synth_shard
 
         t, truth = synth_shard(per, shard=s, seed=seed, mean_tokens=mt)
-        pq.write_table(t, f"{out_dir}/webpages/shard={s:05d}.parquet")
+        pq.write_table(
+            t,
+            f"{out_dir}/webpages/shard={s:05d}.parquet",
+            compression=codec,
+            compression_level=3 if codec == "zstd" else None,
+        )
         return truth, t["url"].combine_chunks()
 
     os.makedirs(f"{out_dir}/webpages", exist_ok=True)
@@ -50,7 +62,11 @@ def main(out_dir: str, n_rows: int, n_shards: int = 128, mean_tokens: int = 40):
 
     refs, rt = synth_refs(urls, n_refs=max(100, n_rows // 10), seed=43)
     os.makedirs(f"{out_dir}/webpage_refs", exist_ok=True)
-    pq.write_table(refs, f"{out_dir}/webpage_refs/part-0.parquet")
+    pq.write_table(
+        refs, f"{out_dir}/webpage_refs/part-0.parquet",
+        compression=codec,
+        compression_level=3 if codec == "zstd" else None,
+    )
     combined["refs"] = rt
     with open(f"{out_dir}/truth.json", "w") as f:
         json.dump(combined, f)
@@ -65,4 +81,5 @@ if __name__ == "__main__":
         int(sys.argv[2]),
         int(sys.argv[3]) if len(sys.argv) > 3 else 128,
         int(sys.argv[4]) if len(sys.argv) > 4 else 40,
+        sys.argv[5] if len(sys.argv) > 5 else "zstd",
     )

@@ -71,6 +71,12 @@ def main(
     probe_pre = contention_probe()
     t0 = time.perf_counter()
     if two_level:
+        # past ~20M the corpus rivals the object store: route the
+        # shard exchange through the partitioned-parquet spill path
+        spill = (
+            f"/tmp/sod_semdedup/spill-{n_docs}" if n_docs >= 20_000_000
+            else None
+        )
         drops = semdedup_drop_ids_twolevel(
             ds,
             "embedding",
@@ -78,6 +84,7 @@ def main(
             n_top=n_centroids,
             target_cluster_rows=1024,
             threshold=0.99,
+            spill_dir=spill,
         ).to_pandas()
     else:
         drops = semdedup_drop_ids(
@@ -89,6 +96,7 @@ def main(
         ).to_pandas()
     wall = time.perf_counter() - t0
     probe_post = contention_probe()
+    shutil.rmtree(f"/tmp/sod_semdedup/spill-{n_docs}", ignore_errors=True)
 
     got = set(drops["node"].tolist())
     # planted truth: odd ids 2k+1 with k % PLANT_EVERY == 0
