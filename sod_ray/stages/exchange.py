@@ -160,6 +160,8 @@ def exchange_reduce_spill(
     spill_dir: str,
     num_buckets: int | None = None,
     reduce_num_cpus: float = 2,
+    after_land=None,
+    phases: int = 1,
 ):
     """Disk-backed :func:`exchange_reduce` for inputs comparable to (or
     larger than) the object store — e.g. 10^8 embedding rows, where the
@@ -179,6 +181,21 @@ def exchange_reduce_spill(
     Same contract as ``exchange_reduce``: integer ``key_col``, all rows
     of a key in one bucket, ``fn`` vectorized per bucket. Size
     ``num_buckets`` so one bucket (~rows/P) fits a worker's heap.
+
+    ``after_land``: optional callable invoked once the LAST landing
+    write has fully committed (before its reduces run). The landing is
+    the final read of ``ds``, so a caller on a disk-tight single
+    volume can free the input here. On a real cluster the landed copy
+    lives on DFS and this hook is a no-op.
+
+    ``phases``: split-phase execution for volumes that cannot hold
+    input + one full landed copy. Phase p lands ONLY buckets with
+    ``bucket % phases == p`` (one extra streaming read of ``ds`` per
+    phase), reduces them, then deletes that phase's landed files
+    before the next phase starts — peak disk = input + landed/phases.
+    Results are identical for any ``phases``: bucket membership is a
+    pure function of the key, so each phase is a disjoint, complete
+    set of buckets.
     """
     import os
     import shutil
@@ -191,22 +208,7 @@ def exchange_reduce_spill(
     )
 
     P = num_buckets or _default_buckets()
-    sub = os.path.join(spill_dir, "_sod_exchange")
-    shutil.rmtree(sub, ignore_errors=True)
-    os.makedirs(sub, exist_ok=True)
-
-    def add_bkt(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or key_col not in t.column_names:
-            return t
-        k = t[key_col].to_numpy(zero_copy_only=False)
-        b = (k.astype(np.int64, copy=False) % P + P) % P
-        return t.append_column("__bkt", pa.array(b, pa.int64()))
-
-    routed = ds.map_batches(add_bkt, batch_format="pyarrow")
-    opts = getattr(
-        routed, "context", rd.DataContext.get_current()
-    ).execution_options
-    prev = opts.resource_limits
+    phases = max(1, int(phases))
     store = None
     try:
         if ray.is_initialized():
@@ -220,14 +222,6 @@ def exchange_reduce_spill(
                 store = min(sizes)
     except Exception:
         pass
-    try:
-        if store:
-            opts.resource_limits = ExecutionResources(
-                object_store_memory=int(store * 0.25)
-            )
-        routed.write_parquet(sub, partition_cols=["__bkt"])
-    finally:
-        opts.resource_limits = prev
 
     @ray.remote(num_cpus=reduce_num_cpus)
     def reduce_dir(path: str):
@@ -236,11 +230,51 @@ def exchange_reduce_spill(
             t = t.drop_columns(["__bkt"])
         return fn(t.combine_chunks())
 
-    bucket_dirs = sorted(
-        os.path.join(sub, d)
-        for d in os.listdir(sub)
-        if d.startswith("__bkt=")
-    )
-    if not bucket_dirs:
+    all_outs = []
+    for ph in range(phases):
+        sub = os.path.join(spill_dir, f"_sod_exchange_p{ph}")
+        shutil.rmtree(sub, ignore_errors=True)
+        os.makedirs(sub, exist_ok=True)
+
+        def add_bkt(t: pa.Table, _ph=ph) -> pa.Table:
+            if t.num_rows == 0 or key_col not in t.column_names:
+                return t
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            b = (k.astype(np.int64, copy=False) % P + P) % P
+            if phases > 1:
+                m = (b % phases) == _ph
+                t = t.filter(pa.array(m))
+                b = b[m]
+            return t.append_column("__bkt", pa.array(b, pa.int64()))
+
+        routed = ds.map_batches(add_bkt, batch_format="pyarrow")
+        opts = getattr(
+            routed, "context", rd.DataContext.get_current()
+        ).execution_options
+        prev = opts.resource_limits
+        try:
+            if store:
+                opts.resource_limits = ExecutionResources(
+                    object_store_memory=int(store * 0.25)
+                )
+            routed.write_parquet(sub, partition_cols=["__bkt"])
+        finally:
+            opts.resource_limits = prev
+        if after_land is not None and ph == phases - 1:
+            after_land()  # last read of ds is done
+
+        bucket_dirs = sorted(
+            os.path.join(sub, d)
+            for d in os.listdir(sub)
+            if d.startswith("__bkt=")
+        )
+        outs = [reduce_dir.remote(p) for p in bucket_dirs]
+        if outs and phases > 1:
+            # the landed files must outlive their reduces; block, then
+            # free this phase's landing before the next phase writes
+            ray.wait(outs, num_returns=len(outs), fetch_local=False)
+            shutil.rmtree(sub, ignore_errors=True)
+        all_outs.extend(outs)
+    if not all_outs:
         return rd.from_arrow(fn(pa.table({})))
-    return rd.from_arrow_refs([reduce_dir.remote(p) for p in bucket_dirs])
+    return rd.from_arrow_refs(all_outs)

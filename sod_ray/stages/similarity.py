@@ -549,6 +549,8 @@ def semdedup_drop_ids_twolevel(
     kmeans_iters: int = 6,
     probe_margin: float = 0.02,
     spill_dir: str | None = None,
+    after_land=None,
+    spill_phases: int = 1,
 ):
     """Two-level (centroid-sharded) SemDedup — the 10^8-vector scale
     path of :func:`semdedup_drop_ids`.
@@ -708,6 +710,12 @@ def semdedup_drop_ids_twolevel(
             # ~1.5M rows (≈400 MB of routed vec rows) per bucket read
             num_buckets = max(32, -(-total // 1_500_000))
         return exchange_reduce_spill(
-            routed, "__cl", drop_bucket, spill_dir, num_buckets
+            routed,
+            "__cl",
+            drop_bucket,
+            spill_dir,
+            num_buckets,
+            after_land=after_land,
+            phases=spill_phases,
         )
     return exchange_reduce(routed, "__cl", drop_bucket, num_buckets)

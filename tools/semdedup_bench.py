@@ -72,7 +72,10 @@ def main(
     t0 = time.perf_counter()
     if two_level:
         # past ~20M the corpus rivals the object store: route the
-        # shard exchange through the partitioned-parquet spill path
+        # shard exchange through the partitioned-parquet spill path,
+        # and free the corpus the moment the landing commits (the
+        # landing is its last read) — this 93 GB volume cannot hold
+        # corpus + landed copy + reduce temps at 1e8 x 64d otherwise
         spill = (
             f"/tmp/sod_semdedup/spill-{n_docs}" if n_docs >= 20_000_000
             else None
@@ -85,6 +88,12 @@ def main(
             target_cluster_rows=1024,
             threshold=0.99,
             spill_dir=spill,
+            after_land=(
+                (lambda: shutil.rmtree(corpus_dir, ignore_errors=True))
+                if spill
+                else None
+            ),
+            spill_phases=2 if n_docs >= 50_000_000 else 1,
         ).to_pandas()
     else:
         drops = semdedup_drop_ids(
