@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "docs_pack_chunks",
     "dsir_select_docs",
     "semdedup_docs",
+    "semdedup_docs_twolevel",
     "doc_bigram_perplexity",
     "winnow_overlap_drops",
 ]
