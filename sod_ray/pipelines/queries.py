@@ -3775,16 +3775,18 @@ def doc_bigram_perplexity(sf_dir: str):
     Docs with < 2 tokens carry no bigram evidence and are excluded.
 
     Scale shape (all slim rows, never raw text past the first scan;
-    FUSED to 5 Dataset jobs — at gate scale the query is
+    FUSED to 4 Dataset jobs — at gate scale the query is
     job-orchestration-bound, so job count is the wall): ONE scan emits
     (doc, bigram, tf) rows PLUS the lone tokens of 1-token docs as
     tf=0 rows (so no second text scan); the LM is one groupby for
     bigram counts and ONE merged groupby over (w1, n) ∪ (w2, 0) ∪
     (lone, 0) rows that yields the context counts c(w1·) AND the
     unigram vocab — V is just that table's row count (metadata-free on
-    a materialized dataset, no extra job). Log probs ship back to the
-    doc rows by the adaptive broadcast/bucketed-join dispatch
-    `doc_perplexity` established."""
+    a materialized dataset, no extra job). When both count tables fit
+    the broadcast budget, lp per distinct bigram is computed
+    DRIVER-side from the already-materialized tables (block pulls,
+    not jobs) and broadcast once into the single scoring scan;
+    past the budget both hops ride bucketed equi-joins."""
     from ray.data.aggregate import Sum
 
     from ..stages.exchange import broadcast_rows_budget
@@ -3924,29 +3926,50 @@ def doc_bigram_perplexity(sf_dir: str):
     # lp per DISTINCT bigram: join bigram counts with context counts
     join_budget = broadcast_rows_budget(bytes_per_row=24)
     n_ctx = V
-    if n_ctx <= join_budget:
+    n_bg = bg_counts.count()  # O(1): materialized
+    if n_ctx <= join_budget and n_bg <= join_budget:
+        # both count tables are within the broadcast budget — they are
+        # ALREADY materialized, so fetching them to the driver is a
+        # block pull, not a Dataset job. Compute lp per distinct
+        # bigram driver-side with Arrow kernels (vectorized split +
+        # index_in over ≤budget rows) and broadcast (bg, lp) once:
+        # kills both the attach_lp map job and the lp_ds.to_pandas
+        # job (5 → 4 jobs; this query is orchestration-bound).
         import ray
 
-        cm = ctx_counts.to_pandas()
-        ctx_ref = ray.put(
-            (pa.array(cm["w1"], pa.string()), cm["cn"].to_numpy())
-        )
+        def _fetch(ds_m, cols, types):
+            # union stages can leave schema-less EMPTY blocks in the
+            # materialized output — drop them before concat
+            tabs = [
+                t
+                for t in ray.get(ds_m.to_arrow_refs())
+                if t.num_rows and cols[0] in t.column_names
+            ]
+            if not tabs:
+                return pa.schema(
+                    [pa.field(c, ty) for c, ty in zip(cols, types)]
+                ).empty_table()
+            return pa.concat_tables(tabs).combine_chunks()
 
-        def attach_lp(t: pa.Table) -> pa.Table:
-            va, cnv = ray.get(ctx_ref)
-            parts = pc.split_pattern(
-                t["bg"].combine_chunks(), " ", max_splits=1
-            )
-            flat = pc.list_flatten(parts)
-            w1 = flat.take(pa.array(np.arange(0, len(flat), 2)))
-            idx = pc.index_in(w1, value_set=va).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-            lp = np.log((n + 1.0) / (cnv[idx].astype(np.float64) + V))
-            return pa.table({"bg": t["bg"], "lp": pa.array(lp)})
+        lm = _fetch(bg_counts, ["bg", "n"], [pa.string(), pa.int64()])
+        cmt = _fetch(ctx_counts, ["w1", "cn"], [pa.string(), pa.int64()])
+        w1, _ = _endpoints(lm)
+        idx = pc.index_in(
+            w1, value_set=cmt["w1"].combine_chunks()
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        cnv = cmt["cn"].to_numpy(zero_copy_only=False)
+        n = lm["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lp = np.log((n + 1.0) / (cnv[idx].astype(np.float64) + V))
+        lm_ref = ray.put((lm["bg"].combine_chunks(), lp))
 
-        lp_ds = bg_counts.map_batches(attach_lp, batch_format="pyarrow")
+        def attach_doc_lp(t: pa.Table) -> pa.Table:
+            va, lpn = ray.get(lm_ref)
+            idx = pc.index_in(
+                t["bg"].combine_chunks(), value_set=va
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            return t.append_column("lp", pa.array(lpn[idx]))
+
+        scored = tf.map_batches(attach_doc_lp, batch_format="pyarrow")
     else:
         def _ctx_rows(t: pa.Table) -> pa.Table:
             w1, w2 = _endpoints(t)
@@ -3970,26 +3993,7 @@ def doc_bigram_perplexity(sf_dir: str):
             )
 
         lp_ds = joined.map_batches(lp_from_join, batch_format="pyarrow")
-
-    # ship log-probs back to the doc rows (same adaptive dispatch)
-    n_bg = bg_counts.count()
-    if n_bg <= join_budget:
-        import ray
-
-        lm = lp_ds.to_pandas()
-        lm_ref = ray.put(
-            (pa.array(lm["bg"], pa.string()), lm["lp"].to_numpy())
-        )
-
-        def attach_doc_lp(t: pa.Table) -> pa.Table:
-            va, lpn = ray.get(lm_ref)
-            idx = pc.index_in(
-                t["bg"].combine_chunks(), value_set=va
-            ).to_numpy(zero_copy_only=False).astype(np.int64)
-            return t.append_column("lp", pa.array(lpn[idx]))
-
-        scored = tf.map_batches(attach_doc_lp, batch_format="pyarrow")
-    else:
+        # big-LM ship-back: bucketed join of doc tf rows to lp rows
         scored = bucketed_equi_join(tf, lp_ds, key="bg", num_buckets=32)
 
     def partial(t: pa.Table) -> pa.Table:
