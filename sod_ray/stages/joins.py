@@ -480,11 +480,14 @@ def bucketed_equi_join(
 ):
     """Both-sides-large hash equi-join: EXPLICIT hash-bucket exchange
     with raw Ray tasks — the same shape as
-    ``constraints.bucketed_anti_join`` and for the same reason: Ray's
-    native ``Dataset.join`` (alpha hash-shuffle) breaks on partitions
-    that receive no blocks (schema-less empty tables fail the Acero
-    join), and the union+groupby formulation funnels both sides through
-    a global sort shuffle that stalls when the object store is smaller
+    ``constraints.bucketed_anti_join``. Ray's native ``Dataset.join``
+    (alpha hash-shuffle) re-evaluated on 2.49 (r5): the
+    empty-partition Acero failure seen in earlier rounds no longer
+    reproduces, but the A/B stands — lineitem⋈orders at sf0.1 runs
+    0.71 s here vs 3.4-3.6 s native (4.8×), so the dispatch keeps this
+    path; the seam remains one call if a later Ray release wins. The
+    union+groupby formulation still funnels both sides through a
+    global sort shuffle that stalls when the object store is smaller
     than the shuffle data.
 
     Each side's blocks split into B pieces by hash(key) % B
