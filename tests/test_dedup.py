@@ -1366,3 +1366,57 @@ def test_winnow_overlap_sampled_verify_matches_exact(ray_session):
     for p, n in sp.items():
         assert ex[p] == n  # verify pass counts are exact
     assert (5, 150) in sp and (9, 151) in sp
+
+
+def test_exchange_reduce_spill_parity_and_phases(ray_session, tmp_path):
+    """Disk-backed exchange (partitioned-parquet landing) matches the
+    in-plasma exchange for any phase count; after_land fires exactly
+    once, after the final landing; landed phase dirs are cleaned."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sod_ray.stages.exchange import exchange_reduce, exchange_reduce_spill
+
+    rows = [{"k": i % 13, "v": i} for i in range(3000)]
+    ds = rd.from_items(rows).repartition(6)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        k = t["k"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k, v = k[order], v[order]
+        b = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1])))
+        return pa.table(
+            {"k": pa.array(k[b]), "s": pa.array(np.add.reduceat(v, b))}
+        )
+
+    want = (
+        exchange_reduce(ds, "k", per_bucket, num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    for phases in (1, 3):
+        fired = []
+        got = (
+            exchange_reduce_spill(
+                ds, "k", per_bucket, str(tmp_path / f"sp{phases}"),
+                num_buckets=4, phases=phases,
+                after_land=lambda: fired.append(1),
+            )
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert fired == [1]
+        if phases > 1:  # phase dirs freed before the next phase
+            left = [
+                d for d in os.listdir(tmp_path / f"sp{phases}")
+                if d.startswith("_sod_exchange")
+            ]
+            assert left == []
