@@ -1019,3 +1019,53 @@ def test_export_overlap_dedup_stage(ray_session, tmp_path):
 
     res2 = ex.run_export(inp, out, cfg, resume=True)
     assert "overlap" in res2.report["resumed_stages"]
+
+
+def test_bloom_sidecar_multishard_in_export_loop(
+    ray_session, tmp_path, monkeypatch
+):
+    """Force the sidecar past the flat threshold so the export loop
+    runs the REAL multi-shard path end-to-end: sidecar lands as
+    multiple shard files, probes route through ShardedBloom, and
+    cross-batch dedup stays exact."""
+    from sod_ray.pipelines import export as ex
+
+    # shard at >64 bits, <=64 bits per shard file
+    monkeypatch.setattr(ex, "_BLOOM_FLAT_MAX_BITS", 64)
+    monkeypatch.setattr(ex, "_BLOOM_SHARD_BITS", 64)
+
+    cfg = ex.CurateConfig(quality_filter=False, pii_redact=False)
+    landing = os.path.join(str(tmp_path), "landing")
+    out = os.path.join(str(tmp_path), "out")
+    texts1 = [f"multishard doc {i} body words" for i in range(40)]
+    _write_shard(landing, "b1.parquet", list(range(40)), texts1)
+    ex.run_export_incremental(
+        landing, out, cfg, max_polls=1,
+        index_broadcast_limit=0, bloom_bits=1024,
+    )
+    idx_dir = os.path.join(out, "hash_index")
+    files = sorted(os.listdir(os.path.join(idx_dir, "_bloom.d")))
+    n_shards = sum(1 for f in files if f.startswith("s") and f.endswith(".bin"))
+    assert n_shards >= 2, files  # genuinely sharded
+    sb = ex.load_bloom_sidecar(idx_dir)
+    assert sb.n_shards == n_shards
+
+    texts2 = texts1[:25] + [f"multishard fresh {i}" for i in range(5)]
+    _write_shard(landing, "b2.parquet", list(range(100, 130)), texts2)
+    s2 = ex.run_export_incremental(
+        landing, out, cfg, max_polls=1,
+        index_broadcast_limit=0, bloom_bits=1024,
+    )
+    b2 = s2["batches"][0]
+    assert (b2["rows_new"], b2["rows_out"]) == (5, 5)
+    # superset invariant over the full index, through the sharded form
+    sb = ex.load_bloom_sidecar(idx_dir)
+    shards = [
+        os.path.join(idx_dir, s)
+        for s in os.listdir(idx_dir)
+        if s.endswith(".parquet")
+    ]
+    all_h = pa.concat_tables(
+        [pq.read_table(s, columns=["h"]) for s in shards]
+    )["h"]
+    assert sb.contains_array(all_h).all()
