@@ -48,10 +48,20 @@ def main(n_docs: int = 10_000_000, n_shards: int = 64):
     shutil.rmtree(out, ignore_errors=True)
 
     ds = rd.read_parquet(f"{d}/docs")
+    # past ~50M the sig/band tables rival the object store: land them
+    # as parquet (the r4 spill-dir pattern) instead of pinning plasma
+    spill_kw = {}
+    if n_docs >= 50_000_000:
+        spill_kw = {
+            "sig_spill_dir": f"{d}/_spill_sigs",
+            "band_spill_dir": f"{d}/_spill_bands",
+        }
     t0 = time.perf_counter()
-    kept = neardup_dedup_corpus(ds, "text", "doc_id")
+    kept = neardup_dedup_corpus(ds, "text", "doc_id", **spill_kw)
     kept.write_parquet(out)
     wall = time.perf_counter() - t0
+    for sd in spill_kw.values():
+        shutil.rmtree(sd, ignore_errors=True)
 
     survivors = set()
     for b in rd.read_parquet(out, columns=["doc_id"]).iter_batches(
