@@ -59,6 +59,8 @@ def gen_corpus(out_dir: str, n_docs: int, n_shards: int, seed: int = 9):
             " ".join(f"w{t}" for t in row) for row in idx[tgt_rows:]
         ]
         langs = ["en"] * n_tgt + ["xx"] * (per - n_tgt)
+        # zstd-3: token text packs ~1.6x tighter than snappy — at 2e8
+        # docs that is the difference between fitting this volume or not
         pq.write_table(
             pa.table(
                 {
@@ -70,6 +72,8 @@ def gen_corpus(out_dir: str, n_docs: int, n_shards: int, seed: int = 9):
                 }
             ),
             f"{out_dir}/shard={s:05d}.parquet",
+            compression="zstd",
+            compression_level=3,
         )
         return (
             list(range(base, base + n_tgt)),  # target ids
