@@ -283,27 +283,96 @@ def dsir_top_k(
     id_col: str = "doc_id",
     weight_col: str = "logw",
 ) -> pa.Table:
-    """Global top-k most-target-like docs: per-batch partial top-k
-    (each block ships at most k rows) merged driver-side — ties broken
-    by ascending id so the selection is total-ordered and
-    reproducible. Token-less docs (n_grams == 0) are excluded: they
-    carry no evidence either way."""
+    """Global top-k most-target-like docs, EXACT, with driver state
+    bounded by ~k rows at ANY corpus size. Ties broken by ascending id
+    so the selection is total-ordered and reproducible. Token-less
+    docs (n_grams == 0) are excluded: they carry no evidence either
+    way.
 
-    def partial(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["n_grams"], 0))
-        if t.num_rows <= k:
-            return t
-        w = t[weight_col].to_numpy(zero_copy_only=False)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, -w))[:k]
-        return t.take(pa.array(np.sort(order)))
+    Two regimes (the r5 fix — the old per-batch partial top-k silently
+    degenerated when k EXCEEDED the block size: every block passed
+    through whole and the driver collected the entire weight table,
+    which OOD'd a 200M-doc run at k=4.2M):
 
-    merged = weights_ds.map_batches(
-        partial, batch_format="pyarrow"
-    ).to_pandas()
-    merged = merged.sort_values(
-        [weight_col, id_col], ascending=[False, True], kind="stable"
-    ).head(k)
-    return pa.Table.from_pandas(
-        merged.reset_index(drop=True), preserve_index=False
+    - k ≤ ~block size: per-batch partial top-k (each block ships ≤ k
+      rows) merged driver-side — the original shape.
+    - k > block size: KLL THRESHOLD pre-selection. One aggregate-tree
+      pass sketches the weight distribution (tagged compact codec
+      crosses the merge tree, the cm_build_tokens convention); the
+      driver picks a threshold τ at the (1 - k/n) quantile with a
+      safety margin, one filter scan collects only rows with w ≥ τ
+      (≈ k·(1+margin) rows), and the exact top-k runs over those.
+      EXACTNESS: if the candidate count c ≥ k then τ ≤ the true k-th
+      weight, so candidates ⊇ every row with w ≥ kth ⊇ the true
+      top-k (ties included); c < k (sketch rank error) lowers τ and
+      rescans — bounded retries, final fallback τ = -inf.
+    """
+    import ray.data as _rd  # noqa: F401  (weights_ds is a Dataset)
+    from ray.data.aggregate import AggregateFn
+
+    from ..state.sketches import KLL
+
+    def exact_over(ds_cand) -> pa.Table:
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["n_grams"], 0))
+            if t.num_rows <= k:
+                return t
+            w = t[weight_col].to_numpy(zero_copy_only=False)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, -w))[:k]
+            return t.take(pa.array(np.sort(order)))
+
+        merged = ds_cand.map_batches(
+            partial, batch_format="pyarrow"
+        ).to_pandas()
+        merged = merged.sort_values(
+            [weight_col, id_col], ascending=[False, True], kind="stable"
+        ).head(k)
+        return pa.Table.from_pandas(
+            merged.reset_index(drop=True), preserve_index=False
+        )
+
+    # regime check: block size from metadata-cheap probing is awkward;
+    # use target_max_block_size-free heuristic — one small batch probe
+    # costs a task; instead compare k against a conservative 128k-row
+    # block floor (the engine's typical parquet block)
+    if k <= 131_072:
+        return exact_over(weights_ds)
+
+    mat = weights_ds.materialize()
+
+    def acc(b, block):
+        if not isinstance(block, pa.Table):
+            block = pa.table(block)
+        block = block.filter(pc.greater(block["n_grams"], 0))
+        sk = KLL.from_bytes(b)
+        sk.update_array(block[weight_col])
+        return sk.to_bytes()
+
+    agg = AggregateFn(
+        init=lambda _: KLL(k=400).to_bytes(),
+        accumulate_block=acc,
+        merge=lambda a, b: (
+            KLL.from_bytes(a).merge(KLL.from_bytes(b)).to_bytes()
+        ),
+        name="kll",
     )
+    sk = KLL.from_bytes(mat.aggregate(agg)["kll"])
+    n = sk.n
+    if n <= k:
+        return exact_over(mat)
+    for margin in (1.3, 2.0, 4.0):
+        q = max(0.0, 1.0 - (k * margin) / n)
+        tau = float(sk.quantile(q))
+        cand = mat.map_batches(
+            lambda t, _tau=tau: t.filter(
+                pc.and_(
+                    pc.greater(t["n_grams"], 0),
+                    pc.greater_equal(t[weight_col], _tau),
+                )
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        if cand.count() >= k:
+            return exact_over(cand)
+    return exact_over(mat)  # pathological sketch error: exact fallback

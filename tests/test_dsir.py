@@ -457,3 +457,34 @@ def test_bpe_merges_docs_deterministic(ray_session, sf_smoke):
     # character pairs; every merge must have non-empty sides
     assert (a["left"].str.len() > 0).all()
     assert (a["right"].str.len() > 0).all()
+
+
+def test_dsir_top_k_threshold_regime_exact(ray_session):
+    """k > the per-batch regime cutoff routes through the KLL
+    threshold pre-selection; the selection must be EXACTLY the brute
+    top-k (ties by ascending id), including n_grams==0 exclusion."""
+    import pandas as pd
+    import ray.data as rd
+
+    from sod_ray.stages.dsir import dsir_top_k
+
+    rng = np.random.default_rng(3)
+    n = 400_000
+    # heavy ties: coarse weights so the tie-break path is exercised
+    logw = np.round(rng.normal(size=n), 2)
+    n_grams = rng.integers(0, 5, n)  # ~20% token-less rows excluded
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n), "logw": logw, "n_grams": n_grams}
+    )
+    ds = rd.from_pandas(df).repartition(16)
+
+    k = 150_000  # > the 131,072 per-batch cutoff
+    got = dsir_top_k(ds, k).to_pandas()
+
+    el = df[df["n_grams"] > 0]
+    want = (
+        el.sort_values(["logw", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
