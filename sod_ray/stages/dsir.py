@@ -139,10 +139,18 @@ def gram_bucket_counts(
     hash_mode: str = "hash64",
 ) -> np.ndarray:
     """Corpus bucket-count vector (length ``n_buckets``, int64):
-    unigram + bigram instances hashed into buckets. One linear scan;
-    the reduce ships only B-long vectors (Dataset.aggregate
-    accumulate/merge tree — no row shuffle)."""
-    from ray.data.aggregate import AggregateFn
+    unigram + bigram instances hashed into buckets. One STREAMING
+    linear scan: each batch emits its B-long partial as one binary row
+    (512 KB at B=65,536) and the driver folds partials as they arrive.
+
+    NOT ``Dataset.aggregate`` (the r5 200M-doc lesson): Ray's
+    Aggregate is an all-to-all BARRIER that holds every input block —
+    over a text corpus that means the whole corpus lands in the object
+    store before the first accumulate, which filled a 62 GB store +
+    spill disk at 200M docs. The map_batches partial fold keeps the
+    scan streaming with backpressure; only batches × 512 KB of partial
+    vectors ever exist at once, and the driver's fold is
+    O(batches · B) int adds."""
 
     def block_counts(t: pa.Table) -> np.ndarray:
         if hash_mode == "md5":
@@ -161,15 +169,19 @@ def gram_bucket_counts(
             out = out + np.bincount(bbk[bvalid], minlength=n_buckets)
         return out.astype(np.int64)
 
-    agg = AggregateFn(
-        init=lambda _: np.zeros(n_buckets, np.int64),
-        accumulate_block=lambda acc, block: acc
-        + block_counts(pa.table(block) if not isinstance(block, pa.Table) else block),
-        merge=lambda a, b: a + b,
-        name="gram_counts",
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c": pa.array([block_counts(t).tobytes()], pa.binary())}
+        )
+
+    out = np.zeros(n_buckets, np.int64)
+    stream = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow"
     )
-    res = ds.select_columns([text_col]).aggregate(agg)
-    return np.asarray(res["gram_counts"], dtype=np.int64)
+    for b in stream.iter_batches(batch_format="pyarrow"):
+        for blob in b["c"]:
+            out += np.frombuffer(blob.as_py(), np.int64)
+    return out
 
 
 def dsir_log_ratio(

@@ -402,44 +402,49 @@ def bloom_probe_column(ds, column: str, bloom):
 def cm_build_tokens(
     ds, text_col: str = "text", width: int = 1 << 15, depth: int = 4
 ):
-    """Count-Min over a corpus's whitespace tokens in ONE scan —
-    per-block accumulate + counter-sum merge via the Dataset.aggregate
-    tree (the bloom_build_column shape; depth×width int64 counters
-    cross the reduce, never token instances). The any-item frequency
-    probe next to Misra-Gries' heavy-hitter summary.
+    """Count-Min over a corpus's whitespace tokens in ONE STREAMING
+    scan: each batch emits its counter array as one tagged-codec
+    binary row (``CountMin.to_bytes`` — depth×width int64 counters,
+    ~1 MB at the defaults, never token instances) and the driver
+    counter-sums partials as they arrive.
 
-    The accumulator crosses the tree as the TAGGED compact codec
-    (``CountMin.to_bytes`` — header + counter buffer, Arrow-native
-    binary) rather than a pickled object: the object form made every
-    intermediate block conversion log an ArrowConversionError before
-    falling back to pickle (noise that masks real errors) and shipped
-    ~1 MB of pickle per merge. Encode/decode is a memcpy of the
-    counter array — negligible next to the token hashing."""
+    NOT ``Dataset.aggregate`` (the r5 200M-doc lesson, see
+    dsir.gram_bucket_counts): Ray's Aggregate is an all-to-all
+    BARRIER that holds every input block, so over a text corpus the
+    whole corpus lands in the object store before the first
+    accumulate. The map_batches partial fold keeps the text scan
+    streaming with backpressure; the driver's fold is a memcpy-speed
+    counter add per batch. The tagged codec (not pickle) also avoids
+    the per-merge ArrowConversionError noise the object form caused.
+    The any-item frequency probe next to Misra-Gries' heavy-hitter
+    summary."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import AggregateFn
 
     from ..state.sketches import CountMin
 
-    def acc(cm_b, block):
-        if not isinstance(block, pa.Table):
-            block = pa.table(block)
+    def partial(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(
             pc.utf8_split_whitespace(
-                pc.fill_null(block[text_col].combine_chunks(), "")
+                pc.fill_null(t[text_col].combine_chunks(), "")
             )
         )
         # align with \S+: no empty tokens (keeps CM n / error_bound
         # on the same token universe as the exact side)
         toks = toks.filter(pc.not_equal(toks, ""))
-        return CountMin.from_bytes(cm_b).add_array(toks).to_bytes()
+        return pa.table(
+            {
+                "cm": pa.array(
+                    [CountMin(width, depth).add_array(toks).to_bytes()],
+                    pa.binary(),
+                )
+            }
+        )
 
-    agg = AggregateFn(
-        init=lambda _: CountMin(width, depth).to_bytes(),
-        accumulate_block=acc,
-        merge=lambda a, b: (
-            CountMin.from_bytes(a).merge(CountMin.from_bytes(b)).to_bytes()
-        ),
-        name="cm",
+    out = CountMin(width, depth)
+    stream = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow"
     )
-    out = ds.select_columns([text_col]).aggregate(agg)["cm"]
-    return CountMin.from_bytes(out)
+    for b in stream.iter_batches(batch_format="pyarrow"):
+        for blob in b["cm"]:
+            out.merge(CountMin.from_bytes(blob.as_py()))
+    return out
