@@ -360,8 +360,17 @@ def bloom_build_column(
 ):
     """Build a BloomFilter over one column in ONE scan — per-block
     accumulate + word-wise OR merge via the Dataset.aggregate tree
-    (the gram_bucket_counts shape: only m_bits/8-byte bitsets cross
-    the reduce, never rows). The cheap membership pre-filter for
+    (only m_bits/8-byte bitsets cross the reduce, never rows).
+
+    SCALE CAVEAT (r5): ``Dataset.aggregate`` is an all-to-all barrier
+    that holds every input block, so the projected INPUT column must
+    fit the object store. Fine here — callers feed slim hash columns
+    (a 10^9-row hex-hash index ≈ the store). Do NOT copy this shape
+    for full-text scans: use the streaming map_batches partial fold
+    (`cm_build_tokens` / `dsir.gram_bucket_counts`) there. Partial
+    bitsets are too large to stream to the driver per batch (32 MB ×
+    thousands of batches), which is why this stays on the aggregate
+    tree. The cheap membership pre-filter for
     cross-batch dedup probes: bloom MISSES skip the exact index scan
     entirely; HITS (~true members + fp_rate) go on to the exact
     check, so end-to-end semantics stay exact."""
