@@ -363,6 +363,8 @@ def minhash_lsh_dedup(
     pair_emission: str = "pairs",
     sig_spill_dir: str | None = None,
     band_spill_dir: str | None = None,
+    exchange_spill_dir: str | None = None,
+    exchange_phases: int = 1,
 ):
     """MinHash+LSH near-dup pairs, fully distributed:
 
@@ -477,12 +479,20 @@ def minhash_lsh_dedup(
     # at 100M × 16 bands — nearly a whole 37.6 GB store); landing it
     # as parquet keeps the store free for the candidate exchanges,
     # same trade as sig_spill_dir.
+    # ``exchange_spill_dir``: the 10⁹-doc knob — pruned rows land as
+    # parquet (dup-heavy corpora make them store-sized) and the
+    # candidate-emission exchange itself goes through the disk-backed
+    # exchange_reduce_spill instead of in-plasma splits.
     band_rows = _prune_singleton_buckets(
         sig_rows.map_batches(sig_to_bands, batch_format="pyarrow"),
         spill_dir=band_spill_dir,
+        out_spill_dir=exchange_spill_dir,
     )
 
-    pairs = _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission)
+    pairs = _candidate_pairs(
+        band_rows, id_col, max_bucket_size, pair_emission,
+        exchange_spill_dir, exchange_phases,
+    )
 
     verified = _verify_pairs_distributed(
         pairs, sig_rows, id_col, jaccard_threshold
@@ -504,7 +514,8 @@ def minhash_lsh_dedup(
     )
 
 
-def _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission):
+def _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission,
+                     exchange_spill_dir=None, exchange_phases=1):
     """Candidate id pairs from pruned (band, band_hash, id) rows —
     candidate emission + pair dedup as two raw-task hash exchanges
     (stages/exchange). The former sort-based
@@ -516,8 +527,17 @@ def _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission):
     star = counts only on run heads, oversize chain = count 1/row).
     Shared by the MinHash and embedding LSH chains. Returns the
     (small) distinct pair Dataset, materialized before the verify
-    joins."""
-    from .exchange import exchange_reduce
+    joins.
+
+    ``exchange_spill_dir``: route the candidate-emission exchange
+    through :func:`exchange.exchange_reduce_spill` (bucket-partitioned
+    parquet landing, optional ``exchange_phases`` split-phase) instead
+    of the in-plasma exchange — the 10⁹-doc tier, where the pruned
+    band rows exceed the object store and the in-plasma exchange
+    (input blocks + sorted splits ≈ 2× data) ENOSPCs the raylet spill.
+    The pair-dedup exchange stays in-plasma: its input is
+    candidate-pair-sized, orders of magnitude slimmer."""
+    from .exchange import exchange_reduce, exchange_reduce_spill
 
     def add_bk(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "band" not in t.column_names:
@@ -575,7 +595,13 @@ def _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission):
             }
         )
 
-    cand = exchange_reduce(keyed, "bk", emit_candidates)
+    if exchange_spill_dir is not None:
+        cand = exchange_reduce_spill(
+            keyed, "bk", emit_candidates, exchange_spill_dir,
+            phases=exchange_phases,
+        )
+    else:
+        cand = exchange_reduce(keyed, "bk", emit_candidates)
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         empty = pa.schema(
@@ -642,7 +668,8 @@ def _bucket_hot_keys(*pieces) -> np.ndarray:
     return dup[np.concatenate(([True], dup[1:] != dup[:-1]))]
 
 
-def _broadcast_key_filter(band_rows, key64_of, hot_np: np.ndarray):
+def _broadcast_key_filter(band_rows, key64_of, hot_np: np.ndarray,
+                          land_dir: str | None = None):
     """Keep only rows whose composite key is in ``hot_np``: broadcast
     the keys SORTED once and probe per batch with ``np.searchsorted``.
 
@@ -652,7 +679,13 @@ def _broadcast_key_filter(band_rows, key64_of, hot_np: np.ndarray):
     ~10,600 rebuilds (~25 CPU-min/worker; measured grinding 32 CPUs for
     18+ min on the 50M-doc × 28-table SimHash corpus). The sorted-probe
     is O(batch · log keys) with zero per-batch setup, so plain tasks
-    (zero-copy local ray.get) stay the right choice over an actor pool."""
+    (zero-copy local ray.get) stay the right choice over an actor pool.
+
+    ``land_dir``: land the filtered rows as parquet instead of
+    materializing them in the object store — for DUP-HEAVY corpora at
+    the 10^9-doc tier the surviving rows are themselves store-sized
+    (30% near-dup web reality × 10^9 docs × 28 tables), and the
+    downstream spill exchange streams them from disk anyway."""
     hot_np = np.sort(hot_np)
     key_ref = ray.put(hot_np)
 
@@ -665,9 +698,10 @@ def _broadcast_key_filter(band_rows, key64_of, hot_np: np.ndarray):
         mask = hot[np.minimum(pos, hot.shape[0] - 1)] == ks
         return t.filter(pa.array(mask))
 
-    return band_rows.map_batches(
-        hot_filter, batch_format="pyarrow"
-    ).materialize()
+    filtered = band_rows.map_batches(hot_filter, batch_format="pyarrow")
+    if land_dir is not None:
+        return _land_parquet(filtered, land_dir, "_sod_pruned")
+    return filtered.materialize()
 
 
 def _prune_singleton_buckets(
@@ -675,6 +709,7 @@ def _prune_singleton_buckets(
     num_partitions: int | None = None,
     key_col: str | None = None,
     spill_dir: str | None = None,
+    out_spill_dir: str | None = None,
 ):
     """Drop band buckets holding a single doc BEFORE the per-bucket
     group pass: nearly every bucket is a singleton (no candidate pair
@@ -687,7 +722,10 @@ def _prune_singleton_buckets(
     land the band rows as parquet instead of pinning them in the
     object store — the ``sig_spill_dir`` idea for band rows; at 10⁸
     docs × 12-28 tables the band table is tens of GB, larger than a
-    node's store, and both passes below stream it fine from disk."""
+    node's store, and both passes below stream it fine from disk.
+    ``out_spill_dir``: land the FILTERED rows too (instead of a store
+    materialize) — needed when the dup buckets themselves are
+    store-sized (dup-heavy corpus × 10⁹ docs)."""
     import pyarrow.compute as pc
 
     # land the band rows once: the count pass, the filter pass and the
@@ -722,7 +760,8 @@ def _prune_singleton_buckets(
             .sum()
         )
         hot_np = pdf.loc[pdf["c"] >= 2, "key"].to_numpy()
-        return _broadcast_key_filter(band_rows, key64_of, hot_np)
+        return _broadcast_key_filter(band_rows, key64_of, hot_np,
+                                     land_dir=out_spill_dir)
 
     # >5M band rows: sharded hot-key detection via a raw-task hash-
     # bucket exchange of ONLY the 8-byte composite keys (the
@@ -759,7 +798,8 @@ def _prune_singleton_buckets(
         # dup buckets are few (the common case — planted-dup corpora
         # measure <1% of docs in dup buckets): broadcast the composite
         # keys once. 8 B/key → ≤160 MB.
-        return _broadcast_key_filter(band_rows, key64_of, hot_np)
+        return _broadcast_key_filter(band_rows, key64_of, hot_np,
+                                     land_dir=out_spill_dir)
     # dup-heavy corpus (>20M dup buckets): broadcast would pin too
     # much worker heap — distributed hash join against the hot-key
     # table instead
@@ -772,11 +812,12 @@ def _prune_singleton_buckets(
         lambda t: t.append_column("__key64", key64_of(t)),
         batch_format="pyarrow",
     )
-    return (
-        keyed.join(hot, "inner", _join_partitions(num_partitions), on=("__key64",))
-        .drop_columns(["__key64"])
-        .materialize()
-    )
+    joined = keyed.join(
+        hot, "inner", _join_partitions(num_partitions), on=("__key64",)
+    ).drop_columns(["__key64"])
+    if out_spill_dir is not None:
+        return _land_parquet(joined, out_spill_dir, "_sod_pruned")
+    return joined.materialize()
 
 
 def _join_partitions(requested: int | None) -> int:
@@ -1114,6 +1155,8 @@ def simhash_dedup(
     sig_bits: int = 64,
     table_design: str = "all",
     band_spill_dir: str | None = None,
+    exchange_spill_dir: str | None = None,
+    exchange_phases: int = 1,
 ):
     """SimHash near-dup: banded bucket keys (any doc pair within the
     guaranteed hamming radius shares ≥1 exact key by pigeonhole) →
@@ -1171,8 +1214,15 @@ def simhash_dedup(
     10⁸ docs the 128-bit band table is 12-28 rows × 32 B per doc
     (38-90 GB), larger than a node's store; landed, both prune passes
     and the verify exchange stream it from disk. Parity-tested
-    byte-identical to the in-store path."""
-    from .exchange import exchange_reduce
+    byte-identical to the in-store path.
+
+    ``exchange_spill_dir``: the 10⁹-doc knob — the PRUNED rows land as
+    parquet (dup-heavy corpora make them store-sized) and the verify
+    exchange runs through the disk-backed
+    :func:`exchange.exchange_reduce_spill` (``exchange_phases``
+    split-phase for volumes that cannot hold input + one landed copy)
+    instead of in-plasma splits. Identical results (parity-tested)."""
+    from .exchange import exchange_reduce, exchange_reduce_spill
 
     if sig_bits not in (64, 128):
         raise ValueError(f"sig_bits must be 64 or 128, got {sig_bits}")
@@ -1251,6 +1301,7 @@ def simhash_dedup(
         ds.map_batches(add_simhash, batch_format="pyarrow"),
         key_col="bk",
         spill_dir=band_spill_dir,
+        out_spill_dir=exchange_spill_dir,
     )
 
     pair_schema = pa.schema(
@@ -1337,7 +1388,13 @@ def simhash_dedup(
             }
         )
 
-    cand = exchange_reduce(band_rows, "bk", verify_bucket)
+    if exchange_spill_dir is not None:
+        cand = exchange_reduce_spill(
+            band_rows, "bk", verify_bucket, exchange_spill_dir,
+            phases=exchange_phases,
+        )
+    else:
+        cand = exchange_reduce(band_rows, "bk", verify_bucket)
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         empty = pa.schema(
@@ -1742,6 +1799,8 @@ def embedding_neardup(
     pair_emission: str = "pairs",
     vec_spill_dir: str | None = None,
     band_spill_dir: str | None = None,
+    exchange_spill_dir: str | None = None,
+    exchange_phases: int = 1,
 ):
     """Near-dup by cosine similarity over an embedding column:
     ``n_bands`` independent random-hyperplane LSH tables (planes
@@ -1780,13 +1839,14 @@ def embedding_neardup(
     return _embedding_large(
         ds, vec_col, id_col, threshold, n_planes, seed, dim, n_bands,
         max_bucket_size, pair_emission, vec_spill_dir, band_spill_dir,
+        exchange_spill_dir, exchange_phases,
     )
 
 
 def _embedding_large(
     ds, vec_col, id_col, threshold, n_planes, seed, dim, n_bands,
     max_bucket_size, pair_emission, vec_spill_dir=None,
-    band_spill_dir=None,
+    band_spill_dir=None, exchange_spill_dir=None, exchange_phases=1,
 ):
     """Large-corpus embedding LSH (see embedding_neardup docstring):
     lands normalized float32 vectors ONCE, shuffles only slim
@@ -1857,8 +1917,12 @@ def _embedding_large(
     band_rows = _prune_singleton_buckets(
         vec_rows.map_batches(vn_to_bands, batch_format="pyarrow"),
         spill_dir=band_spill_dir,
+        out_spill_dir=exchange_spill_dir,
     )
-    pairs = _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission)
+    pairs = _candidate_pairs(
+        band_rows, id_col, max_bucket_size, pair_emission,
+        exchange_spill_dir, exchange_phases,
+    )
 
     def cos_score(col_a, col_b) -> np.ndarray:
         n = len(col_a)

@@ -1420,3 +1420,91 @@ def test_exchange_reduce_spill_parity_and_phases(ray_session, tmp_path):
                 if d.startswith("_sod_exchange")
             ]
             assert left == []
+
+def test_simhash_exchange_spill_dir_parity(ray_session, doc_table, tmp_path):
+    """exchange_spill_dir (pruned rows parquet-landed + the verify
+    exchange through exchange_reduce_spill, split-phase) must yield the
+    exact same pair set + hamming values as the in-plasma exchange —
+    the 10^9-doc shape, parity-pinned small."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import simhash_dedup
+
+    base = (
+        simhash_dedup(
+            rd.from_arrow(doc_table), "text", "doc_id",
+            max_hamming=6, sig_bits=128, table_design="cliques",
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    spilled = (
+        simhash_dedup(
+            rd.from_arrow(doc_table), "text", "doc_id",
+            max_hamming=6, sig_bits=128, table_design="cliques",
+            exchange_spill_dir=str(tmp_path / "ex"), exchange_phases=2,
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert base.equals(spilled)
+    # pruned rows landed in the function-owned subdir
+    assert (tmp_path / "ex" / "_sod_pruned").exists()
+
+
+def test_minhash_exchange_spill_dir_parity(ray_session, doc_table, tmp_path):
+    """exchange_spill_dir on the MinHash chain (candidate-emission
+    exchange via disk-backed buckets) must not change a single pair."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import minhash_lsh_dedup
+
+    instore = minhash_lsh_dedup(
+        rd.from_arrow(doc_table), "text", "doc_id", jaccard_threshold=0.5,
+        small_corpus_rows=1,
+    ).to_pandas()
+    spilled = minhash_lsh_dedup(
+        rd.from_arrow(doc_table), "text", "doc_id", jaccard_threshold=0.5,
+        small_corpus_rows=1,
+        exchange_spill_dir=str(tmp_path / "ex"), exchange_phases=2,
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        instore.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+        spilled.sort_values(["id_a", "id_b"]).reset_index(drop=True),
+    )
+    assert (tmp_path / "ex" / "_sod_pruned").exists()
+
+
+def test_embedding_exchange_spill_dir_parity(ray_session, tmp_path):
+    """exchange_spill_dir on embedding near-dup must not change a pair."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import embedding_neardup
+
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=16)
+    vecs = [base, base + rng.normal(scale=0.01, size=16)] + [
+        rng.normal(size=16) for _ in range(40)
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    instore = embedding_neardup(
+        rd.from_arrow(t), "embedding", "vec_id", threshold=0.98,
+    ).to_pandas()
+    spilled = embedding_neardup(
+        rd.from_arrow(t), "embedding", "vec_id", threshold=0.98,
+        exchange_spill_dir=str(tmp_path / "ex"),
+    ).to_pandas()
+    cols = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(
+        instore.sort_values(cols).reset_index(drop=True),
+        spilled.sort_values(cols).reset_index(drop=True),
+    )
