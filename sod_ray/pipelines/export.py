@@ -1076,6 +1076,96 @@ def save_bloom_sidecar(index_dir: str, sb) -> None:
         os.remove(bloom_path)  # retire the legacy v1 file
 
 
+def rebuild_bloom_sidecar_parallel(shard_paths: list[str], bits: int):
+    """Shard-parallel rebuild of the Bloom sidecar from the hash-index
+    parquet shards — the autogrow/canary-mismatch rebuild was the one
+    single-process stretch left in the bloom maintenance path (a 10⁹-
+    hash rebuild is ~10¹⁰ scattered bit-sets; one process grinds for
+    minutes while 31 cores idle).
+
+    Two raw-task phases, same exchange shape as the bench's per-shard
+    merges:
+
+    1. one task per index shard reads its ``h`` column (column-pruned),
+       computes ``hash64`` once, and splits the hashes by bloom-shard
+       prefix (``num_returns=n_shards``) — only 8-byte hashes cross
+       plasma, never hex strings;
+    2. one task per BLOOM shard ORs exactly its slices into a fresh
+       :class:`BloomFilter` and returns the compact codec bytes —
+       per-task memory is one shard's bitset + its hash slices.
+
+    In the flat regime (``n_shards == 1``) phase 2 would be one task,
+    so instead each task builds a full-size PARTIAL bloom over a group
+    of index shards and the driver word-ORs them — group count capped
+    so transient partial bitsets stay ≲2 GB. Hash positions are
+    identical either way (``hash64`` is process-stable within a
+    container — the canary guards the container boundary), so the
+    rebuilt sidecar is bit-identical to the sequential build
+    (parity-tested)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..state.sketches import BloomFilter, hash64
+
+    sb = new_bloom_sidecar(bits)
+    if not shard_paths:
+        return sb
+    n_shards, per, k = sb.n_shards, sb.shards[0].m_bits, sb.k
+    shift = sb._shift
+
+    if n_shards == 1:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        max_by_mem = max(1, (2 << 30) // max(1, per // 8))
+        G = max(1, min(len(shard_paths), cpus, max_by_mem))
+
+        @ray.remote
+        def build_group(paths):
+            bf = BloomFilter(per, k)
+            for p in paths:
+                bf.add_array(pq.read_table(p, columns=["h"])["h"])
+            return bf.to_bytes()
+
+        groups = [shard_paths[g::G] for g in range(G)]
+        parts = ray.get([build_group.remote(g) for g in groups if g])
+        out = BloomFilter.from_bytes(parts[0])
+        for b in parts[1:]:
+            out.merge(BloomFilter.from_bytes(b))
+        sb.shards[0] = out
+        sb.dirty.add(0)
+        return sb
+
+    @ray.remote
+    def hash_route(path):
+        h = hash64(pq.read_table(path, columns=["h"])["h"])
+        sid = (h >> shift).astype(np.int64)
+        order = np.argsort(sid, kind="stable")
+        hs = h[order]
+        bounds = np.searchsorted(sid[order], np.arange(n_shards + 1))
+        return tuple(
+            hs[bounds[s]:bounds[s + 1]] for s in range(n_shards)
+        )
+
+    @ray.remote
+    def build_shard(*slices):
+        bf = BloomFilter(per, k)
+        for hs in slices:
+            bf.add_hashes(hs)
+        return bf.to_bytes()
+
+    splits = [
+        hash_route.options(num_returns=n_shards).remote(p)
+        for p in shard_paths
+    ]
+    outs = ray.get(
+        [build_shard.remote(*[sp[s] for sp in splits])
+         for s in range(n_shards)]
+    )
+    for s, b in enumerate(outs):
+        sb.shards[s] = BloomFilter.from_bytes(b)
+        sb.dirty.add(s)
+    return sb
+
+
 def run_export_incremental(
     landing_dir: str,
     out_root: str,
@@ -1188,14 +1278,13 @@ def run_export_incremental(
         the plain anti-join), the sidecar is REBUILT at 4x bits from
         the shards: one index read, amortized over every later batch.
         Past 2^33 bits the rebuild lands in the hash-prefix-sharded
-        form (per-shard files / merges / probes)."""
-        import pyarrow.parquet as pq
+        form (per-shard files / merges / probes), and the rebuild
+        itself runs shard-parallel (one hash-route task per index
+        shard, one OR task per bloom shard — see
+        :func:`rebuild_bloom_sidecar_parallel`)."""
 
         def rebuild(bits: int):
-            nb = new_bloom_sidecar(bits)
-            for s in _index_shards(rid):
-                nb.add_array(pq.read_table(s, columns=["h"])["h"])
-            return nb
+            return rebuild_bloom_sidecar_parallel(_index_shards(rid), bits)
 
         bf = _load_bloom()
         if bf is None:

@@ -1069,3 +1069,50 @@ def test_bloom_sidecar_multishard_in_export_loop(
         [pq.read_table(s, columns=["h"]) for s in shards]
     )["h"]
     assert sb.contains_array(all_h).all()
+
+def test_parallel_bloom_rebuild_parity(ray_session, tmp_path):
+    """rebuild_bloom_sidecar_parallel must produce a sidecar
+    BIT-IDENTICAL to the sequential add_array build, in both the flat
+    (n_shards=1) and hash-prefix-sharded regimes, across multiple
+    index shards."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from sod_ray.pipelines import export as ex
+
+    paths = []
+    for s in range(5):
+        t = pa.table(
+            {
+                "h": pa.array(
+                    [
+                        hashlib.md5(f"doc {s} {i}".encode()).hexdigest()
+                        for i in range(400)
+                    ],
+                    pa.string(),
+                )
+            }
+        )
+        p = os.path.join(str(tmp_path), f"idx{s}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+
+    for bits in (1 << 16, None):
+        if bits is None:
+            # force the sharded regime by dropping the flat cap
+            orig = ex._BLOOM_FLAT_MAX_BITS
+            ex._BLOOM_FLAT_MAX_BITS = 1 << 14
+            bits = 1 << 16
+        else:
+            orig = None
+        try:
+            seq = ex.new_bloom_sidecar(bits)
+            for p in paths:
+                seq.add_array(pq.read_table(p, columns=["h"])["h"])
+            par = ex.rebuild_bloom_sidecar_parallel(paths, bits)
+            assert par.n_shards == seq.n_shards
+            assert par.to_bytes() == seq.to_bytes()
+        finally:
+            if orig is not None:
+                ex._BLOOM_FLAT_MAX_BITS = orig
