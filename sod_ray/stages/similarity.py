@@ -551,6 +551,7 @@ def semdedup_drop_ids_twolevel(
     spill_dir: str | None = None,
     after_land=None,
     spill_phases: int = 1,
+    n_super: int | None = None,
 ):
     """Two-level (centroid-sharded) SemDedup — the 10^8-vector scale
     path of :func:`semdedup_drop_ids`.
@@ -602,19 +603,59 @@ def semdedup_drop_ids_twolevel(
     membership-based); per-bucket output is deduped.
     `tools/semdedup_bench.py --two-level` measures recall/precision
     against planted truth.
+
+    ``n_super``: THREE-level (hierarchical / IVF-style) top assignment
+    for the 10⁹-vector tier. The flat top assignment is an
+    n × n_top × d matmul — at n=10⁹ with the n_top ~ n/10⁵ the
+    sharding needs (10⁴ shards), that alone is ~10¹⁴ flops again.
+    With ``n_super`` set, the n_top top centroids are themselves
+    k-means-clustered (driver-side — the centroid matrix is tiny)
+    into ``n_super`` groups; each batch scores against the n_super
+    SUPER centroids first, multi-probes the supers within
+    ``probe_margin`` (same boundary-duplication trick one level up),
+    and scores only against the probed supers' member centroids —
+    assignment flops drop to n·(n_super + probes·n_top/n_super)·d,
+    minimized at n_super ≈ √n_top (~30× fewer at n_top=10⁴). A row
+    is emitted in its best top shard of EVERY probed super (extra
+    placements only ADD meeting opportunities; the pair check stays
+    exact cosine, so precision is unchanged by construction). The
+    auto-``n_top`` cap rises 4096 → 16384 in this mode — the flat
+    assignment cost that motivated the cap no longer applies.
     """
     from .exchange import exchange_reduce, exchange_reduce_spill
 
     total = None
     if n_top is None:
         total = ds.count()
-        # one top shard per ~100k rows, power-of-two-ish, >= 8
-        n_top = int(max(8, min(4096, total // 100_000 or 8)))
+        # one top shard per ~100k rows, power-of-two-ish, >= 8;
+        # hierarchical assignment affords a higher shard ceiling
+        cap = 16384 if n_super else 4096
+        n_top = int(max(8, min(cap, total // 100_000 or 8)))
     centroids = train_centroids(ds, vec_col, n_top, id_col=id_col)
     C = _normalize(np.ascontiguousarray(centroids, dtype=dtype))
     c_ref = ray.put(C)
     # bound the batch x n_top score matrix at ~256 MB
     bs = max(1024, (256 << 20) // (4 * max(1, int(C.shape[0]))))
+
+    hier = (
+        n_super is not None and int(n_super) >= 2
+        and C.shape[0] > int(n_super)
+    )
+    if hier:
+        n_super = int(n_super)
+        sup_rng = np.random.default_rng((seed << 8) ^ 0x3A7)
+        Csup = _local_kmeans(C, n_super, sup_rng, iters=kmeans_iters)
+        n_super = Csup.shape[0]
+        sup_of_top = np.argmax(C @ Csup.T, axis=1)
+        m_order = np.argsort(sup_of_top, kind="stable").astype(np.int64)
+        m_bounds = np.searchsorted(
+            sup_of_top[m_order], np.arange(n_super + 1)
+        )
+        sup_ref = ray.put(
+            (Csup.astype(dtype), m_order, m_bounds)
+        )
+        # the per-batch score matrix is n_super-wide, not n_top-wide
+        bs = max(1024, (256 << 20) // (4 * max(1, n_super)))
 
     def assign_top(t: pa.Table) -> pa.Table:
         Cm = ray.get(c_ref)
@@ -643,8 +684,52 @@ def semdedup_drop_ids_twolevel(
             )
         return pa.concat_tables(parts)
 
+    def assign_top_hier(t: pa.Table) -> pa.Table:
+        Cm = ray.get(c_ref)
+        Cs, mem_order, mem_bounds = ray.get(sup_ref)
+        V = _normalize(_to_matrix(t[vec_col], dtype))
+        Ssup = V @ Cs.T
+        parts = []
+        for rows, sup in _margin_assign(Ssup, probe_margin):
+            so = np.argsort(sup, kind="stable")
+            rs, ss = rows[so], sup[so]
+            b2 = np.searchsorted(ss, np.arange(n_super + 1))
+            for s in range(n_super):
+                lo, hi = int(b2[s]), int(b2[s + 1])
+                if hi <= lo:
+                    continue
+                mem = mem_order[mem_bounds[s]:mem_bounds[s + 1]]
+                if mem.size == 0:
+                    continue
+                rsl = rs[lo:hi]
+                S = V[rsl] @ Cm[mem].T
+                for rr, cc in _margin_assign(S, probe_margin):
+                    take = pa.array(rsl[rr])
+                    parts.append(
+                        pa.table(
+                            {
+                                "id": t[id_col].take(take),
+                                "vec": t[vec_col].take(take),
+                                "__cl": pa.array(
+                                    mem[cc].astype(np.int64), pa.int64()
+                                ),
+                            }
+                        )
+                    )
+        if not parts:
+            return pa.table(
+                {
+                    "id": t[id_col].slice(0, 0),
+                    "vec": t[vec_col].slice(0, 0),
+                    "__cl": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(parts)
+
     routed = ds.map_batches(
-        assign_top, batch_format="pyarrow", batch_size=bs
+        assign_top_hier if hier else assign_top,
+        batch_format="pyarrow",
+        batch_size=bs,
     )
     empty = pa.table({"node": pa.array([], pa.int64())})
 

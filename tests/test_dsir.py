@@ -488,3 +488,56 @@ def test_dsir_top_k_threshold_regime_exact(ray_session):
         .reset_index(drop=True)
     )
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+def test_semdedup_threelevel_planted_and_deterministic(ray_session):
+    """n_super (hierarchical super->top assignment) must recover the
+    same planted-cluster drops as the flat top assignment — every
+    tight cluster deduped to its lowest id — and stay bit-identical
+    across block layouts (seeded super k-means, deterministic
+    routing)."""
+    import ray.data as rd
+
+    from sod_ray.stages.similarity import semdedup_drop_ids_twolevel
+
+    rng = np.random.default_rng(9)
+    rows, ids = [], []
+    nid = 0
+    for c in range(8):
+        base = rng.normal(size=32)
+        for _ in range(30):
+            rows.append(base + 0.005 * rng.normal(size=32))
+            ids.append(nid)
+            nid += 1
+    for _ in range(200):
+        rows.append(rng.normal(size=32))
+        ids.append(nid)
+        nid += 1
+    X = np.array(rows, dtype=np.float32)
+    ids = np.asarray(ids)
+
+    def run(nblocks, n_super):
+        ds = rd.from_arrow(_embed_table(X, ids)).repartition(nblocks)
+        return (
+            semdedup_drop_ids_twolevel(
+                ds,
+                "embedding",
+                "vec_id",
+                n_top=8,
+                n_super=n_super,
+                target_cluster_rows=40,
+                threshold=0.99,
+            )
+            .to_pandas()["node"]
+            .sort_values()
+            .tolist()
+        )
+
+    got = run(3, 3)
+    want = set()
+    for c in range(8):
+        want |= set(range(c * 30 + 1, (c + 1) * 30))
+    assert set(got) == want
+    # determinism across a different block layout
+    assert run(7, 3) == got
+    # flat top assignment finds the same planted drops
+    assert set(run(3, None)) == want

@@ -9,13 +9,17 @@ only if a planted pair straddled clusters (the pair is near-identical,
 so assignments agree unless the pair sits on a centroid boundary);
 precision <1.0 only if random 64-d vectors hit cos >= 0.99 (P ~ 0).
 
-Usage: python tools/semdedup_bench.py [n_docs] [dim] [n_centroids] [--two-level]
+Usage: python tools/semdedup_bench.py [n_docs] [dim] [n_centroids] [--two-level] [--n-super N]
 
 --two-level runs semdedup_drop_ids_twolevel (centroid-sharded: top
 shards route the exchange, per-shard LOCAL k-means into
 ~target_cluster_rows sub-clusters, same blocked kernel) — the 10^8
 path where single-level's Σc²·d within-cluster wall hits ~10^14
 flops. n_centroids then means the TOP shard count (0 = auto).
+
+--n-super N adds the THREE-level hierarchical top assignment
+(super->top multi-probe routing — the 10^9 shape where the flat
+n x n_top x d assignment matmul itself reaches ~10^14 flops).
 """
 from __future__ import annotations
 
@@ -33,6 +37,7 @@ def main(
     dim: int = 64,
     n_centroids: int = 0,
     two_level: bool = False,
+    n_super: int | None = None,
 ):
     import ray
 
@@ -94,6 +99,7 @@ def main(
                 else None
             ),
             spill_phases=2 if n_docs >= 50_000_000 else 1,
+            n_super=n_super,
         ).to_pandas()
     else:
         drops = semdedup_drop_ids(
@@ -120,8 +126,12 @@ def main(
             {
                 "n_docs": n_docs,
                 "dim": dim,
-                "mode": "two_level" if two_level else "single",
+                "mode": (
+                    "three_level" if (two_level and n_super)
+                    else "two_level" if two_level else "single"
+                ),
                 "n_centroids": n_centroids,
+                "n_super": n_super,
                 "wall_s": round(wall, 1),
                 "docs_per_sec": round(n_docs / wall, 1),
                 "n_dropped": len(got),
@@ -137,10 +147,17 @@ def main(
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--two-level"]
+    ns = None
+    argv = sys.argv[1:]
+    if "--n-super" in argv:
+        i = argv.index("--n-super")
+        ns = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if a != "--two-level"]
     main(
         int(float(args[0])) if len(args) > 0 else 1_000_000,
         int(args[1]) if len(args) > 1 else 64,
         int(args[2]) if len(args) > 2 else 0,
         two_level="--two-level" in sys.argv,
+        n_super=ns,
     )
