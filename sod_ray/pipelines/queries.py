@@ -3641,6 +3641,37 @@ def semdedup_docs_twolevel(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def semdedup_docs_threelevel(sf_dir: str):
+    """THREE-level SemDedup (rows-only): hierarchical super->top
+    assignment (`n_super`) on top of the two-level shape — the 10^9
+    tier, where the flat n x n_top x d top-assignment matmul itself
+    becomes the ~10^14-flop wall. Batches score against n_super super
+    centroids, multi-probe supers within the margin, and score only
+    the probed supers' member centroids; a row lands in the best top
+    shard of every probed super (extra placements only ADD meeting
+    opportunities — the pair check stays exact cosine). Pinned by the
+    planted-cluster + determinism test in tests/test_dsir.py and the
+    flat-vs-hier A/B in tools/semdedup_bench.py (BASELINE.md)."""
+    from ..stages.similarity import semdedup_drop_ids_twolevel
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = (
+        semdedup_drop_ids_twolevel(
+            ds,
+            "embedding",
+            "vec_id",
+            n_top=8,
+            n_super=3,
+            target_cluster_rows=256,
+            threshold=0.4,
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def bloom_membership_checked(sf_dir: str):
     """Oracle-backed Bloom-filter validation (the HLL-twin pattern):
     build a Bloom over the user_ids of EVEN event_ids (one
@@ -4448,6 +4479,7 @@ QUERIES = {
     "semdedup_checked": semdedup_checked,
     "semdedup_docs": semdedup_docs,
     "semdedup_docs_twolevel": semdedup_docs_twolevel,
+    "semdedup_docs_threelevel": semdedup_docs_threelevel,
     "bloom_membership_checked": bloom_membership_checked,
     "docs_domain_mix_checked": docs_domain_mix_checked,
     "doc_bigram_perplexity": doc_bigram_perplexity,
@@ -4548,6 +4580,7 @@ ORACLES = {
 
 _SNAPSHOT_PRIORITY = [
     "semdedup_docs_twolevel",
+    "semdedup_docs_threelevel",
     "simhash128_pairs_documents",
     "embedding_neardup_pairs",
     "cosine_exact_pairs",
