@@ -98,6 +98,7 @@ def main(
     pair_emission: str = "pairs",
     sig_spill: bool = False,
     band_spill: bool = False,
+    exchange_spill: bool = False,
 ):
     import ray
 
@@ -135,6 +136,10 @@ def main(
         pair_emission=pair_emission,
         sig_spill_dir=f"/tmp/sod_dedup/sigs-{n_docs}" if sig_spill else None,
         band_spill_dir=f"/tmp/sod_dedup/bands-{n_docs}" if band_spill else None,
+        exchange_spill_dir=(
+            f"/tmp/sod_dedup/exch-{n_docs}" if exchange_spill else None
+        ),
+        exchange_phases=2 if exchange_spill and n_docs >= 50_000_000 else 1,
     )
     pairs_s = time.perf_counter() - t0
     found = {
@@ -204,6 +209,7 @@ def main(
         "pair_emission": pair_emission,
         "sig_spill": sig_spill,
         "band_spill": band_spill,
+        "exchange_spill": exchange_spill,
     }))
     ray.shutdown()
 
@@ -217,4 +223,5 @@ if __name__ == "__main__":
         sys.argv[5] if len(sys.argv) > 5 else "pairs",
         bool(int(sys.argv[6])) if len(sys.argv) > 6 else False,
         bool(int(sys.argv[7])) if len(sys.argv) > 7 else False,
+        bool(int(sys.argv[8])) if len(sys.argv) > 8 else False,
     )
