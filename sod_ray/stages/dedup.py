@@ -2605,6 +2605,8 @@ def winnow_overlap_pairs_ds(
     max_df: int = 256,
     num_buckets: int | None = None,
     fp_sample: int = 1,
+    exchange_spill_dir: str | None = None,
+    exchange_phases: int = 1,
 ):
     """Distributed winnowing-overlap candidate pairs: docs sharing >=
     ``min_shared`` distinct selected fingerprints (MOSS / SIGMOD'03
@@ -2655,9 +2657,18 @@ def winnow_overlap_pairs_ds(
     Exact when fp_sample=1.
 
     Returns a Dataset of (id_a, id_b, n_shared), id_a < id_b —
-    n_shared is the sampled count when fp_sample > 1."""
+    n_shared is the sampled count when fp_sample > 1.
+
+    ``exchange_spill_dir``: the 10⁹-doc knob (same contract as the
+    MinHash/SimHash chains) — the slim (fp, doc) table lands as
+    parquet instead of a store materialize, and both exchanges (fp
+    pairing + pk counting) run through
+    :func:`exchange.exchange_reduce_spill` (bucket-partitioned
+    landing, optional ``exchange_phases`` split-phase). Identical
+    results (parity-tested); use when slim fp rows (~16 B × fps/doc ×
+    corpus) or the O(Σ df²) pair rows rival the object store."""
     from ..functions.text import winnow_fingerprints_fast
-    from .exchange import exchange_reduce
+    from .exchange import exchange_reduce, exchange_reduce_spill
 
     from ..state.sketches import _splitmix64
 
@@ -2782,20 +2793,40 @@ def winnow_overlap_pairs_ds(
 
         return count_pairs
 
-    def chain(src_ds, sample: int, min_count: int):
+    def chain(src_ds, sample: int, min_count: int, tag: str = ""):
         slim = src_ds.map_batches(
             make_fp_rows(sample), batch_format="pyarrow"
-        ).materialize()
+        )
         # the df cap must SCALE with the sample: a group whose true df
         # exceeds max_df has expected sampled df max_df/sample — an
         # unscaled cap would admit (and pay g² for) every group with
         # true df in (max_df, max_df*sample], which is exactly the
         # heavy head the cap exists to kill (measured: ENOSPC at 1M
         # docs with the unscaled cap)
+        df_cap = max(2, max_df // sample)
+        if exchange_spill_dir is not None:
+            # distinct subdirs per exchange AND per pass (candidate vs
+            # verify): exchange_reduce_spill owns+clears its subdir,
+            # and a second call over the same path would clear files
+            # the first call's lazy reduces still read
+            slim = _land_parquet(
+                slim, exchange_spill_dir, f"_sod_winnow_slim{tag}"
+            )
+            pair_rows = exchange_reduce_spill(
+                slim, "fp", make_emit_pairs(df_cap),
+                os.path.join(exchange_spill_dir, f"fp{tag}"),
+                num_buckets, phases=exchange_phases,
+            )
+            return exchange_reduce_spill(
+                pair_rows, "pk", make_count_pairs(min_count),
+                os.path.join(exchange_spill_dir, f"pk{tag}"),
+                num_buckets, phases=exchange_phases,
+            )
+        slim = slim.materialize()
         pair_rows = exchange_reduce(
             slim,
             "fp",
-            make_emit_pairs(max(2, max_df // sample)),
+            make_emit_pairs(df_cap),
             num_buckets,
         )
         return exchange_reduce(
@@ -2819,7 +2850,7 @@ def winnow_overlap_pairs_ds(
     # sampled count is Binomial(shared, 1/s) with mean >= min_shared/s,
     # so requiring half the mean costs ~0.5% candidacy recall
     cand_min = max(1, -(-min_shared // (2 * fp_sample)))
-    cand = chain(ds, fp_sample, cand_min).materialize()
+    cand = chain(ds, fp_sample, cand_min, tag="_cand").materialize()
     if cand.count() == 0:
         return cand
 
@@ -2853,7 +2884,7 @@ def winnow_overlap_pairs_ds(
         return t.filter(pa.array(cids[pos] == ids))
 
     subset = ds.map_batches(member_only, batch_format="pyarrow")
-    return chain(subset, 1, min_shared)
+    return chain(subset, 1, min_shared, tag="_verify")
 
 
 def winnow_overlap_drop_ids(
@@ -2866,6 +2897,8 @@ def winnow_overlap_drop_ids(
     max_df: int = 256,
     num_buckets: int | None = None,
     fp_sample: int = 1,
+    exchange_spill_dir: str | None = None,
+    exchange_phases: int = 1,
 ):
     """Containment-dedup DECISION: the slim drop-id Dataset (one
     ``node`` int64 column — non-canonical members of every
@@ -2879,7 +2912,8 @@ def winnow_overlap_drop_ids(
     pairs = winnow_overlap_pairs_ds(
         ds, text_col, id_col, k=k, w=w,
         min_shared=min_shared, max_df=max_df, num_buckets=num_buckets,
-        fp_sample=fp_sample,
+        fp_sample=fp_sample, exchange_spill_dir=exchange_spill_dir,
+        exchange_phases=exchange_phases,
     ).map_batches(
         lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
     ).materialize()

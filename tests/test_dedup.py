@@ -1508,3 +1508,46 @@ def test_embedding_exchange_spill_dir_parity(ray_session, tmp_path):
         instore.sort_values(cols).reset_index(drop=True),
         spilled.sort_values(cols).reset_index(drop=True),
     )
+
+def test_winnow_overlap_exchange_spill_dir_parity(ray_session, tmp_path):
+    """exchange_spill_dir on the winnow-overlap chain (slim fp table
+    parquet-landed + both exchanges disk-backed, split-phase) must
+    return the exact same (pair, count) set as the in-plasma path, in
+    both the exact and the sampled-candidacy modes."""
+    import numpy as np
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import winnow_overlap_pairs_ds
+
+    rng = np.random.default_rng(41)
+    vocab = [f"tok{i}" for i in range(4000)]
+    texts = [" ".join(rng.choice(vocab, size=80)) for _ in range(200)]
+    texts[150] = texts[5]  # copy
+    texts[151] = " ".join(rng.choice(vocab, size=10)) + " " + texts[9][:300]
+    ds = rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+    kw = dict(k=8, w=16, min_shared=8, max_df=64)
+
+    def as_map(df):
+        return {
+            (a, b): n
+            for a, b, n in zip(df["id_a"], df["id_b"], df["n_shared"])
+        }
+
+    for fp_sample in (1, 2):
+        base = as_map(
+            winnow_overlap_pairs_ds(
+                ds, "text", "doc_id", fp_sample=fp_sample, **kw
+            ).to_pandas()
+        )
+        spilled = as_map(
+            winnow_overlap_pairs_ds(
+                ds, "text", "doc_id", fp_sample=fp_sample,
+                exchange_spill_dir=str(tmp_path / f"wex{fp_sample}"),
+                exchange_phases=2,
+                **kw,
+            ).to_pandas()
+        )
+        assert spilled == base
+        assert (5, 150) in spilled
