@@ -621,6 +621,15 @@ def semdedup_drop_ids_twolevel(
     exact cosine, so precision is unchanged by construction). The
     auto-``n_top`` cap rises 4096 → 16384 in this mode — the flat
     assignment cost that motivated the cap no longer applies.
+
+    REGIME (measured, BASELINE.md): the super-level margin probe
+    fires on a large row fraction against a coarse quantizer (~70%
+    duplication at 32 supers on an isotropic 100M corpus), so
+    hierarchical assignment only PAYS once the flat matmul it
+    replaces dominates — n_top ≳ 8k (20M×64d A/B at n_top=8192:
+    1.39× faster AND recall 0.9994→0.9998). At n_top ~ 10³ keep the
+    flat default (100M×64d: 676.5 s hier vs 607.9 s flat, recall
+    0.9999 vs 0.9996).
     """
     from .exchange import exchange_reduce, exchange_reduce_spill
 
