@@ -8,11 +8,14 @@ reported is the honest recall of the op at its defaults, not a target.
 
 Usage: python tools/simhash_bench.py [n_docs] [n_shards] [n_bands]
        [max_hamming] [sig_bits] [table_design] [band_spill_dir]
+       [exchange_spill_dir]
 sig_bits=128 runs the Manku combination-banding variant (28 block-pair
 tables, 32-bit keys — flat occupancy at 10^8; pass max_hamming≈6, the
 128-bit distance scale is ~2x the 64-bit one). band_spill_dir lands
 the band-row table as parquet (the sig_spill_dir idea) — required at
 10^8 docs where band rows (4-28 x 32 B/doc) outgrow the object store.
+exchange_spill_dir additionally lands the PRUNED rows and runs the
+verify exchange disk-backed (the 10^9 shape).
 """
 
 from __future__ import annotations
@@ -31,7 +34,8 @@ from tools.dedup_bench import gen_corpus  # noqa: E402
 def main(n_docs: int, n_shards: int, n_bands: int = 4,
          max_hamming: int = 3, sig_bits: int = 64,
          table_design: str = "all",
-         band_spill_dir: str | None = None) -> None:
+         band_spill_dir: str | None = None,
+         exchange_spill_dir: str | None = None) -> None:
     from sod_ray.stages.dedup import simhash_dedup
 
     ray.init(
@@ -47,6 +51,8 @@ def main(n_docs: int, n_shards: int, n_bands: int = 4,
         ds, "text", "doc_id", max_hamming=max_hamming, n_bands=n_bands,
         sig_bits=sig_bits, table_design=table_design,
         band_spill_dir=band_spill_dir,
+        exchange_spill_dir=exchange_spill_dir,
+        exchange_phases=2 if exchange_spill_dir and n_docs >= 50_000_000 else 1,
     ).to_pandas()
     wall = time.time() - t0
 
@@ -59,6 +65,7 @@ def main(n_docs: int, n_shards: int, n_bands: int = 4,
                 "sig_bits": sig_bits,
                 "table_design": table_design,
                 "band_spill": band_spill_dir is not None,
+                "exchange_spill": exchange_spill_dir is not None,
                 "n_bands": n_bands,
                 "max_hamming": max_hamming,
                 "gen_sec": round(gen_s, 1),
@@ -82,4 +89,5 @@ if __name__ == "__main__":
         int(sys.argv[5]) if len(sys.argv) > 5 else 64,
         sys.argv[6] if len(sys.argv) > 6 else "all",
         sys.argv[7] if len(sys.argv) > 7 else None,
+        sys.argv[8] if len(sys.argv) > 8 else None,
     )
