@@ -31,7 +31,8 @@ ROOT = "/tmp/sod_export_bench"
 
 def main(n_docs: int = 5_000_000, n_shards: int = 64,
          token_budget: int | None = None,
-         pack_chunk_tokens: int | None = None):
+         pack_chunk_tokens: int | None = None,
+         spill: bool = False):
     import duckdb
     import ray
 
@@ -40,11 +41,26 @@ def main(n_docs: int = 5_000_000, n_shards: int = 64,
 
     kre.INP = os.path.join(ROOT, "corpus")
     inp, out = kre.INP, os.path.join(ROOT, "out")
-    shutil.rmtree(ROOT, ignore_errors=True)
-
-    t0 = time.perf_counter()
-    kre.gen_corpus(n_docs, n_shards)
-    gen_sec = time.perf_counter() - t0
+    meta = os.path.join(ROOT, "corpus-meta.json")
+    want = {"n_docs": n_docs, "n_shards": n_shards}
+    have = None
+    try:
+        have = json.load(open(meta))
+    except (OSError, json.JSONDecodeError):
+        pass
+    if have == want:
+        # reuse the deterministic corpus (a prior run's funnel may
+        # have failed after gen — e.g. the 60M in-plasma ENOSPC)
+        shutil.rmtree(out, ignore_errors=True)
+        gen_sec = 0.0
+    else:
+        shutil.rmtree(ROOT, ignore_errors=True)
+        t0 = time.perf_counter()
+        kre.gen_corpus(n_docs, n_shards)
+        gen_sec = time.perf_counter() - t0
+        os.makedirs(ROOT, exist_ok=True)
+        with open(meta, "w") as f:
+            json.dump(want, f)
 
     con = duckdb.connect()
     con.execute(
@@ -69,8 +85,18 @@ def main(n_docs: int = 5_000_000, n_shards: int = 64,
     rd.DataContext.get_current().enable_progress_bars = False
     from sod_ray.pipelines.export import CurateConfig, run_export
 
+    lsh = {"seed": 1337}
+    if spill:
+        # the 10^9-shape knobs: sig/band/pruned tables parquet-landed,
+        # candidate exchange disk-backed — what lets a funnel whose
+        # near-dup working set rivals the store finish on this VM
+        lsh.update(
+            sig_spill_dir=os.path.join(ROOT, "spill_sigs"),
+            band_spill_dir=os.path.join(ROOT, "spill_bands"),
+            exchange_spill_dir=os.path.join(ROOT, "spill_exch"),
+        )
     cfg = CurateConfig(neardup=True, partition_col="lang",
-                       lsh_kwargs={"seed": 1337},
+                       lsh_kwargs=lsh,
                        token_budget=token_budget,
                        token_budget_key="lang" if token_budget else None,
                        pack_chunk_tokens=pack_chunk_tokens)
@@ -131,9 +157,11 @@ def main(n_docs: int = 5_000_000, n_shards: int = 64,
 
 
 if __name__ == "__main__":
+    argv = [a for a in sys.argv[1:] if a != "--spill"]
     main(
-        int(sys.argv[1]) if len(sys.argv) > 1 else 5_000_000,
-        int(sys.argv[2]) if len(sys.argv) > 2 else 64,
-        int(sys.argv[3]) if len(sys.argv) > 3 else None,
-        int(sys.argv[4]) if len(sys.argv) > 4 else None,
+        int(argv[0]) if len(argv) > 0 else 5_000_000,
+        int(argv[1]) if len(argv) > 1 else 64,
+        int(argv[2]) if len(argv) > 2 else None,
+        int(argv[3]) if len(argv) > 3 else None,
+        spill="--spill" in sys.argv,
     )
