@@ -731,10 +731,23 @@ def _prune_singleton_buckets(
     # land the band rows once: the count pass, the filter pass and the
     # downstream groupby would otherwise each re-execute the signature
     # scan through lineage
+    landed_bands_sub = None
     if spill_dir is not None:
         band_rows = _land_parquet(band_rows, spill_dir, "_sod_bands")
+        landed_bands_sub = os.path.join(spill_dir, "_sod_bands")
     else:
         band_rows = band_rows.materialize()
+
+    def _free_bands():
+        # the pruned-output landing is the band landing's LAST read —
+        # on a disk-tight volume the full band table (tens of GB at
+        # 10⁸ docs × wide designs) can be freed the moment the pruned
+        # copy has committed, before the candidate exchange lands its
+        # own copy
+        if landed_bands_sub is not None and out_spill_dir is not None:
+            import shutil
+
+            shutil.rmtree(landed_bands_sub, ignore_errors=True)
     n_rows = band_rows.count()
     if key_col is not None:
         def key64_of(t, _c=key_col):
@@ -760,8 +773,10 @@ def _prune_singleton_buckets(
             .sum()
         )
         hot_np = pdf.loc[pdf["c"] >= 2, "key"].to_numpy()
-        return _broadcast_key_filter(band_rows, key64_of, hot_np,
-                                     land_dir=out_spill_dir)
+        out = _broadcast_key_filter(band_rows, key64_of, hot_np,
+                                    land_dir=out_spill_dir)
+        _free_bands()
+        return out
 
     # >5M band rows: sharded hot-key detection via a raw-task hash-
     # bucket exchange of ONLY the 8-byte composite keys (the
@@ -798,8 +813,10 @@ def _prune_singleton_buckets(
         # dup buckets are few (the common case — planted-dup corpora
         # measure <1% of docs in dup buckets): broadcast the composite
         # keys once. 8 B/key → ≤160 MB.
-        return _broadcast_key_filter(band_rows, key64_of, hot_np,
-                                     land_dir=out_spill_dir)
+        out = _broadcast_key_filter(band_rows, key64_of, hot_np,
+                                    land_dir=out_spill_dir)
+        _free_bands()
+        return out
     # dup-heavy corpus (>20M dup buckets): broadcast would pin too
     # much worker heap — distributed hash join against the hot-key
     # table instead
@@ -816,7 +833,9 @@ def _prune_singleton_buckets(
         hot, "inner", _join_partitions(num_partitions), on=("__key64",)
     ).drop_columns(["__key64"])
     if out_spill_dir is not None:
-        return _land_parquet(joined, out_spill_dir, "_sod_pruned")
+        out = _land_parquet(joined, out_spill_dir, "_sod_pruned")
+        _free_bands()
+        return out
     return joined.materialize()
 
 

@@ -1551,3 +1551,35 @@ def test_winnow_overlap_exchange_spill_dir_parity(ray_session, tmp_path):
         )
         assert spilled == base
         assert (5, 150) in spilled
+
+def test_simhash_band_plus_exchange_spill_frees_bands(ray_session, doc_table, tmp_path):
+    """With BOTH band_spill_dir and exchange_spill_dir set, the band
+    landing is freed once the pruned landing commits (its last read)
+    — and the pair set is still identical to the in-plasma path."""
+    import ray.data as rd
+
+    from sod_ray.stages.dedup import simhash_dedup
+
+    base = (
+        simhash_dedup(
+            rd.from_arrow(doc_table), "text", "doc_id",
+            max_hamming=6, sig_bits=128, table_design="cliques",
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    both = (
+        simhash_dedup(
+            rd.from_arrow(doc_table), "text", "doc_id",
+            max_hamming=6, sig_bits=128, table_design="cliques",
+            band_spill_dir=str(tmp_path / "sp"),
+            exchange_spill_dir=str(tmp_path / "sp"),
+        )
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    assert base.equals(both)
+    assert not (tmp_path / "sp" / "_sod_bands").exists()  # freed
+    assert (tmp_path / "sp" / "_sod_pruned").exists()
