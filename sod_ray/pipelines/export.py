@@ -420,7 +420,19 @@ def run_export(
             if bl is None:
                 from ..stages.exchange import broadcast_rows_budget
 
-                bl = broadcast_rows_budget()
+                # drop ids are packed int64 broadcast ONCE via ray.put
+                # and probed zero-copy with searchsorted — per-node
+                # cost is 8 B × n in the store, no per-worker hash
+                # build, so the budget is far looser than the generic
+                # 16-B-object-row default (~94M ids on a 37.6 GB
+                # store vs 5M). The generic budget here sent a 60M-doc
+                # funnel's 6M quality drops down the acc_big anti-join
+                # path, which exchanges the TEXT-bearing corpus per
+                # later stage — measured: raylet spill past the 95%
+                # disk monitor on this VM. Truly huge drop sets
+                # (10^11 at the 10^12-doc tier) still take the
+                # anti-join.
+                bl = broadcast_rows_budget(bytes_per_row=8, fraction=0.02)
             if n <= bl:
                 ids = np.concatenate(
                     [
