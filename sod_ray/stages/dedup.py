@@ -907,7 +907,17 @@ def _verify_pairs_distributed(
         endpoint_broadcast_limit = broadcast_rows_budget(
             bytes_per_row=8, fraction=0.004
         )
-    if 0 < 2 * n_pairs <= endpoint_broadcast_limit:
+    # gate on the ACTUAL distinct endpoint count, not the 2·n_pairs
+    # proxy: star emission makes endpoints ≈ n_pairs (each member pairs
+    # with its bucket hub), so the proxy overcounts ~2× and a 60M-doc
+    # funnel whose candidates sat just over the proxy skipped the
+    # filter — the full-corpus-payload join then OOM-killed the native
+    # aggregators (measured). Collecting the endpoint ids to decide
+    # costs 16 B × 2·n_pairs transient driver memory; cap that at 8×
+    # the budget (~2.6 GB at the 20M default) and assume over-budget
+    # beyond it.
+    eps = None
+    if 0 < 2 * n_pairs <= 8 * endpoint_broadcast_limit:
         parts = ray.get(
             [_pair_endpoints.remote(r) for r in arrow_block_refs(pairs)]
         )
@@ -916,6 +926,9 @@ def _verify_pairs_distributed(
             if parts
             else np.empty(0, np.int64)
         )
+        if eps.shape[0] > endpoint_broadcast_limit:
+            eps = None
+    if eps is not None:
         ep_ref = ray.put(eps)  # already unique-sorted
 
         def sig_filter(t: pa.Table) -> pa.Table:
