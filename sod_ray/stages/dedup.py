@@ -495,7 +495,8 @@ def minhash_lsh_dedup(
     )
 
     verified = _verify_pairs_distributed(
-        pairs, sig_rows, id_col, jaccard_threshold
+        pairs, sig_rows, id_col, jaccard_threshold,
+        spill_dir=exchange_spill_dir,
     )
     if as_dataset:
         return verified
@@ -881,6 +882,7 @@ def _verify_pairs_distributed(
     payload_col: str = "sig",
     out_col: str = "jaccard_est",
     scorer=None,
+    spill_dir: str | None = None,
 ):
     """Distributed pair verify: two native hash joins attach each
     endpoint's binary payload (MinHash signature by default; any
@@ -980,14 +982,32 @@ def _verify_pairs_distributed(
     # join, which aggregates incrementally instead of pinning.
     # Materialize between the two so the second join reads landed
     # blocks (and the two aggregator pools never run concurrently).
-    from .joins import bucketed_equi_join
+    from .joins import bucketed_equi_join, bucketed_equi_join_spill
 
     try:
         side_bytes = sig_rows.size_bytes() or 0
     except Exception:
         side_bytes = 0
     store = _smallest_store()
-    if side_bytes and store and 8 * side_bytes > store:
+    if spill_dir is not None:
+        # disk-backed joins: both sides land as bucket-partitioned
+        # parquet, one join task per bucket — plasma never holds the
+        # shuffle (a 60M-doc funnel's candidate-pair × payload join
+        # spilled past the raylet disk monitor through the in-plasma
+        # exchange, and the native-join fallback OOM-killed its
+        # aggregators — measured). j1 materializes between the two
+        # joins, so the second join's landing may reuse the subdirs.
+        vdir = os.path.join(spill_dir, "_sod_verify")
+        j1 = bucketed_equi_join_spill(
+            pairs, sa, "id_a", vdir, num_buckets=num_partitions
+        ).materialize()
+        j = bucketed_equi_join_spill(
+            j1, sb, "id_b", vdir, num_buckets=num_partitions
+        ).materialize()
+        import shutil
+
+        shutil.rmtree(vdir, ignore_errors=True)
+    elif side_bytes and store and 8 * side_bytes > store:
         parts = _join_partitions(num_partitions)
         j1 = pairs.join(sa, "inner", parts, on=("id_a",)).materialize()
         j = j1.join(sb, "inner", parts, on=("id_b",))
@@ -1978,6 +1998,7 @@ def _embedding_large(
         payload_col="vn",
         out_col="cosine",
         scorer=cos_score,
+        spill_dir=exchange_spill_dir,
     )
 
 

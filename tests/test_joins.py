@@ -323,3 +323,65 @@ def test_bucketed_equi_join_left_outer(ray_session):
     )
     assert got["k"].tolist() == [1, 2, 3, 4]
     assert got["rv"].fillna(-1).tolist() == [-1, 20, -1, 40]
+
+def test_bucketed_equi_join_spill_parity(ray_session, tmp_path):
+    """bucketed_equi_join_spill (both sides landed as bucket-partitioned
+    parquet, one join task per bucket) must match the in-plasma
+    bucketed_equi_join row-for-row, including null keys (never match)
+    and left-outer semantics."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from sod_ray.stages.joins import (
+        bucketed_equi_join,
+        bucketed_equi_join_spill,
+    )
+
+    rng = np.random.default_rng(7)
+    left = pa.table(
+        {
+            "k": pa.array(
+                [None if i % 17 == 0 else int(rng.integers(0, 40))
+                 for i in range(300)],
+                pa.int64(),
+            ),
+            "lv": pa.array(np.arange(300), pa.int64()),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array(
+                [None if i % 13 == 0 else int(rng.integers(0, 40))
+                 for i in range(200)],
+                pa.int64(),
+            ),
+            "rv": pa.array(np.arange(200) * 10, pa.int64()),
+        }
+    )
+    for jt in ("inner", "left outer"):
+        base = (
+            bucketed_equi_join(
+                rd.from_arrow(left).repartition(5),
+                rd.from_arrow(right).repartition(3),
+                "k", join_type=jt,
+            )
+            .to_pandas()
+            .sort_values(["lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        spilled = (
+            bucketed_equi_join_spill(
+                rd.from_arrow(left).repartition(5),
+                rd.from_arrow(right).repartition(3),
+                "k", str(tmp_path / f"j-{jt.replace(' ', '')}"),
+                num_buckets=4, join_type=jt,
+            )
+            .to_pandas()
+            .sort_values(["lv", "rv"], na_position="last")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            base[sorted(base.columns)], spilled[sorted(spilled.columns)]
+        )
