@@ -995,19 +995,31 @@ def _verify_pairs_distributed(
         # shuffle (a 60M-doc funnel's candidate-pair × payload join
         # spilled past the raylet disk monitor through the in-plasma
         # exchange, and the native-join fallback OOM-killed its
-        # aggregators — measured). j1 materializes between the two
-        # joins, so the second join's landing may reuse the subdirs.
-        vdir = os.path.join(spill_dir, "_sod_verify")
-        j1 = bucketed_equi_join_spill(
-            pairs, sa, "id_a", vdir, num_buckets=num_partitions
-        ).materialize()
-        j = bucketed_equi_join_spill(
-            j1, sb, "id_b", vdir, num_buckets=num_partitions
-        ).materialize()
+        # aggregators — measured). NOTHING payload-bearing
+        # materializes: the second join's landing streams the first
+        # join's bucket outputs straight back to disk, and only the
+        # SCORED pairs (threshold-filtered, payload dropped — orders
+        # of magnitude slimmer than pairs × 2 signatures) enter
+        # plasma. Distinct subdirs per join: j1's landed buckets must
+        # survive until the second landing has consumed them.
         import shutil
 
-        shutil.rmtree(vdir, ignore_errors=True)
-    elif side_bytes and store and 8 * side_bytes > store:
+        vdir1 = os.path.join(spill_dir, "_sod_verify1")
+        vdir2 = os.path.join(spill_dir, "_sod_verify2")
+        j1 = bucketed_equi_join_spill(
+            pairs, sa, "id_a", vdir1, num_buckets=num_partitions
+        )
+        j = bucketed_equi_join_spill(
+            j1, sb, "id_b", vdir2, num_buckets=num_partitions
+        )
+        out = j.map_batches(
+            _make_est_batch(score, threshold, out_col),
+            batch_format="pyarrow",
+        ).materialize()
+        shutil.rmtree(vdir1, ignore_errors=True)
+        shutil.rmtree(vdir2, ignore_errors=True)
+        return out
+    if side_bytes and store and 8 * side_bytes > store:
         parts = _join_partitions(num_partitions)
         j1 = pairs.join(sa, "inner", parts, on=("id_a",)).materialize()
         j = j1.join(sb, "inner", parts, on=("id_b",))
@@ -1016,6 +1028,16 @@ def _verify_pairs_distributed(
             pairs, sa, "id_a", num_buckets=num_partitions
         ).materialize()
         j = bucketed_equi_join(j1, sb, "id_b", num_buckets=num_partitions)
+
+    return j.map_batches(
+        _make_est_batch(score, threshold, out_col), batch_format="pyarrow"
+    )
+
+
+def _make_est_batch(score, threshold, out_col):
+    """Per-batch pair scorer shared by the in-plasma and disk-backed
+    verify paths: score the two payload columns, keep >= threshold,
+    drop payloads."""
 
     def est_batch(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -1037,7 +1059,7 @@ def _verify_pairs_distributed(
             }
         )
 
-    return j.map_batches(est_batch, batch_format="pyarrow")
+    return est_batch
 
 
 def _minhash_small(
