@@ -494,9 +494,21 @@ def minhash_lsh_dedup(
         exchange_spill_dir, exchange_phases,
     )
 
+    def _free_sigs():
+        # the verify sides have landed: the sig landing's last read is
+        # done (disk-tight volumes need the ~0.5 KB/doc back)
+        if sig_spill_dir is not None:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(sig_spill_dir, "_sod_sigs"),
+                ignore_errors=True,
+            )
+
     verified = _verify_pairs_distributed(
         pairs, sig_rows, id_col, jaccard_threshold,
         spill_dir=exchange_spill_dir,
+        after_sides_landed=_free_sigs if exchange_spill_dir else None,
     )
     if as_dataset:
         return verified
@@ -603,6 +615,7 @@ def _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission,
         )
     else:
         cand = exchange_reduce(keyed, "bk", emit_candidates)
+    del keyed
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         empty = pa.schema(
@@ -625,7 +638,25 @@ def _candidate_pairs(band_rows, id_col, max_bucket_size, pair_emission,
         )
 
     # land the (small) distinct pair list before the verify joins
-    return exchange_reduce(cand, "pk", distinct_pairs).materialize()
+    out = exchange_reduce(cand, "pk", distinct_pairs).materialize()
+    if exchange_spill_dir is not None:
+        # the materialize above forced every upstream read: the pruned
+        # landing and the candidate exchange's landed buckets are dead
+        # weight on a disk-tight volume (measured: their ~4 GB plus the
+        # 23 GB sig landing pushed a 60M-doc funnel past the raylet
+        # disk monitor during the verify joins)
+        import glob as _glob
+        import shutil as _shutil
+
+        _shutil.rmtree(
+            os.path.join(exchange_spill_dir, "_sod_pruned"),
+            ignore_errors=True,
+        )
+        for d in _glob.glob(
+            os.path.join(exchange_spill_dir, "_sod_exchange_p*")
+        ):
+            _shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 def _bucket_key64(t: pa.Table):
@@ -883,6 +914,7 @@ def _verify_pairs_distributed(
     out_col: str = "jaccard_est",
     scorer=None,
     spill_dir: str | None = None,
+    after_sides_landed=None,
 ):
     """Distributed pair verify: two native hash joins attach each
     endpoint's binary payload (MinHash signature by default; any
@@ -1012,11 +1044,17 @@ def _verify_pairs_distributed(
         j = bucketed_equi_join_spill(
             j1, sb, "id_b", vdir2, num_buckets=num_partitions
         )
+        # the second landing consumed j1's bucket outputs AND the
+        # payload table's last read: vdir1 and the caller's payload
+        # landing (the 23-GB sig table at 60M docs) are both dead —
+        # free them BEFORE the join outputs start landing in plasma
+        shutil.rmtree(vdir1, ignore_errors=True)
+        if after_sides_landed is not None:
+            after_sides_landed()
         out = j.map_batches(
             _make_est_batch(score, threshold, out_col),
             batch_format="pyarrow",
         ).materialize()
-        shutil.rmtree(vdir1, ignore_errors=True)
         shutil.rmtree(vdir2, ignore_errors=True)
         return out
     if side_bytes and store and 8 * side_bytes > store:
@@ -1469,6 +1507,7 @@ def simhash_dedup(
         )
     else:
         cand = exchange_reduce(band_rows, "bk", verify_bucket)
+    del band_rows
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
         empty = pa.schema(
@@ -1490,7 +1529,24 @@ def simhash_dedup(
             }
         )
 
-    return exchange_reduce(cand, "pk", distinct_pairs)
+    out = exchange_reduce(cand, "pk", distinct_pairs)
+    if exchange_spill_dir is not None:
+        # force the pair exchange, then free the dead landings (the
+        # pruned rows and the verify exchange's landed buckets) — same
+        # disk-lifecycle contract as the MinHash chain
+        import glob as _glob
+        import shutil as _shutil
+
+        out = out.materialize()
+        _shutil.rmtree(
+            os.path.join(exchange_spill_dir, "_sod_pruned"),
+            ignore_errors=True,
+        )
+        for d in _glob.glob(
+            os.path.join(exchange_spill_dir, "_sod_exchange_p*")
+        ):
+            _shutil.rmtree(d, ignore_errors=True)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -2012,6 +2068,15 @@ def _embedding_large(
         )
         return np.einsum("ij,ij->i", A, B)
 
+    def _free_vecs():
+        if vec_spill_dir is not None:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(vec_spill_dir, "_sod_vecs"),
+                ignore_errors=True,
+            )
+
     return _verify_pairs_distributed(
         pairs,
         vec_rows,
@@ -2021,6 +2086,7 @@ def _embedding_large(
         out_col="cosine",
         scorer=cos_score,
         spill_dir=exchange_spill_dir,
+        after_sides_landed=_free_vecs if exchange_spill_dir else None,
     )
 
 

@@ -1450,8 +1450,8 @@ def test_simhash_exchange_spill_dir_parity(ray_session, doc_table, tmp_path):
         .reset_index(drop=True)
     )
     assert base.equals(spilled)
-    # pruned rows landed in the function-owned subdir
-    assert (tmp_path / "ex" / "_sod_pruned").exists()
+    # dead landings freed after the pair exchange (disk lifecycle)
+    assert not (tmp_path / "ex" / "_sod_pruned").exists()
 
 
 def test_minhash_exchange_spill_dir_parity(ray_session, doc_table, tmp_path):
@@ -1474,7 +1474,8 @@ def test_minhash_exchange_spill_dir_parity(ray_session, doc_table, tmp_path):
         instore.sort_values(["id_a", "id_b"]).reset_index(drop=True),
         spilled.sort_values(["id_a", "id_b"]).reset_index(drop=True),
     )
-    assert (tmp_path / "ex" / "_sod_pruned").exists()
+    # dead landings freed after the candidate exchange (disk lifecycle)
+    assert not (tmp_path / "ex" / "_sod_pruned").exists()
 
 
 def test_embedding_exchange_spill_dir_parity(ray_session, tmp_path):
@@ -1581,5 +1582,7 @@ def test_simhash_band_plus_exchange_spill_frees_bands(ray_session, doc_table, tm
         .reset_index(drop=True)
     )
     assert base.equals(both)
-    assert not (tmp_path / "sp" / "_sod_bands").exists()  # freed
-    assert (tmp_path / "sp" / "_sod_pruned").exists()
+    # full disk lifecycle: bands freed at prune, pruned + exchange
+    # landings freed after the pair exchange
+    assert not (tmp_path / "sp" / "_sod_bands").exists()
+    assert not (tmp_path / "sp" / "_sod_pruned").exists()
